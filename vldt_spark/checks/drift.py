@@ -1,0 +1,116 @@
+"""B7 — distribution drift: histograms → KL divergence / PSI.
+
+The heavy part (binning + counting 10^12 rows) is a Spark aggregate with
+map-side partial combine; the divergence math runs on the resulting
+histogram table, which is tiny (n_bins × n_partitions rows), either as a
+second small DataFrame op or driver-side numpy. Nothing row-scale ever
+leaves the executors.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    by: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column → (bin, [by,] n).
+
+    lo/hi default to the column min/max computed in a first cheap pass
+    (pass them explicitly to fuse into one pass). Bin i covers
+    [lo + i*w, lo + (i+1)*w); values == hi land in the last bin.
+    """
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    w = (hi - lo) / bins
+    bin_col = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    keys = [bin_col.alias("bin")] + ([F.col(by)] if by else [])
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def categorical_histogram(df: DataFrame, col: str, *, by: str | None = None) -> DataFrame:
+    keys = [F.col(col).alias("bin")] + ([F.col(by)] if by else [])
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _paired_probs(
+    h_ref: DataFrame, h_cur: DataFrame, *, eps: float = 1e-9
+) -> DataFrame:
+    """Full-outer join the two (small) histograms and normalize to probs."""
+    r = h_ref.groupBy("bin").agg(F.sum("n").alias("n_ref"))
+    c = h_cur.groupBy("bin").agg(F.sum("n").alias("n_cur"))
+    j = r.join(c, "bin", "full_outer").fillna(0, subset=["n_ref", "n_cur"])
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    j = j.crossJoin(F.broadcast(tot))
+    return j.select(
+        "bin",
+        (F.col("n_ref") / F.col("tr") + F.lit(eps)).alias("p"),
+        (F.col("n_cur") / F.col("tc") + F.lit(eps)).alias("q"),
+    )
+
+
+def kl_divergence(h_ref: DataFrame, h_cur: DataFrame) -> float:
+    """KL(ref || cur) on two histogram tables (bin, n). Tiny-input op."""
+    pq = _paired_probs(h_ref, h_cur)
+    row = pq.agg(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl")).first()
+    return float(row["kl"])
+
+
+def psi(h_ref: DataFrame, h_cur: DataFrame) -> float:
+    """Population Stability Index: sum((p-q) * ln(p/q)). <0.1 stable,
+    0.1-0.25 moderate, >0.25 drifted (industry convention)."""
+    pq = _paired_probs(h_ref, h_cur)
+    row = pq.agg(
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi")
+    ).first()
+    return float(row["psi"])
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    bins: int = 20,
+) -> list[dict]:
+    """PSI + KL per monitored column; one histogram agg per side per column
+    (each a single partial-agg shuffle of bin-cardinality output)."""
+    out = []
+    for c in numeric_cols:
+        row = ref.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        lo, hi = float(row["lo"]), float(row["hi"])
+        hr = histogram(ref, c, bins=bins, lo=lo, hi=hi)
+        hc = histogram(cur, c, bins=bins, lo=lo, hi=hi)
+        out.append(
+            {"column": c, "kind": "numeric", "psi": psi(hr, hc), "kl": kl_divergence(hr, hc)}
+        )
+    for c in categorical_cols:
+        hr = categorical_histogram(ref, c)
+        hc = categorical_histogram(cur, c)
+        out.append(
+            {"column": c, "kind": "categorical", "psi": psi(hr, hc), "kl": kl_divergence(hr, hc)}
+        )
+    return out

@@ -1,0 +1,309 @@
+"""The fused validation pass + whole-table check orchestration.
+
+One ``Model(**row)`` call in the reference (tp_init,
+/root/reference/src/data_model.cpp:141-248) becomes one row of a single
+``df.select`` projection here: alias resolution → defaults → BEFORE UDFs →
+coercion casts → AFTER UDFs → declarative constraints → cross-field checks,
+all violations concatenated into one ``violations`` array column, evaluated
+in one whole-stage-codegen'd scan. "Raise TypeError" ≙ ``is_valid=false`` +
+violation rows; "return instance" ≙ the coerced canonical columns.
+
+Whole-table checks that cannot be row-local expressions — uniqueness (B5)
+and referential integrity (B6) — run as separate small aggregates whose
+(tiny) outputs are **broadcast-joined back** onto the main scan, so the big
+table is never shuffled:
+
+  * uniqueness: two-stage salted aggregate — partial count per (key, salt),
+    final sum per key, filter >1. The dup-key set is rare/small → broadcast.
+  * RI: distinct values of the FK column (dim-like cardinality) LEFT ANTI
+    JOIN the dim → invalid-value set → broadcast back.
+
+At 100 TB the only shuffle in the whole validation job is therefore the
+low-cardinality aggregate of FK/dup candidates, never the fact table.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vldt_spark.coercion import build_value, scalar_constraints
+from vldt_spark.errors import (
+    VIOLATIONS_TYPE,
+    empty_violations,
+    merge_violations,
+    missing_required_msg,
+    violation_if,
+)
+from vldt_spark.model import CompiledSchema, Model
+from vldt_spark.typeschema import ContainerKind
+from vldt_spark.validators import Cols
+
+
+@dataclass
+class ValidationResult:
+    """Outcome of a full validation run."""
+
+    annotated: DataFrame  # coerced canonical columns + violations + is_valid
+    id_cols: list[str]
+
+    @property
+    def valid(self) -> DataFrame:
+        return self.annotated.filter(F.col("is_valid")).drop("violations", "is_valid")
+
+    @property
+    def invalid(self) -> DataFrame:
+        return self.annotated.filter(~F.col("is_valid"))
+
+    def violations(self) -> DataFrame:
+        """Exploded violation-rows table: (id cols, path, msg) — B12."""
+        v = F.explode(F.col("violations")).alias("v")
+        return self.annotated.select(*self.id_cols, v).select(
+            *self.id_cols, F.col("v.path").alias("path"), F.col("v.msg").alias("msg")
+        )
+
+    def verdicts(self, partition_cols: Iterable[str]) -> DataFrame:
+        """Per-partition pass/fail verdicts — B11."""
+        pc = list(partition_cols)
+        return (
+            self.annotated.groupBy(*pc)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.col("is_valid")).cast("long")).alias("n_invalid"),
+                F.sum(F.size("violations").cast("long")).alias("n_violations"),
+            )
+            .withColumn("passed", F.col("n_invalid") == 0)
+        )
+
+    def summary(self) -> DataFrame:
+        """Per-constraint-path violation counts (one small aggregate)."""
+        return (
+            self.annotated.select(F.explode("violations").alias("v"))
+            .groupBy(F.col("v.path").alias("path"), F.col("v.msg").alias("msg"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"))
+        )
+
+
+class ValidationEngine:
+    """Compile a Model once (driver-side), validate any number of DataFrames."""
+
+    def __init__(self, model: type[Model]):
+        self.model = model
+        self.compiled: CompiledSchema = model.__vldt_compile__()
+
+    # -- row-local fused pass -------------------------------------------------
+
+    def annotate(self, df: DataFrame, *, keep_extra: bool = False) -> DataFrame:
+        """Single projection producing coerced canonical columns +
+        ``violations: array<struct<path,msg>>`` + ``is_valid``."""
+        cfg = self.compiled.config
+        df = self._apply_model_validators(df, "model_before")
+        df = self._apply_field_udfs(df, "field_before")
+
+        cols: list[Column] = []
+        all_viols: list[Column] = []
+        schema = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+
+        for spec in self.compiled.fields:
+            src_name = None
+            # alias keys probed before the canonical name, first alias wins
+            # (/root/reference/src/data_model.cpp:172-190)
+            for cand in spec.field.aliases + [spec.name]:
+                if cand in schema:
+                    src_name = cand
+                    break
+            if src_name is None:
+                if spec.field.has_default:
+                    d = spec.field.resolve_default()
+                    cols.append(F.lit(d).cast(spec.dtype).alias(spec.name))
+                elif spec.node.is_optional:
+                    cols.append(F.lit(None).cast(spec.dtype).alias(spec.name))
+                else:
+                    # whole column absent: every row fails
+                    # ("Missing required field", data_model.cpp:209)
+                    cols.append(F.lit(None).cast(spec.dtype).alias(spec.name))
+                    all_viols.append(
+                        violation_if(F.lit(True), spec.name, missing_required_msg())
+                    )
+                continue
+
+            src = F.col(src_name)
+            coerced, viols = build_value(
+                src,
+                schema[src_name],
+                spec.node,
+                spec.name,
+                fld=spec.field,
+                truthy_bool=cfg.truthy_bool,
+            )
+            # defaults / required-null (data_model.cpp:192-212)
+            if spec.field.has_default:
+                d = spec.field.resolve_default()
+                coerced = F.coalesce(coerced, F.lit(d).cast(spec.dtype))
+            elif not spec.node.is_optional:
+                viols.append(
+                    violation_if(
+                        src.isNull(),
+                        spec.name,
+                        f"Expected type {spec.node.py_name}, got NoneType",
+                    )
+                )
+            viols.extend(scalar_constraints(coerced, spec.field, spec.name, spec.dtype))
+            cols.append(coerced.alias(spec.name))
+            all_viols.extend(viols)
+
+        # cross-field @check constraints (B10) — evaluated on coerced values
+        model_names = [s.name for s in self.compiled.fields]
+        proxy = Cols(model_names)
+        projected = df.select(
+            *cols,
+            *(
+                [c for c in df.columns if c not in model_names]
+                if keep_extra
+                else []
+            ),
+            merge_violations(*all_viols).alias("__v0"),
+        )
+        check_viols: list[Column] = [F.col("__v0")]
+        for fn in self.compiled.validators["checks"]:
+            pred = fn(proxy)
+            name = fn.__vldt_check_name__
+            msg = fn.__vldt_check_message__ or f"Check failed: {name}"
+            check_viols.append(violation_if(~F.coalesce(pred, F.lit(False)), name, msg))
+
+        out = projected.withColumn("violations", merge_violations(*check_viols)).drop(
+            "__v0"
+        )
+        out = self._apply_field_udfs(out, "field_after")
+        out = out.withColumn("is_valid", F.size("violations") == 0)
+        out = self._apply_model_validators(out, "model_after")
+        return out
+
+    # -- validator UDF stages (A17-A20, B15): Arrow-vectorized only ----------
+
+    def _apply_field_udfs(self, df: DataFrame, bucket: str) -> DataFrame:
+        fns = self.compiled.validators[bucket]
+        if not fns:
+            return df  # validator-presence pruning (schema.cpp:527-552)
+        updates: dict[str, Column] = {}
+        schema = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+        for fn in fns:
+            fname = fn.__vldt_field__
+            if fname not in schema:
+                continue
+            ret_type = schema[fname]
+            if getattr(fn, "__vldt_vectorized__", True):
+                udf = F.pandas_udf(fn, returnType=ret_type)
+            else:
+                scalar_fn = fn
+
+                def _wrap(s, _f=scalar_fn):  # batch map, still Arrow-transferred
+                    return s.map(_f)
+
+                udf = F.pandas_udf(_wrap, returnType=ret_type)
+            updates[fname] = udf(F.col(fname))
+        return df.withColumns(updates) if updates else df
+
+    def _apply_model_validators(self, df: DataFrame, bucket: str) -> DataFrame:
+        fns = self.compiled.validators[bucket]
+        if not fns:
+            return df
+        schema = df.schema
+
+        def _run(iterator):
+            for pdf in iterator:
+                for fn in fns:
+                    pdf = fn(pdf)
+                yield pdf
+
+        return df.mapInPandas(_run, schema=schema)
+
+    # -- whole-table checks ---------------------------------------------------
+
+    def duplicate_keys(
+        self, df: DataFrame, key: str, salt_buckets: int = 64
+    ) -> DataFrame:
+        """B5: keys appearing more than once, via two-stage salted aggregate.
+
+        Stage 1 groups on (key, salt) — partial counts stay bounded per
+        reducer even for a pathologically hot key; stage 2 sums the (tiny)
+        partials per key. Catalyst's map-side partial agg handles the common
+        case; the explicit salt guards the adversarial one at 10^12 rows.
+        """
+        from vldt_spark.checks.uniqueness import duplicate_keys
+
+        return duplicate_keys(df, key, salt_buckets=salt_buckets)
+
+    def run(
+        self,
+        df: DataFrame,
+        *,
+        id_cols: Iterable[str] | None = None,
+        dims: dict[str, DataFrame] | None = None,
+        keep_extra: bool = False,
+    ) -> ValidationResult:
+        """Full run: fused row-local pass + uniqueness + RI, violations merged."""
+        ann = self.annotate(df, keep_extra=keep_extra)
+        ids = list(id_cols) if id_cols else [self.compiled.fields[0].name]
+        dims = dims or {}
+
+        for spec in self.compiled.fields:
+            if spec.field.unique:
+                dups = self.duplicate_keys(ann, spec.name).select(
+                    F.col(spec.name).alias("__dup_key")
+                )
+                extra = violation_if(
+                    F.col("__dup_key").isNotNull(),
+                    spec.name,
+                    f"Duplicate value for unique field {spec.name}",
+                )
+                ann = (
+                    ann.join(
+                        F.broadcast(dups),
+                        ann[spec.name] == F.col("__dup_key"),
+                        "left",
+                    )
+                    .withColumn("violations", merge_violations(F.col("violations"), extra))
+                    .drop("__dup_key")
+                )
+            if spec.field.ref is not None:
+                dim_name, dim_col = spec.field.ref
+                if dim_name not in dims:
+                    continue
+                from vldt_spark.checks.referential import invalid_fk_values
+
+                bad = invalid_fk_values(ann, spec.name, dims[dim_name], dim_col).select(
+                    F.col(spec.name).alias("__bad_fk")
+                )
+                extra = violation_if(
+                    F.col("__bad_fk").isNotNull(),
+                    spec.name,
+                    f"Referential integrity violation: {spec.name} not in {dim_name}.{dim_col}",
+                )
+                ann = (
+                    ann.join(
+                        F.broadcast(bad), ann[spec.name] == F.col("__bad_fk"), "left"
+                    )
+                    .withColumn("violations", merge_violations(F.col("violations"), extra))
+                    .drop("__bad_fk")
+                )
+
+        ann = ann.withColumn("is_valid", F.size("violations") == 0)
+        return ValidationResult(annotated=ann, id_cols=ids)
+
+
+def validate(
+    df: DataFrame,
+    model: type[Model],
+    *,
+    id_cols: Iterable[str] | None = None,
+    dims: dict[str, DataFrame] | None = None,
+) -> ValidationResult:
+    """One-shot convenience wrapper."""
+    return ValidationEngine(model).run(df, id_cols=id_cols, dims=dims)

@@ -1,0 +1,163 @@
+"""Model classes: annotations → compiled schema, built once per class.
+
+Reference parity: ``DataModelMeta`` resolves annotations with
+``typing.get_type_hints(include_extras=True)``, splits ClassVars, validates
+class attributes at class-definition time
+(/root/reference/vldt/models.py:27-55) and the C++ side compiles a
+``SchemaCache`` of ``FieldSchema{name, alias, default, type_schema}`` cached
+on the class (/root/reference/src/schema/schema.cpp:560-680).
+
+Here the compile happens on the Spark **driver**, once per class:
+annotations → ``FieldSpec[]`` → ``StructType`` + constraint ``Column``
+builders, cached under ``cls.__vldt_schema__``. Executors only ever see the
+resulting expressions / Arrow UDFs.
+"""
+
+from __future__ import annotations
+
+import typing
+from dataclasses import dataclass, field as dc_field
+from typing import Any, ClassVar
+
+from pyspark.sql import types as T
+
+from vldt_spark.fields import Field, UNDEFINED
+from vldt_spark.typeschema import TypeNode, compile_type, spark_type
+from vldt_spark.validators import collect_validators
+
+
+@dataclass
+class ModelConfig:
+    """Engine knobs per model (reference: vldt.Config —
+    /root/reference/vldt/config.py). ``deserializer``/``serializer`` hooks
+    become column-expression factories (SURVEY.md A26)."""
+
+    # forbid unknown input columns? reference silently ignores extras
+    # (/root/reference/src/data_model.cpp:167-212, tests/test_dict.py:195-220)
+    ignore_extra: bool = True
+    # collect every violation per row (reference collects across fields,
+    # fails fast only inside containers — SURVEY.md §4 last row)
+    collect_all: bool = True
+    # truthiness bool coercion like Python bool(v) (reference A8) instead of
+    # strict cast("boolean")
+    truthy_bool: bool = True
+
+
+@dataclass
+class FieldSpec:
+    name: str
+    node: TypeNode
+    field: Field
+    dtype: T.DataType = dc_field(init=False)
+
+    def __post_init__(self) -> None:
+        self.dtype = spark_type(self.node)
+
+    @property
+    def required(self) -> bool:
+        return not (self.node.is_optional or self.field.has_default)
+
+
+@dataclass
+class CompiledSchema:
+    """Per-class compile artifact (reference SchemaCache analogue)."""
+
+    fields: list[FieldSpec]
+    struct: T.StructType
+    validators: dict[str, list]
+    config: ModelConfig
+
+    def field(self, name: str) -> FieldSpec:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+
+class ModelMeta(type):
+    def __init__(cls, name, bases, ns, **kw):
+        super().__init__(name, bases, ns, **kw)
+        cls.__vldt_schema_cache__ = None  # lazy; forward refs may not resolve yet
+        if name == "Model" and not bases:
+            return
+        # ClassVar definition-time validation (vldt/models.py:48-55):
+        # missing or mistyped class attributes raise at class creation.
+        for attr, ann in ns.get("__annotations__", {}).items():
+            if typing.get_origin(ann) is ClassVar:
+                args = typing.get_args(ann)
+                expected = args[0] if args else None
+                if attr not in ns and not any(hasattr(b, attr) for b in bases):
+                    raise TypeError(f"Missing class attribute '{attr}'")
+                if expected is not None and isinstance(expected, type):
+                    val = ns.get(attr, getattr(bases[0], attr, None) if bases else None)
+                    if val is not None and not isinstance(val, expected):
+                        raise TypeError(
+                            f"Class attribute '{attr}' expected type "
+                            f"{expected.__name__}, got {type(val).__name__}"
+                        )
+
+
+class Model(metaclass=ModelMeta):
+    """Declarative validation model. Subclass with type annotations;
+    annotate options with ``Field``; add ``@check`` / validators.
+
+    Example::
+
+        class TokenSequence(Model):
+            doc_id: str = Field(not_null=True, unique=True, regex=r"^doc-")
+            tokens: list[int] = Field(element_ge=0, element_le=50256)
+            n_tok: int = Field(ge=1)
+            source: str
+
+            @check("n_tok_matches")
+            def n_tok_matches(cols):
+                return F.size(cols.tokens) == cols.n_tok
+    """
+
+    vldt_config: ClassVar[ModelConfig] = ModelConfig()
+
+    @classmethod
+    def __vldt_compile__(cls) -> CompiledSchema:
+        """Compile + cache (reference get_schema_cached,
+        /root/reference/src/schema/schema.cpp:657-680)."""
+        cached = cls.__dict__.get("__vldt_schema_cache__")
+        if cached is not None:
+            return cached
+        hints = typing.get_type_hints(cls, include_extras=True)
+        specs: list[FieldSpec] = []
+        for fname, ann in hints.items():
+            if typing.get_origin(ann) is ClassVar:
+                continue  # ClassVars are not instance fields (models.py:38-46)
+            if fname.startswith("_") or fname == "vldt_config":
+                continue
+            raw = getattr(cls, fname, UNDEFINED)
+            if isinstance(raw, Field):
+                fld = raw
+            elif raw is UNDEFINED or callable(raw):
+                fld = Field()
+            else:
+                # plain class attribute is the default (schema.cpp:442-446)
+                fld = Field(default=raw)
+            specs.append(FieldSpec(name=fname, node=compile_type(ann), field=fld))
+        struct = T.StructType(
+            [
+                T.StructField(s.name, s.dtype, nullable=not s.required or s.node.is_optional or True)
+                for s in specs
+            ]
+        )
+        compiled = CompiledSchema(
+            fields=specs,
+            struct=struct,
+            validators=collect_validators(cls),
+            config=getattr(cls, "vldt_config", ModelConfig()),
+        )
+        cls.__vldt_schema_cache__ = compiled
+        return compiled
+
+    @classmethod
+    def __vldt_struct__(cls) -> T.StructType:
+        return cls.__vldt_compile__().struct
+
+    @classmethod
+    def spark_schema(cls) -> T.StructType:
+        return cls.__vldt_struct__()

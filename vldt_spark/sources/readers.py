@@ -1,0 +1,49 @@
+"""Typed readers (reference entry points from_dict/from_json, A22/A24).
+
+``from_json`` in the reference parses with rapidjson then constructs the
+model (/root/reference/src/conversion/json_utils.cpp:160-224); parse errors
+raise ``ValueError`` with the byte offset. Here malformed input never
+raises — it becomes a ``_corrupt_record`` violation row, keeping the
+whole-table pass total (SURVEY.md A24).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vldt_spark.model import Model
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table (TESTDATA.md layout)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_json_validated(
+    spark: SparkSession, path_or_df, model: type[Model]
+) -> DataFrame:
+    """JSON source → permissive parse against the model schema; malformed
+    records carry a ``_corrupt_record`` and fail validation instead of
+    raising. Accepts a path or a DataFrame with one string column."""
+    schema = model.spark_schema().add("_corrupt_record", "string")
+    if isinstance(path_or_df, str):
+        return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path_or_df)
+    (col,) = path_or_df.columns
+    parsed = path_or_df.select(
+        F.from_json(F.col(col), model.spark_schema()).alias("r"), F.col(col).alias("raw")
+    )
+    return parsed.select(
+        "r.*",
+        F.when(F.col("r").isNull(), F.col("raw")).alias("_corrupt_record"),
+    )
+
+
+def to_json_rows(df: DataFrame, *, exclude: tuple[str, ...] = ("violations", "is_valid")) -> DataFrame:
+    """Serialization sink (reference to_json, A25): canonical field order is
+    the schema order, matching to_dict's schema-ordered output
+    (/root/reference/src/conversion/dict_utils.cpp:203-242)."""
+    cols = [c for c in df.columns if c not in exclude]
+    return df.select(F.to_json(F.struct(*cols)).alias("json"))

@@ -1,0 +1,113 @@
+"""Validator decorators — the engine's user-extension (UDF) surface.
+
+Reference parity: ``@field_validator(mode=BEFORE|AFTER)`` /
+``@model_validator(mode=...)`` (/root/reference/vldt/validators.py:10-146);
+registration buckets keyed field_before/field_after/model_before/model_after
+(/root/reference/vldt/models.py:57-92). Field name is inferred from the 2nd
+parameter name (validators.py:34) and arity is enforced (:30-33).
+
+Spark mapping (SURVEY.md A17-A20, B15):
+  field BEFORE → vectorized pandas UDF on the raw (pre-cast) column
+  field AFTER  → vectorized pandas UDF on the validated column
+  model BEFORE → mapInPandas over the whole batch before per-column checks
+  model AFTER  → mapInPandas after checks (cross-field transforms)
+
+``@check`` is the Spark-native declarative analogue of a model AFTER
+validator used purely as an assertion: it returns a Catalyst boolean
+``Column`` (True = valid) and never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import enum
+import inspect
+from typing import Any, Callable
+
+
+class Mode(enum.Enum):
+    BEFORE = "before"
+    AFTER = "after"
+
+
+def field_validator(field: str, *, mode: Mode = Mode.AFTER, vectorized: bool = True):
+    """Register a per-field transform.
+
+    ``fn`` receives and returns a ``pandas.Series`` when vectorized (the
+    default; Arrow batches), else a scalar (wrapped into a pandas map —
+    still batch-applied, never row-at-a-time Python in the plan).
+    """
+
+    def deco(fn: Callable) -> Callable:
+        fn.__vldt_kind__ = "field"
+        fn.__vldt_field__ = field
+        fn.__vldt_mode__ = mode
+        fn.__vldt_vectorized__ = vectorized
+        return fn
+
+    return deco
+
+
+def model_validator(*, mode: Mode = Mode.AFTER):
+    """Register a whole-batch transform: ``fn(pdf: pandas.DataFrame) ->
+    pandas.DataFrame``. Runs via mapInPandas (Arrow batches)."""
+
+    def deco(fn: Callable) -> Callable:
+        if len(inspect.signature(fn).parameters) != 1:
+            raise TypeError("model validator must take exactly one argument (the batch DataFrame)")
+        fn.__vldt_kind__ = "model"
+        fn.__vldt_mode__ = mode
+        return fn
+
+    return deco
+
+
+def check(name: str | None = None, *, message: str | None = None):
+    """Declarative cross-field constraint: ``fn(cols) -> Column`` where
+    ``cols`` exposes model columns by attribute; must return a boolean
+    Column, True = valid (SURVEY.md B10). Stays JVM-side."""
+
+    def deco(fn: Callable) -> Callable:
+        fn.__vldt_kind__ = "check"
+        fn.__vldt_check_name__ = name or fn.__name__
+        fn.__vldt_check_message__ = message
+        return fn
+
+    return deco
+
+
+class Cols:
+    """Attribute access proxy handed to @check functions."""
+
+    def __init__(self, names: list[str]):
+        from pyspark.sql import functions as F
+
+        for n in names:
+            setattr(self, n, F.col(n))
+
+
+def collect_validators(cls) -> dict[str, list[Callable]]:
+    """Walk the class (MRO order, parents first) and bucket decorated
+    callables — mirrors DataModelMeta collection
+    (/root/reference/vldt/models.py:57-92)."""
+    buckets: dict[str, list[Callable]] = {
+        "field_before": [],
+        "field_after": [],
+        "model_before": [],
+        "model_after": [],
+        "checks": [],
+    }
+    seen: set[str] = set()
+    for klass in reversed(cls.__mro__):
+        for attr_name, obj in vars(klass).items():
+            fn = getattr(obj, "__func__", obj)
+            kind = getattr(fn, "__vldt_kind__", None)
+            if kind is None or attr_name in seen:
+                continue
+            seen.add(attr_name)
+            if kind == "field":
+                buckets[f"field_{fn.__vldt_mode__.value}"].append(fn)
+            elif kind == "model":
+                buckets[f"model_{fn.__vldt_mode__.value}"].append(fn)
+            elif kind == "check":
+                buckets["checks"].append(fn)
+    return buckets
