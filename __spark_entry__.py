@@ -1,38 +1,719 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship validation job on sf0.001 (tokenize documents →
+                 token-sequence table → full fused validation → per-source
+                 verdicts).
+queries()      — one entry per implemented operator/check (SURVEY.md §2
+                 Table B + training-data ops), each (spark, sf_dir) → DataFrame.
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query (omitted only for
+                 hash-function-dependent ops: MinHash/SimHash/LSH/streaming).
+
+Column names are aliased identically on both sides; doubles are rounded in
+both engines so the order-insensitive value hash is stable.
 """
 
 from __future__ import annotations
 
+import datetime
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → deterministic tokenizer → token-sequence table
+    (BASELINE.json input_hint shape) → fused validation pass + uniqueness +
+    RI → per-source verdicts."""
+    from vldt_spark.flagship import validate_token_table
+    from vldt_spark.functions.text import tokenize_documents
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents").withColumn(
+        "doc_id", F.format_string("doc-%012d", F.col("doc_id"))
+    )
+    toks = tokenize_documents(docs)
+    dims = docs.select(F.col("source")).distinct()
+    res = validate_token_table(toks, dims)
+    return res.verdicts(["source"]).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# B2 — column statistics
+# ---------------------------------------------------------------------------
+
+
+def q_colstats_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_null_qty"),
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.sum("l_discount"), 3).alias("sum_disc"),
+    )
+
+
+SQL_COLSTATS_LINEITEM = """
+SELECT count(*) AS n,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null_qty,
+       round(min(l_quantity), 4) AS min_qty,
+       round(max(l_quantity), 4) AS max_qty,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price,
+       round(sum(l_discount), 3) AS sum_disc
+FROM lineitem
+"""
+
+
+def q_nullrates_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("value").isNull().cast("double")), 6).alias("nullrate_value"),
+        F.round(F.avg(F.col("props").isNull().cast("double")), 6).alias("nullrate_props"),
+        F.round(F.avg(F.col("user_id").isNull().cast("double")), 6).alias("nullrate_user"),
+    )
+
+
+SQL_NULLRATES_EVENTS = """
+SELECT count(*) AS n,
+       round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS nullrate_value,
+       round(avg(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6) AS nullrate_props,
+       round(avg(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS nullrate_user
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# B3 — cardinality
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+        F.countDistinct("l_partkey").alias("n_partkeys"),
+        F.countDistinct("l_suppkey").alias("n_suppkeys"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+SQL_DISTINCT_LINEITEM = """
+SELECT count(DISTINCT l_orderkey) AS n_orderkeys,
+       count(DISTINCT l_partkey) AS n_partkeys,
+       count(DISTINCT l_suppkey) AS n_suppkeys,
+       count(DISTINCT l_returnflag) AS n_flags
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# B4 — quantiles (exact for the oracle; the engine's scale path is the
+# mergeable percentile_approx sketch, see vldt_spark/checks/column_stats.py)
+# ---------------------------------------------------------------------------
+
+
+def q_quantiles_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("q50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("price_q99"),
+    )
+
+
+SQL_QUANTILES_LINEITEM = """
+SELECT round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
+       round(CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE), 4) AS q50,
+       round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS q75,
+       round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS price_q99
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# B5 — uniqueness (salted two-stage aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_keys_lineitem(spark, sf_dir):
+    from vldt_spark.checks.uniqueness import duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, "l_orderkey")
+
+
+SQL_DUP_KEYS_LINEITEM = """
+SELECT l_orderkey, count(*) AS n_dups
+FROM lineitem WHERE l_orderkey IS NOT NULL
+GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+def q_unique_orderkeys(spark, sf_dir):
+    from vldt_spark.checks.uniqueness import duplicate_keys
+
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_keys(o, "o_orderkey")
+
+
+SQL_UNIQUE_ORDERKEYS = """
+SELECT o_orderkey, count(*) AS n_dups
+FROM orders WHERE o_orderkey IS NOT NULL
+GROUP BY o_orderkey HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# B6 — referential integrity (anti-join)
+# ---------------------------------------------------------------------------
+
+
+def q_ri_lineitem_orders(spark, sf_dir):
+    from vldt_spark.checks.referential import invalid_fk_values
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return invalid_fk_values(li, "l_orderkey", o, "o_orderkey")
+
+
+SQL_RI_LINEITEM_ORDERS = """
+SELECT DISTINCT l_orderkey FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def q_ri_customer_allowed_nations(spark, sf_dir):
+    """RI against a restricted dim (nations of regions 0-1) — non-empty
+    violation set, exercising the broadcast-back path."""
+    from vldt_spark.checks.referential import ri_report
+
+    c = _t(spark, sf_dir, "customer")
+    allowed = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") <= 1)
+    return ri_report(c, "c_nationkey", allowed, "n_nationkey")
+
+
+SQL_RI_CUSTOMER_ALLOWED_NATIONS = """
+SELECT c_nationkey, count(*) AS n_rows
+FROM customer
+WHERE c_nationkey IS NOT NULL
+  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+GROUP BY c_nationkey
+ORDER BY n_rows DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# B9 — range / regex constraint checks
+# ---------------------------------------------------------------------------
+
+
+def q_range_checks_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")).alias("n_disc_oob"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("n_qty_nonpos"),
+        F.sum((F.col("l_tax") < 0).cast("long")).alias("n_tax_neg"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias("n_price_nonpos"),
+    )
+
+
+SQL_RANGE_CHECKS_LINEITEM = """
+SELECT sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS n_disc_oob,
+       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS n_qty_nonpos,
+       sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS n_tax_neg,
+       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS n_price_nonpos
+FROM lineitem
+"""
+
+
+def q_regex_customer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("c_name").rlike("^Customer#[0-9]+$")).cast("long")).alias("n_bad_name"),
+    )
+
+
+SQL_REGEX_CUSTOMER = """
+SELECT count(*) AS n,
+       sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS n_bad_name
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# B10/B11 — full fused model validation on lineitem, per-partition verdicts
+# ---------------------------------------------------------------------------
+
+_LI_CONSTRAINT_SQL = """
+(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN l_quantity IS NOT NULL AND l_quantity < 1 THEN 1 ELSE 0 END) +
+(CASE WHEN l_quantity IS NOT NULL AND l_quantity > 50 THEN 1 ELSE 0 END) +
+(CASE WHEN l_discount IS NOT NULL AND l_discount < 0 THEN 1 ELSE 0 END) +
+(CASE WHEN l_discount IS NOT NULL AND l_discount > 1 THEN 1 ELSE 0 END) +
+(CASE WHEN l_tax IS NOT NULL AND l_tax < 0 THEN 1 ELSE 0 END) +
+(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <= 0 THEN 1 ELSE 0 END) +
+(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) +
+(CASE WHEN l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) +
+(CASE WHEN NOT coalesce(l_extendedprice >= l_quantity, FALSE) THEN 1 ELSE 0 END)
+"""
+
+
+def _lineitem_model():
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+    from vldt_spark.validators import check
+
+    class LineitemModel(Model):
+        """Reference-style declarative model for the lineitem table
+        (constraint semantics per TPC-H invariants)."""
+
+        l_orderkey: int
+        l_partkey: int
+        l_suppkey: int
+        l_linenumber: int
+        l_quantity: float = Field(ge=1, le=50)
+        l_extendedprice: float = Field(gt=0)
+        l_discount: float = Field(ge=0, le=1)
+        l_tax: float = Field(ge=0)
+        l_returnflag: str = Field(isin=["A", "N", "R"])
+        l_linestatus: str = Field(isin=["O", "F"])
+        l_shipdate: datetime.datetime
+
+        @check("price_covers_quantity")
+        def price_covers_quantity(cols):
+            return cols.l_extendedprice >= cols.l_quantity
+
+    return LineitemModel
+
+
+def q_validate_lineitem_verdicts(spark, sf_dir):
+    from vldt_spark.engine import ValidationEngine
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = ValidationEngine(_lineitem_model()).run(li, id_cols=["l_orderkey"])
+    return res.verdicts(["l_returnflag"])
+
+
+SQL_VALIDATE_LINEITEM_VERDICTS = f"""
+WITH v AS (SELECT l_returnflag, {_LI_CONSTRAINT_SQL} AS n_viol FROM lineitem)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS n_invalid,
+       sum(n_viol) AS n_violations,
+       (sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) = 0) AS passed
+FROM v GROUP BY l_returnflag
+"""
+
+
+def q_validate_lineitem_violations(spark, sf_dir):
+    """Exploded violation rows (B12) — empty on clean TPC-H data, shape-checked."""
+    from vldt_spark.engine import ValidationEngine
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = ValidationEngine(_lineitem_model()).run(li, id_cols=["l_orderkey", "l_linenumber"])
+    return res.violations()
+
+
+SQL_VALIDATE_LINEITEM_VIOLATIONS = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'x' AS path, 'x' AS msg
+FROM lineitem WHERE {_LI_CONSTRAINT_SQL} > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# B7 — histograms & drift
+# ---------------------------------------------------------------------------
+
+
+def q_histogram_events_value(spark, sf_dir):
+    from vldt_spark.checks.drift import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", bins=20)
+
+
+SQL_HISTOGRAM_EVENTS_VALUE = """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT CAST(least(greatest(floor((value - lo) / ((hi - lo) / 20)), 0), 19) AS INT) AS bin,
+       count(*) AS n
+FROM events, b WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_psi_documents_nchars(spark, sf_dir):
+    """PSI of the n_chars distribution: lang='en' docs vs the rest
+    (fixed bins [0, 600) × 12 so both engines bin identically)."""
+    docs = _t(spark, sf_dir, "documents")
+    lo, hi, bins, eps = 0.0, 600.0, 12, 1e-9
+    w = (hi - lo) / bins
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("n_chars") - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    binned = docs.select(
+        bin_col.alias("bin"), (F.col("lang") == "en").alias("is_en")
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(F.col("is_en").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_en")).cast("long")).alias("n_cur"),
+    )
+    tot = g.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    pq = g.crossJoin(F.broadcast(tot)).select(
+        (F.col("n_ref") / F.col("tr") + F.lit(eps)).alias("p"),
+        (F.col("n_cur") / F.col("tc") + F.lit(eps)).alias("q"),
+    )
+    return pq.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi")
+    )
+
+
+SQL_PSI_DOCUMENTS_NCHARS = """
+WITH binned AS (
+  SELECT CAST(least(greatest(floor((n_chars - 0.0) / 50.0), 0), 11) AS INT) AS bin,
+         (lang = 'en') AS is_en
+  FROM documents
+), g AS (
+  SELECT bin,
+         sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS n_cur
+  FROM binned GROUP BY bin
+), t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM g),
+pq AS (
+  SELECT (n_ref / tr + 1e-9) AS p, (n_cur / tc + 1e-9) AS q FROM g, t
+)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup (exact tier is oracle-checked; MinHash/SimHash are hash-dependent →
+# rows-only)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from vldt_spark.functions.text import fingerprint
+
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint(F.col("text"), nchars=32)).alias("n_unique"),
+    )
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = f"""
+SELECT count(*) AS n_docs, count(DISTINCT md5({_NORM_SQL})) AS n_unique
+FROM documents
+"""
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    from vldt_spark.functions.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("fp", "n_docs")
+
+
+SQL_DEDUP_EXACT_GROUPS = f"""
+SELECT substr(md5({_NORM_SQL}), 1, 16) AS fp, count(*) AS n_docs
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_minhash_dedup_pairs(spark, sf_dir):
+    from vldt_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.4)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    from vldt_spark.functions.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from vldt_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS shingles
+  FROM words
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+SELECT id_a, id_b,
+       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_count_documents(spark, sf_dir):
+    from vldt_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("source"), token_count(F.col("text")).alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("sum_tokens"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_COUNT_DOCUMENTS = """
+WITH tc AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(tc) AS sum_tokens, round(avg(tc), 4) AS avg_tokens
+FROM tc GROUP BY source
+"""
+
+
+def q_text_quality_documents(spark, sf_dir):
+    from vldt_spark.functions.text import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text_quality(F.col("text")).alias("q"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+SQL_TEXT_QUALITY_DOCUMENTS = """
+WITH q AS (
+  SELECT lang,
+         round(
+           0.4 * (length(regexp_replace(trim(text), '[^A-Za-z ]', '', 'g'))
+                  / greatest(length(trim(text)), 1))
+         + 0.4 * (CASE WHEN
+                    (length(trim(text)) / greatest(
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))
+                    BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+         + 0.2 * (CASE WHEN regexp_matches(trim(text), '[.!?"'']$') THEN 1.0 ELSE 0.0 END),
+         6) AS q
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+FROM q GROUP BY lang
+"""
+
+
+def q_language_score_documents(spark, sf_dir):
+    from vldt_spark.functions.text import language_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_score(F.col("text"), "en").alias("s"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("s"), 4).alias("avg_en_score"))
+    )
+
+
+SQL_LANGUAGE_SCORE_DOCUMENTS = """
+WITH s AS (
+  SELECT lang,
+         round(
+           (CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)
+          + CAST((length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 AS BIGINT)
+          + CAST((length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT))
+           * 1000.0 / greatest(length(text), 1), 6) AS s
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, round(avg(s), 4) AS avg_en_score
+FROM s GROUP BY lang
+"""
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from vldt_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT_DOCUMENTS = f"""
+SELECT doc_id, substr(md5({_NORM_SQL}), 1, 16) AS fp FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine_embeddings(spark, sf_dir):
+    from vldt_spark.functions.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+SQL_KNN_COSINE_EMBEDDINGS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.emb, q.qe)
+           / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+  FROM e, q WHERE e.vec_id != q.query_id
+), r AS (
+  SELECT query_id, vec_id, round(cos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_lsh_topk_embeddings(spark, sf_dir):
+    from vldt_spark.functions.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(emb, queries, k=5)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from vldt_spark.functions.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_duplicates(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "colstats_lineitem": q_colstats_lineitem,
+        "nullrates_events": q_nullrates_events,
+        "distinct_lineitem": q_distinct_lineitem,
+        "quantiles_lineitem": q_quantiles_lineitem,
+        "dup_keys_lineitem": q_dup_keys_lineitem,
+        "unique_orderkeys": q_unique_orderkeys,
+        "ri_lineitem_orders": q_ri_lineitem_orders,
+        "ri_customer_allowed_nations": q_ri_customer_allowed_nations,
+        "range_checks_lineitem": q_range_checks_lineitem,
+        "regex_customer": q_regex_customer,
+        "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
+        "histogram_events_value": q_histogram_events_value,
+        "psi_documents_nchars": q_psi_documents_nchars,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "token_count_documents": q_token_count_documents,
+        "text_quality_documents": q_text_quality_documents,
+        "language_score_documents": q_language_score_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "knn_cosine_embeddings": q_knn_cosine_embeddings,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "colstats_lineitem": SQL_COLSTATS_LINEITEM,
+        "nullrates_events": SQL_NULLRATES_EVENTS,
+        "distinct_lineitem": SQL_DISTINCT_LINEITEM,
+        "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
+        "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
+        "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
+        "ri_lineitem_orders": SQL_RI_LINEITEM_ORDERS,
+        "ri_customer_allowed_nations": SQL_RI_CUSTOMER_ALLOWED_NATIONS,
+        "range_checks_lineitem": SQL_RANGE_CHECKS_LINEITEM,
+        "regex_customer": SQL_REGEX_CUSTOMER,
+        "validate_lineitem_verdicts": SQL_VALIDATE_LINEITEM_VERDICTS,
+        "histogram_events_value": SQL_HISTOGRAM_EVENTS_VALUE,
+        "psi_documents_nchars": SQL_PSI_DOCUMENTS_NCHARS,
+        "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+        "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
+        "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,
+        "language_score_documents": SQL_LANGUAGE_SCORE_DOCUMENTS,
+        "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
+        "knn_cosine_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
+        # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
+    }

@@ -1,0 +1,135 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is the full fused validation pass (all checks + salted
+uniqueness + RI, one scan) over a deterministic synthetic token table
+(BASELINE.json input_hint shape) — reported both as seconds and as
+validated sequences/sec (the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TOKEN_ROWS = int(os.environ.get("VLDT_BENCH_TOKEN_ROWS", "1000000"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("vldt_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("VLDT_BENCH_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_token_table(spark, n_rows: int) -> str:
+    """Materialize the synthetic token table once (generation excluded from
+    the measured validation pass)."""
+    path = os.path.join(CACHE_DIR, f"tokens_{n_rows}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from vldt_spark.sources.token_table import token_sequences
+
+        token_sequences(spark, n_rows, seed=42, partitions=CPUS * 4).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_benchmarks(spark) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from vldt_spark.flagship import validate_token_table
+    from vldt_spark.sources.token_table import sources_dim
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # flagship: full validation of the token table
+    tok_path = ensure_token_table(spark, TOKEN_ROWS)
+    toks = spark.read.parquet(tok_path)
+    dims = sources_dim(spark)
+
+    def flagship():
+        res = validate_token_table(toks, dims)
+        # one action driving the fused pass + verdict aggregation
+        return res.verdicts(["source"]).collect()
+
+    timed("flagship_validate_tokens", flagship)
+
+    # heavy standalone checks on sf tables (each: one action)
+    qs = entry_mod.queries()
+    headline = [
+        "validate_lineitem_verdicts",
+        "dup_keys_lineitem",
+        "ri_lineitem_orders",
+        "colstats_lineitem",
+        "quantiles_lineitem",
+        "histogram_events_value",
+        "psi_documents_nchars",
+        "minhash_dedup_pairs",
+        "simhash_near_pairs",
+        "token_count_documents",
+        "text_quality_documents",
+        "knn_cosine_embeddings",
+        "embedding_near_dups",
+    ]
+    for name in headline:
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, SF_DIR).collect())
+
+    return timings
+
+
+def main():
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen once so timings measure steady-state
+    spark.range(1000).agg({"id": "sum"}).collect()
+
+    timings = run_benchmarks(spark)
+    total = round(sum(timings.values()), 3)
+    seqs_per_sec = round(TOKEN_ROWS / timings["flagship_validate_tokens"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "validation_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "token_rows": TOKEN_ROWS,
+                "validated_seqs_per_sec": seqs_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

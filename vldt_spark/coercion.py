@@ -7,16 +7,16 @@ for each (source column, compiled TypeNode) pair it emits
   * a **coerced** Column of the target Spark type (``try_cast`` semantics ≙
     the reference's ``int(v)`` / ``str(v)`` coercion attempts,
     validation_primitives.cpp:63-178), and
-  * a list of **violation** Columns, each ``array<struct<path,msg>>``,
-    with reference-parity messages and dotted/indexed lineage paths
-    (``field.0.sub`` — error_handling.hpp:60-95).
+  * a **violations** Column ``array<struct<path,msg>>`` with
+    reference-parity messages and dotted/indexed lineage paths
+    (``products.0.id`` — error_handling.hpp:60-95, tests/test_vldt.py:196-203).
 
-Everything is a Catalyst expression: higher-order functions
-(``transform``/``filter`` with index lambdas) build per-element violation
-paths without leaving the JVM. Containers fail fast internally (first
-violation only, validation_containers.cpp:92-95) while fields collect-all
-across the row (data_model.cpp:197-211) — mirrored via ``F.slice`` on the
-container violation arrays.
+Paths are Column expressions, so container recursion builds dynamic
+per-element lineage (``field.<i>``, ``field.<key>``) entirely with Catalyst
+higher-order functions — no Python in the row path. Containers fail fast
+internally (first violation only, validation_containers.cpp:92-95) while
+fields collect-all across the row (data_model.cpp:197-211), mirrored via
+``F.slice`` on container violation arrays.
 """
 
 from __future__ import annotations
@@ -36,12 +36,23 @@ from vldt_spark.errors import (
     violation,
     violation_if,
 )
-from vldt_spark.fields import Field, UNDEFINED
+from vldt_spark.fields import Field
 from vldt_spark.typeschema import ContainerKind, TypeNode, py_name_of_spark, spark_type
 
 
-def _lit_path(path: str) -> Column:
-    return F.lit(path)
+def _p(path: Column | str) -> Column:
+    return F.lit(path) if isinstance(path, str) else path
+
+
+def _sub(path: Column | str, part: Column) -> Column:
+    """Dotted child path: ``<path>.<part>`` (error_handling.hpp:60-95)."""
+    return F.concat(_p(path), F.lit("."), part.cast("string"))
+
+
+def _first_only(viols: Column) -> Column:
+    """Fail-fast within a container: keep the first violation
+    (validation_containers.cpp:92-95)."""
+    return F.coalesce(F.slice(viols, 1, 1), empty_violations())
 
 
 def _truthy(src: Column, src_dtype: T.DataType) -> Column:
@@ -51,7 +62,7 @@ def _truthy(src: Column, src_dtype: T.DataType) -> Column:
         return src
     if isinstance(src_dtype, T.StringType):
         return F.length(src) > 0
-    if isinstance(src_dtype, (T.ArrayType,)):
+    if isinstance(src_dtype, T.ArrayType):
         return F.size(src) > 0
     if isinstance(src_dtype, T.MapType):
         return F.size(F.map_keys(src)) > 0
@@ -60,7 +71,7 @@ def _truthy(src: Column, src_dtype: T.DataType) -> Column:
     return src.isNotNull()
 
 
-#: widenings that can never fail — cast directly, emit no violation check.
+#: widenings that can never fail — cast directly, emit no violation check
 #: (reference fast-path isinstance checks, validation.cpp:104-106; int→float
 #: promotion tests/test_vldt.py:578-595)
 _INTEGRALS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -82,191 +93,201 @@ def _lossless(src_dtype: T.DataType, target: T.DataType) -> bool:
     return False
 
 
-def _scalar_coerce(
-    src: Column, src_dtype: T.DataType, node: TypeNode, path: str, truthy_bool: bool
-) -> tuple[Column, list[Column]]:
-    target = spark_type(node)
-    if src_dtype == target:
-        return src, []
-    if _lossless(src_dtype, target):
-        return src.cast(target), []
-    if isinstance(target, T.BooleanType) and truthy_bool:
-        # bool(v) accepts nearly anything — no violation possible
-        return F.when(src.isNull(), F.lit(None).cast("boolean")).otherwise(
-            _truthy(src, src_dtype)
-        ), []
-    coerced = src.try_cast(target)
-    viol = violation_if(
-        src.isNotNull() & coerced.isNull(),
-        path,
-        expected_type_msg(node.py_name, py_name_of_spark(src_dtype)),
-    )
-    return coerced, [viol]
-
-
-def _element_checks(
-    coerced_arr: Column, node: TypeNode, fld: Field | None, path: str
-) -> list[Column]:
-    """Per-element range constraints with indexed lineage paths, e.g.
-    ``tokens.17`` (SURVEY.md hard-part #1: transform+filter index lambdas)."""
-    out: list[Column] = []
-    if fld is None:
-        return out
-    conds = []
-    if fld.element_ge is not None:
-        conds.append(("element_ge", lambda x: x < F.lit(fld.element_ge),
-                      f"Value out of range: expected >= {fld.element_ge}"))
-    if fld.element_le is not None:
-        conds.append(("element_le", lambda x: x > F.lit(fld.element_le),
-                      f"Value out of range: expected <= {fld.element_le}"))
-    for _, bad, msg in conds:
-        marked = F.transform(
-            coerced_arr,
-            lambda x, i: F.when(
-                x.isNotNull() & bad(x),
-                violation(F.concat(F.lit(path + "."), i.cast("string")), F.lit(msg)),
-            ),
-        )
-        found = F.filter(marked, lambda v: v.isNotNull()).cast(VIOLATIONS_TYPE)
-        # fail fast within container (validation_containers.cpp:92-95)
-        out.append(F.coalesce(F.slice(found, 1, 1), empty_violations()))
-    return out
-
-
 def build_value(
     src: Column,
     src_dtype: T.DataType,
     node: TypeNode,
-    path: str,
+    path: Column | str,
     *,
     fld: Field | None = None,
     truthy_bool: bool = True,
-) -> tuple[Column, list[Column]]:
-    """Recursively coerce ``src`` (of ``src_dtype``) to ``node``'s Spark type,
-    returning (coerced column, violation-array columns)."""
-    target = spark_type(node)
+    check_null: bool = False,
+) -> tuple[Column, Column]:
+    """Recursively coerce ``src`` (of ``src_dtype``) to ``node``'s Spark
+    type. Returns (coerced, violations-array Column).
 
+    ``check_null=True`` adds the required-null check here (container
+    elements have no defaults; top-level fields resolve defaults first in
+    the engine, data_model.cpp:192-212)."""
     if node.is_any:
-        # Any accepts anything, no conversion (validation.cpp:210-213);
-        # stored canonically as string
+        # Any accepts anything, no conversion (validation.cpp:210-213)
         coerced = src if isinstance(src_dtype, T.StringType) else src.cast("string")
-        return coerced, []
+        return coerced, empty_violations()
 
     if node.is_model:
-        return _model_value(src, src_dtype, node, path, truthy_bool)
+        coerced, viols = _model_value(src, src_dtype, node, path, truthy_bool)
+    elif node.kind is ContainerKind.UNION:
+        coerced, viols = _union_value(src, src_dtype, node, path, truthy_bool)
+    elif node.kind in (ContainerKind.LIST, ContainerKind.SET):
+        coerced, viols = _list_value(src, src_dtype, node, path, fld, truthy_bool)
+    elif node.kind is ContainerKind.DICT:
+        coerced, viols = _dict_value(src, src_dtype, node, path, truthy_bool)
+    elif node.kind is ContainerKind.TUPLE:
+        coerced, viols = _tuple_value(src, src_dtype, node, path, truthy_bool)
+    else:
+        coerced, viols = _scalar_coerce(src, src_dtype, node, path, truthy_bool)
 
-    if node.kind is ContainerKind.UNION:
-        return _union_value(src, src_dtype, node, path, truthy_bool)
+    if check_null and not node.is_optional:
+        viols = merge_violations(
+            viols,
+            violation_if(
+                src.isNull(), _p(path), expected_type_msg(node.py_name, "NoneType")
+            ),
+        )
+    return coerced, viols
 
-    if node.kind in (ContainerKind.LIST, ContainerKind.SET):
-        return _list_value(src, src_dtype, node, path, fld, truthy_bool)
 
-    if node.kind is ContainerKind.DICT:
-        return _dict_value(src, src_dtype, node, path, truthy_bool)
-
-    if node.kind is ContainerKind.TUPLE:
-        return _tuple_value(src, src_dtype, node, path, truthy_bool)
-
-    return _scalar_coerce(src, src_dtype, node, path, truthy_bool)
+def _scalar_coerce(src, src_dtype, node, path, truthy_bool):
+    target = spark_type(node)
+    if _lossless(src_dtype, target):
+        return (src if src_dtype == target else src.cast(target)), empty_violations()
+    if isinstance(target, T.BooleanType) and truthy_bool:
+        # bool(v) accepts nearly anything — no violation possible
+        coerced = F.when(src.isNull(), F.lit(None).cast("boolean")).otherwise(
+            _truthy(src, src_dtype)
+        )
+        return coerced, empty_violations()
+    coerced = src.try_cast(target)
+    viols = violation_if(
+        src.isNotNull() & coerced.isNull(),
+        _p(path),
+        expected_type_msg(node.py_name, py_name_of_spark(src_dtype)),
+    )
+    return coerced, viols
 
 
 def _list_value(src, src_dtype, node, path, fld, truthy_bool):
     target = spark_type(node)
+    kind = "list" if node.kind is ContainerKind.LIST else "set"
     if not isinstance(src_dtype, T.ArrayType):
-        kind = "list" if node.kind is ContainerKind.LIST else "set"
-        viol = violation_if(
+        viols = violation_if(
             src.isNotNull(),
-            path,
+            _p(path),
             f"Expected a {kind}, got {py_name_of_spark(src_dtype)}",
         )
-        return F.lit(None).cast(target), [viol]
+        return F.lit(None).cast(target), viols
 
     inner = node.args[0]
     inner_target = spark_type(inner)
-    viols: list[Column] = []
-    if src_dtype.elementType == inner_target or inner.is_any:
-        coerced = src
-    elif _lossless(src_dtype.elementType, inner_target):
-        coerced = F.transform(src, lambda x: x.cast(inner_target))
-    elif inner.kind is ContainerKind.NONE and not inner.is_model:
-        coerced = F.transform(src, lambda x: x.try_cast(inner_target))
-        msg = expected_type_msg(inner.py_name, py_name_of_spark(src_dtype.elementType))
-        marked = F.transform(
-            src,
-            lambda x, i: F.when(
-                x.isNotNull() & x.try_cast(inner_target).isNull(),
-                violation(F.concat(F.lit(path + "."), i.cast("string")), F.lit(msg)),
-            ),
-        )
-        found = F.filter(marked, lambda v: v.isNotNull()).cast(VIOLATIONS_TYPE)
-        viols.append(F.coalesce(F.slice(found, 1, 1), empty_violations()))
-    else:
-        # nested containers/models inside lists: cast wholesale (schema-on-read
-        # guarantees shape for parquet sources); deep per-element recursion of
-        # struct elements happens via explode-based checks in engine extras
-        coerced = src.cast(target)
+    elem_dt = src_dtype.elementType
+    viol_parts: list[Column] = []
 
-    viols.extend(_element_checks(coerced, node, fld, path))
+    if elem_dt == inner_target or inner.is_any:
+        coerced = src
+    elif _lossless(elem_dt, inner_target):
+        coerced = F.transform(src, lambda x: x.cast(inner_target))
+    else:
+        # full recursion per element with indexed lineage paths
+        # (validate_list, validation_containers.cpp:61-99)
+        coerced = F.transform(
+            src, lambda x: build_value(x, elem_dt, inner, F.lit(""), truthy_bool=truthy_bool)[0]
+        )
+        elem_viols = F.transform(
+            src,
+            lambda x, i: build_value(
+                x, elem_dt, inner, _sub(path, i), truthy_bool=truthy_bool, check_null=True
+            )[1],
+        )
+        viol_parts.append(_first_only(F.flatten(elem_viols)))
+
+    # declarative per-element range constraints (B9) with indexed paths
+    if fld is not None:
+        for attr, op, msg in (
+            ("element_ge", "lt", "Value out of range: expected >= {v}"),
+            ("element_le", "gt", "Value out of range: expected <= {v}"),
+        ):
+            v = getattr(fld, attr)
+            if v is None:
+                continue
+            def _mark(b, m):
+                return lambda x, i: F.when(
+                    x.isNotNull() & b(x), violation(_sub(path, i), F.lit(m))
+                )
+
+            if op == "lt":
+                bad = lambda x, vv=v: x < F.lit(vv)
+            else:
+                bad = lambda x, vv=v: x > F.lit(vv)
+            marked = F.transform(coerced, _mark(bad, msg.format(v=v)))
+            viol_parts.append(
+                _first_only(F.filter(marked, lambda e: e.isNotNull()).cast(VIOLATIONS_TYPE))
+            )
+        if fld.min_size is not None:
+            viol_parts.append(
+                violation_if(
+                    src.isNotNull() & (F.size(coerced) < fld.min_size),
+                    _p(path),
+                    f"Expected at least {fld.min_size} elements",
+                )
+            )
+        if fld.max_size is not None:
+            viol_parts.append(
+                violation_if(
+                    src.isNotNull() & (F.size(coerced) > fld.max_size),
+                    _p(path),
+                    f"Expected at most {fld.max_size} elements",
+                )
+            )
 
     if node.kind is ContainerKind.SET:
         # set invariant: no duplicate elements (SURVEY.md A13)
-        viols.append(
+        viol_parts.append(
             violation_if(
-                src.isNotNull() & (F.size(F.array_distinct(coerced)) != F.size(coerced)),
-                path,
+                src.isNotNull()
+                & (F.size(F.array_distinct(coerced)) != F.size(coerced)),
+                _p(path),
                 "Duplicate elements in set",
             )
         )
-    if fld is not None and fld.min_size is not None:
-        viols.append(
-            violation_if(
-                src.isNotNull() & (F.size(coerced) < fld.min_size),
-                path,
-                f"Expected at least {fld.min_size} elements",
-            )
-        )
-    if fld is not None and fld.max_size is not None:
-        viols.append(
-            violation_if(
-                src.isNotNull() & (F.size(coerced) > fld.max_size),
-                path,
-                f"Expected at most {fld.max_size} elements",
-            )
-        )
-    return coerced, viols
+    return coerced, merge_violations(*viol_parts) if viol_parts else empty_violations()
 
 
 def _dict_value(src, src_dtype, node, path, truthy_bool):
     target = spark_type(node)
     if not isinstance(src_dtype, T.MapType):
-        viol = violation_if(
-            src.isNotNull(), path, f"Expected a dict, got {py_name_of_spark(src_dtype)}"
+        viols = violation_if(
+            src.isNotNull(), _p(path), f"Expected a dict, got {py_name_of_spark(src_dtype)}"
         )
-        return F.lit(None).cast(target), [viol]
+        return F.lit(None).cast(target), viols
     knode, vnode = node.args
     ktarget, vtarget = spark_type(knode), spark_type(vnode)
-    viols: list[Column] = []
-    needs_cast = src_dtype.keyType != ktarget or src_dtype.valueType != vtarget
-    if needs_cast:
-        coerced = src.cast(target)
-        # value-type violations with field.<key> paths
-        # (validation_containers.cpp:115-172)
-        if src_dtype.valueType != vtarget and not vnode.is_any:
-            msg = expected_type_msg(vnode.py_name, py_name_of_spark(src_dtype.valueType))
-            marked = F.transform(
-                F.map_entries(src),
-                lambda e: F.when(
-                    e["value"].isNotNull() & e["value"].try_cast(vtarget).isNull(),
-                    violation(
-                        F.concat(F.lit(path + "."), e["key"].cast("string")), F.lit(msg)
-                    ),
+    viol_parts: list[Column] = []
+
+    values_ok = src_dtype.valueType == vtarget or vnode.is_any or _lossless(
+        src_dtype.valueType, vtarget
+    )
+    keys_ok = src_dtype.keyType == ktarget or knode.is_any or _lossless(
+        src_dtype.keyType, ktarget
+    )
+    if values_ok and keys_ok:
+        coerced = src if (src_dtype.keyType == ktarget and src_dtype.valueType == vtarget) else src.cast(target)
+    else:
+        # per-entry recursion with field.<key> lineage
+        # (validate_dict, validation_containers.cpp:115-172)
+        entries = F.map_entries(src)
+        coerced = F.map_from_entries(
+            F.transform(
+                entries,
+                lambda e: F.struct(
+                    build_value(e["key"], src_dtype.keyType, knode, F.lit(""), truthy_bool=truthy_bool)[0].alias("key"),
+                    build_value(e["value"], src_dtype.valueType, vnode, F.lit(""), truthy_bool=truthy_bool)[0].alias("value"),
                 ),
             )
-            found = F.filter(marked, lambda v: v.isNotNull()).cast(VIOLATIONS_TYPE)
-            viols.append(F.coalesce(F.slice(found, 1, 1), empty_violations()))
-    else:
-        coerced = src
-    return coerced, viols
+        )
+        entry_viols = F.transform(
+            entries,
+            lambda e: merge_violations(
+                build_value(
+                    e["key"], src_dtype.keyType, knode, _sub(path, e["key"]), truthy_bool=truthy_bool
+                )[1],
+                build_value(
+                    e["value"], src_dtype.valueType, vnode, _sub(path, e["key"]),
+                    truthy_bool=truthy_bool, check_null=True,
+                )[1],
+            ),
+        )
+        viol_parts.append(_first_only(F.flatten(entry_viols)))
+    return coerced, merge_violations(*viol_parts) if viol_parts else empty_violations()
 
 
 def _tuple_value(src, src_dtype, node, path, truthy_bool):
@@ -275,48 +296,45 @@ def _tuple_value(src, src_dtype, node, path, truthy_bool):
     if isinstance(src_dtype, T.ArrayType):
         # arity check: "Expected tuple of length n, got m"
         # (validation_containers.cpp:201)
-        arity_viol = F.when(
+        arity_viols = F.when(
             src.isNotNull() & (F.size(src) != n),
             F.array(
                 violation(
-                    _lit_path(path),
+                    _p(path),
                     F.concat(
                         F.lit(f"Expected tuple of length {n}, got "),
                         F.size(src).cast("string"),
                     ),
                 )
-            ),
+            ).cast(VIOLATIONS_TYPE),
         ).otherwise(empty_violations())
-        parts, viols = [], [arity_viol]
-        for i, sub in enumerate(node.args):
+        parts, viols = [], [arity_viols]
+        for i, sub_node in enumerate(node.args):
             el = F.element_at(src, i + 1)
             c, v = build_value(
-                el, src_dtype.elementType, sub, f"{path}.{i}", truthy_bool=truthy_bool
-            )
-            parts.append(c.alias(f"_{i}"))
-            viols.extend(v)
-        coerced = F.when(src.isNull(), F.lit(None).cast(target)).otherwise(
-            F.struct(*parts)
-        )
-        return coerced, viols
-    if isinstance(src_dtype, T.StructType):
-        parts, viols = [], []
-        for i, sub in enumerate(node.args):
-            fname = src_dtype.names[i] if i < len(src_dtype.names) else f"_{i}"
-            c, v = build_value(
-                src[fname], src_dtype[fname].dataType, sub, f"{path}.{i}",
+                el, src_dtype.elementType, sub_node, _sub(path, F.lit(i)),
                 truthy_bool=truthy_bool,
             )
             parts.append(c.alias(f"_{i}"))
-            viols.extend(v)
-        coerced = F.when(src.isNull(), F.lit(None).cast(target)).otherwise(
-            F.struct(*parts)
-        )
-        return coerced, viols
-    viol = violation_if(
-        src.isNotNull(), path, f"Expected a tuple, got {py_name_of_spark(src_dtype)}"
+            viols.append(F.when(src.isNotNull() & (F.size(src) == n), v).otherwise(empty_violations()))
+        coerced = F.when(src.isNull(), F.lit(None).cast(target)).otherwise(F.struct(*parts))
+        return coerced, merge_violations(*viols)
+    if isinstance(src_dtype, T.StructType):
+        parts, viols = [], []
+        for i, sub_node in enumerate(node.args):
+            fname = src_dtype.names[i] if i < len(src_dtype.names) else f"_{i}"
+            c, v = build_value(
+                src[fname], src_dtype[fname].dataType, sub_node, _sub(path, F.lit(i)),
+                truthy_bool=truthy_bool,
+            )
+            parts.append(c.alias(f"_{i}"))
+            viols.append(v)
+        coerced = F.when(src.isNull(), F.lit(None).cast(target)).otherwise(F.struct(*parts))
+        return coerced, merge_violations(*viols)
+    viols = violation_if(
+        src.isNotNull(), _p(path), f"Expected a tuple, got {py_name_of_spark(src_dtype)}"
     )
-    return F.lit(None).cast(target), [viol]
+    return F.lit(None).cast(target), viols
 
 
 def _model_value(src, src_dtype, node, path, truthy_bool):
@@ -326,15 +344,16 @@ def _model_value(src, src_dtype, node, path, truthy_bool):
     compiled = model.__vldt_compile__()
     target = compiled.struct
     if not isinstance(src_dtype, T.StructType):
-        viol = violation_if(
+        viols = violation_if(
             src.isNotNull(),
-            path,
+            _p(path),
             expected_type_msg(model.__name__, py_name_of_spark(src_dtype)),
         )
-        return F.lit(None).cast(target), [viol]
-    parts, viols = [], []
+        return F.lit(None).cast(target), viols
+    parts: list[Column] = []
+    viols: list[Column] = []
     for spec in compiled.fields:
-        sub_path = f"{path}.{spec.name}"
+        sub_path = _sub(path, F.lit(spec.name))
         # alias probing inside nested structs (data_model.cpp:172-190)
         src_name = None
         for cand in spec.field.aliases + [spec.name]:
@@ -361,27 +380,25 @@ def _model_value(src, src_dtype, node, path, truthy_bool):
             fld=spec.field,
             truthy_bool=truthy_bool,
         )
-        c = _apply_default_and_required(c, src[src_name], spec, sub_path, v, outer=src)
+        if spec.field.has_default:
+            d = spec.field.resolve_default()
+            c = F.coalesce(c, F.lit(d).cast(spec.dtype))
+        elif not spec.node.is_optional:
+            viols.append(
+                violation_if(
+                    src.isNotNull() & src[src_name].isNull(),
+                    sub_path,
+                    expected_type_msg(spec.node.py_name, "NoneType"),
+                )
+            )
+        viols.append(v)
+        viols.extend(scalar_constraints(c, spec.field, sub_path, spec.dtype))
         parts.append(c.alias(spec.name))
-        viols.extend(v)
     coerced = F.when(src.isNull(), F.lit(None).cast(target)).otherwise(F.struct(*parts))
-    return coerced, viols
-
-
-def _apply_default_and_required(coerced, raw_src, spec, path, viols_out, outer=None):
-    """Default resolution + required-null violation
-    (data_model.cpp:192-212 steps 2-5)."""
-    if spec.field.has_default:
-        d = spec.field.resolve_default()
-        coerced = F.coalesce(coerced, F.lit(d).cast(spec.dtype))
-    elif not spec.node.is_optional:
-        cond = raw_src.isNull()
-        if outer is not None:
-            cond = outer.isNotNull() & cond
-        viols_out.append(
-            violation_if(cond, path, expected_type_msg(spec.node.py_name, "NoneType"))
-        )
-    return coerced
+    # suppress nested violations entirely when the outer struct is null
+    all_v = merge_violations(*viols)
+    all_v = F.when(src.isNull(), empty_violations()).otherwise(all_v)
+    return coerced, all_v
 
 
 def _union_value(src, src_dtype, node, path, truthy_bool):
@@ -389,12 +406,11 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
     declared order, first success wins (validation_containers.cpp:297-326,
     order-sensitivity tests/test_vldt.py:786-818) → ordered coalesce."""
     target = spark_type(node)
-    candidates = []
     for sub in node.args:
-        sub_target = spark_type(sub)
-        if src_dtype == sub_target:
+        if src_dtype == spark_type(sub):
             # isinstance fast-path: exact type match wins immediately
-            return (src if target == src_dtype else src.cast(target)), []
+            return (src if target == src_dtype else src.cast(target)), empty_violations()
+    candidates = []
     any_ok = None
     for sub in node.args:
         sub_target = spark_type(sub)
@@ -402,47 +418,49 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
         ok = attempt.isNotNull()
         candidates.append((attempt, ok))
         any_ok = ok if any_ok is None else (any_ok | ok)
-    # canonical storage: first-success coerced to the union storage type
     expr = F.lit(None).cast(target)
     for attempt, ok in reversed(candidates):
         expr = F.when(ok, attempt.cast(target)).otherwise(expr)
     names = " | ".join(a.py_name for a in node.args)
-    viol = violation_if(
+    viols = violation_if(
         src.isNotNull() & ~any_ok,
-        path,
+        _p(path),
         expected_type_msg(names, py_name_of_spark(src_dtype)),
     )
-    return expr, [viol]
+    return expr, viols
 
 
-def scalar_constraints(coerced: Column, fld: Field, path: str, dtype: T.DataType) -> list[Column]:
+def scalar_constraints(
+    coerced: Column, fld: Field, path: Column | str, dtype: T.DataType
+) -> list[Column]:
     """Declarative B9 constraints (range/regex/isin) → violation arrays."""
     out: list[Column] = []
     nn = coerced.isNotNull()
+    p = _p(path)
     if fld.ge is not None:
-        out.append(violation_if(nn & (coerced < F.lit(fld.ge)), path,
+        out.append(violation_if(nn & (coerced < F.lit(fld.ge)), p,
                                 f"Value out of range: expected >= {fld.ge}"))
     if fld.gt is not None:
-        out.append(violation_if(nn & (coerced <= F.lit(fld.gt)), path,
+        out.append(violation_if(nn & (coerced <= F.lit(fld.gt)), p,
                                 f"Value out of range: expected > {fld.gt}"))
     if fld.le is not None:
-        out.append(violation_if(nn & (coerced > F.lit(fld.le)), path,
+        out.append(violation_if(nn & (coerced > F.lit(fld.le)), p,
                                 f"Value out of range: expected <= {fld.le}"))
     if fld.lt is not None:
-        out.append(violation_if(nn & (coerced >= F.lit(fld.lt)), path,
+        out.append(violation_if(nn & (coerced >= F.lit(fld.lt)), p,
                                 f"Value out of range: expected < {fld.lt}"))
     if fld.regex is not None:
-        out.append(violation_if(nn & ~coerced.rlike(fld.regex), path,
+        out.append(violation_if(nn & ~coerced.rlike(fld.regex), p,
                                 f"Value does not match pattern {fld.regex}"))
     if fld.isin is not None:
-        out.append(violation_if(nn & ~coerced.isin(fld.isin), path,
+        out.append(violation_if(nn & ~coerced.isin(fld.isin), p,
                                 "Value not in allowed set"))
     if fld.not_null:
-        out.append(violation_if(~nn, path, missing_required_msg()))
+        out.append(violation_if(~nn, p, missing_required_msg()))
     if fld.min_size is not None and isinstance(dtype, T.StringType):
-        out.append(violation_if(nn & (F.length(coerced) < fld.min_size), path,
+        out.append(violation_if(nn & (F.length(coerced) < fld.min_size), p,
                                 f"Expected at least {fld.min_size} characters"))
     if fld.max_size is not None and isinstance(dtype, T.StringType):
-        out.append(violation_if(nn & (F.length(coerced) > fld.max_size), path,
+        out.append(violation_if(nn & (F.length(coerced) > fld.max_size), p,
                                 f"Expected at most {fld.max_size} characters"))
     return out

@@ -134,7 +134,7 @@ class ValidationEngine:
                 continue
 
             src = F.col(src_name)
-            coerced, viols = build_value(
+            coerced, viols_col = build_value(
                 src,
                 schema[src_name],
                 spec.node,
@@ -142,6 +142,7 @@ class ValidationEngine:
                 fld=spec.field,
                 truthy_bool=cfg.truthy_bool,
             )
+            viols = [viols_col]
             # defaults / required-null (data_model.cpp:192-212)
             if spec.field.has_default:
                 d = spec.field.resolve_default()
@@ -187,10 +188,31 @@ class ValidationEngine:
 
     # -- validator UDF stages (A17-A20, B15): Arrow-vectorized only ----------
 
+    @staticmethod
+    def _picklable(fns) -> None:
+        """Validator functions live in user modules that Python workers may
+        not be able to import — register their modules for by-value
+        cloudpickle so the UDF ships self-contained."""
+        import sys
+
+        try:  # Spark serializes UDFs with its vendored cloudpickle
+            from pyspark import cloudpickle as _cp
+        except ImportError:  # pragma: no cover
+            import cloudpickle as _cp
+
+        for fn in fns:
+            mod = sys.modules.get(getattr(fn, "__module__", None))
+            if mod is not None and not mod.__name__.startswith(("vldt_spark", "pyspark")):
+                try:
+                    _cp.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+
     def _apply_field_udfs(self, df: DataFrame, bucket: str) -> DataFrame:
         fns = self.compiled.validators[bucket]
         if not fns:
             return df  # validator-presence pruning (schema.cpp:527-552)
+        self._picklable(fns)
         updates: dict[str, Column] = {}
         schema = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
         for fn in fns:
@@ -214,6 +236,7 @@ class ValidationEngine:
         fns = self.compiled.validators[bucket]
         if not fns:
             return df
+        self._picklable(fns)
         schema = df.schema
 
         def _run(iterator):

