@@ -607,6 +607,72 @@ SELECT doc_id, substr(md5({_NORM_SQL}), 1, 16) AS fp FROM documents
 
 
 # ---------------------------------------------------------------------------
+# A24/A26 — JSON ingestion + datetime deserialization
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_events(spark, sf_dir):
+    """from_json over the events.props JSON column (reference from_json,
+    /root/reference/src/conversion/json_utils.cpp:160-224 → B1 on-read)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_null_k"),
+    )
+
+
+SQL_JSON_EXTRACT_EVENTS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_timestamp_parse_events(spark, sf_dir):
+    """ISO-string → timestamp coercion (reference global deserializer,
+    /root/reference/vldt/deserializer.py:3-8): format out, parse back,
+    verify lossless via epoch comparison."""
+    ev = _t(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    reparsed = F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.unix_timestamp("ts")).alias("min_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("max_epoch"),
+        F.sum((F.unix_timestamp(reparsed) == F.unix_timestamp("ts")).cast("long")).alias("n_lossless"),
+    )
+
+
+SQL_TIMESTAMP_PARSE_EVENTS = """
+SELECT count(*) AS n,
+       min(floor(epoch(ts))::BIGINT) AS min_epoch,
+       max(floor(epoch(ts))::BIGINT) AS max_epoch,
+       sum(CASE WHEN floor(epoch(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')))::BIGINT
+                     = floor(epoch(ts))::BIGINT THEN 1 ELSE 0 END) AS n_lossless
+FROM events
+"""
+
+
+def q_tojson_roundtrip_nation(spark, sf_dir):
+    """to_json canonical serialization (A25): schema-ordered field output."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.to_json(F.struct("n_nationkey", "n_name")).alias("js")
+    ).orderBy("js")
+
+
+SQL_TOJSON_ROUNDTRIP_NATION = """
+SELECT to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)) AS js
+FROM nation ORDER BY js
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
@@ -686,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_documents": q_text_quality_documents,
         "language_score_documents": q_language_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "json_extract_events": q_json_extract_events,
+        "timestamp_parse_events": q_timestamp_parse_events,
+        "tojson_roundtrip_nation": q_tojson_roundtrip_nation,
         "knn_cosine_embeddings": q_knn_cosine_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
@@ -714,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,
         "language_score_documents": SQL_LANGUAGE_SCORE_DOCUMENTS,
         "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
+        "json_extract_events": SQL_JSON_EXTRACT_EVENTS,
+        "timestamp_parse_events": SQL_TIMESTAMP_PARSE_EVENTS,
+        "tojson_roundtrip_nation": SQL_TOJSON_ROUNDTRIP_NATION,
         "knn_cosine_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
     }

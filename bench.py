@@ -32,6 +32,10 @@ def build_session(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # token table parquet compresses hard; default 128MB splits would
+        # coalesce the scan onto ~4 cores — size splits so the fused
+        # validation pass parallelizes across all threads
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("VLDT_BENCH_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -64,9 +68,11 @@ def run_benchmarks(spark) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # flagship: full validation of the token table

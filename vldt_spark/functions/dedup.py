@@ -81,13 +81,25 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — sig[i] = min over shingles of
-    xxhash64(shingle, i). One nested higher-order expression, fully JVM-side."""
-    sh = word_shingles(F.col(text_col), shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    xxhash64(shingle, i).
+
+    Explode-based: shingles become rows, each row hashes once per
+    permutation (codegen'd, no HOF), then a groupBy(id) with per-position
+    ``min`` aggregates — map-side partial combine keeps the shuffle at one
+    64-long vector per (doc, partition). The naive nested-HOF form
+    re-evaluates the shingle construction per permutation per row
+    (Catalyst inlines aliases into lambdas) and is ~100× slower."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__shingle"),
     )
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    hashed = sh.select(
+        id_col,
+        *[F.xxhash64("__shingle", F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        F.array(*[F.min(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -171,35 +183,31 @@ def simhash(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, simhash: bigint) — bit j set iff the majority of shingle hashes
-    have bit j set. Pure expressions (aggregate over shingles per bit)."""
-    sh = word_shingles(F.col(text_col), shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # per-shingle bit vectors, summed elementwise into per-bit counts
-    # (one aggregate pass over the shingle array, all JVM-side)
-    bitvecs = F.transform(
-        hashes,
-        lambda h: F.array(
-            *[
-                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
-                for j in range(bits)
-            ]
-        ),
+    have bit j set.
+
+    Explode-based like ``minhash_signatures``: one xxhash per shingle row,
+    64 codegen'd ±1 sums in a single groupBy(id) (map-side combine), then a
+    driver-built majority→bit-weight expression. Bit 63's weight is
+    long-min (two's complement)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    counted = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1)).cast("int")).alias(f"__b{j}")
+            for j in range(bits)
+        ],
     )
-    counts = F.aggregate(
-        bitvecs,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, bv: F.zip_with(acc, bv, lambda x, y: x + y),
-    )
-    n = F.size(hashes)
-    # majority vote per bit; bit 63's weight is long-min (two's complement)
     sig = None
     for j in range(bits):
         weight = (1 << j) if j < 63 else -(1 << 63)
         term = F.when(
-            F.element_at(counts, j + 1) * 2 > n, F.lit(weight).cast("long")
+            F.col(f"__b{j}") * 2 > F.col("__n"), F.lit(weight).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    return docs.select(F.col(id_col), sig.alias("simhash"))
+    return counted.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(

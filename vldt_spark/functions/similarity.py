@@ -24,7 +24,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; zero-norm vectors score 0.0 instead of raising
+    (ANSI divide-by-zero) — at corpus scale zero embeddings do occur."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_topk_bruteforce(

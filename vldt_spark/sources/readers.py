@@ -28,17 +28,25 @@ def read_json_validated(
     """JSON source → permissive parse against the model schema; malformed
     records carry a ``_corrupt_record`` and fail validation instead of
     raising. Accepts a path or a DataFrame with one string column."""
-    schema = model.spark_schema().add("_corrupt_record", "string")
+    from pyspark.sql import types as T
+
+    base = model.spark_schema()
+    # copy — StructType.add mutates in place and base is the model's cached
+    # compiled schema
+    schema = T.StructType(
+        list(base.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
     if isinstance(path_or_df, str):
         return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path_or_df)
     (col,) = path_or_df.columns
     parsed = path_or_df.select(
-        F.from_json(F.col(col), model.spark_schema()).alias("r"), F.col(col).alias("raw")
+        F.from_json(
+            F.col(col),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
     )
-    return parsed.select(
-        "r.*",
-        F.when(F.col("r").isNull(), F.col("raw")).alias("_corrupt_record"),
-    )
+    return parsed.select("r.*")
 
 
 def to_json_rows(df: DataFrame, *, exclude: tuple[str, ...] = ("violations", "is_valid")) -> DataFrame:
