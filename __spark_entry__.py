@@ -17,6 +17,7 @@ from __future__ import annotations
 import datetime
 import os
 import sys
+from typing import Optional
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -724,6 +725,93 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming — the fused validation pass applied to a stream
+# ---------------------------------------------------------------------------
+
+_EV_CONSTRAINT_SQL = """
+(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN value IS NULL THEN 1 ELSE 0 END) +
+(CASE WHEN user_id IS NOT NULL AND user_id < 0 THEN 1 ELSE 0 END) +
+(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) +
+(CASE WHEN value IS NOT NULL AND value > 450 THEN 1 ELSE 0 END) +
+(CASE WHEN event_type IS NOT NULL
+       AND event_type NOT IN ('click','view','signup','purchase','error') THEN 1 ELSE 0 END)
+"""
+
+
+def _event_model():
+    from typing import Optional
+
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class EventModel(Model):
+        event_id: int
+        ts: datetime.datetime
+        user_id: int = Field(ge=0)
+        event_type: str = Field(isin=["click", "view", "signup", "purchase", "error"])
+        value: float = Field(ge=0, le=450)
+        props: Optional[str]
+
+    return EventModel
+
+
+def q_streaming_event_verdicts(spark, sf_dir):
+    """Continuous validation: readStream over the events parquet → the SAME
+    fused validation projection (stateless) → day-bucketed verdicts via a
+    memory sink driven to completion. Epoch bucketing (not F.window) so the
+    result is timezone-independent for the oracle."""
+    from vldt_spark.streaming import validated_stream
+
+    batch = _t(spark, sf_dir, "events")
+    # the file-stream source needs a directory: stream the sf dir with a
+    # glob filter selecting just the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ann = validated_stream(stream, _event_model())
+    agg = (
+        ann.withColumn("day_epoch", (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long"))
+        .groupBy("day_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("is_valid")).cast("long")).alias("n_invalid"),
+            F.sum(F.size("violations").cast("long")).alias("n_violations"),
+        )
+        .withColumn("passed", F.col("n_invalid") == 0)
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("vldt_stream_contract")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("vldt_stream_contract")
+
+
+SQL_STREAMING_EVENT_VERDICTS = f"""
+WITH v AS (
+  SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_epoch,
+         {_EV_CONSTRAINT_SQL} AS n_viol
+  FROM events
+)
+SELECT day_epoch,
+       count(*) AS n_rows,
+       sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS n_invalid,
+       sum(n_viol) AS n_violations,
+       (sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) = 0) AS passed
+FROM v GROUP BY day_epoch
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -758,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_embeddings": q_knn_cosine_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
+        "streaming_event_verdicts": q_streaming_event_verdicts,
     }
 
 
@@ -787,5 +876,6 @@ def oracle_sql() -> dict[str, str]:
         "timestamp_parse_events": SQL_TIMESTAMP_PARSE_EVENTS,
         "tojson_roundtrip_nation": SQL_TOJSON_ROUNDTRIP_NATION,
         "knn_cosine_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
+        "streaming_event_verdicts": SQL_STREAMING_EVENT_VERDICTS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
     }

@@ -41,15 +41,15 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-ish token estimate: count word pieces + digits + punctuation runs
-    with a GPT-2-style pretokenizer regex (public pattern)."""
-    pieces = F.split(
-        text, r"(?=\s)|(?<=\s)"  # keep it simple: whitespace boundaries
+    """BPE-ish token estimate: split on a GPT-2-style pretokenizer boundary
+    set (word / number / punctuation runs), floored by the chars/4 heuristic
+    — a cheap, deterministic stand-in for a real tokenizer pass."""
+    pieces = F.filter(
+        F.split(text, r"(?<=\s)|(?=[^\w\s])|(?<=[^\w\s])|(?<=\d)(?=\D)|(?<=\D)(?=\d)"),
+        lambda p: F.length(F.trim(p)) > 0,
     )
-    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
-    # ~chars/4 heuristic blended with word count, the common public estimate
     return F.greatest(
-        F.size(words).cast("long"),
+        F.size(pieces).cast("long"),
         (F.length(text) / F.lit(4)).cast("long"),
     )
 

@@ -49,9 +49,26 @@ def read_json_validated(
     return parsed.select("r.*")
 
 
-def to_json_rows(df: DataFrame, *, exclude: tuple[str, ...] = ("violations", "is_valid")) -> DataFrame:
+def to_json_rows(
+    df: DataFrame,
+    *,
+    exclude: tuple[str, ...] = ("violations", "is_valid"),
+    serializers: dict | None = None,
+) -> DataFrame:
     """Serialization sink (reference to_json, A25): canonical field order is
     the schema order, matching to_dict's schema-ordered output
-    (/root/reference/src/conversion/dict_utils.cpp:203-242)."""
-    cols = [c for c in df.columns if c not in exclude]
+    (/root/reference/src/conversion/dict_utils.cpp:203-242).
+
+    ``serializers`` maps column name → Column-expression factory, the Spark
+    analogue of the reference's ``Config(json_serializer={type: fn})`` hook
+    (json_utils.cpp:53-148): the custom expression is consulted before the
+    default encoding, e.g. ``{"registered_at": lambda c: F.date_format(c,
+    "yyyy-MM-dd")}``."""
+    serializers = serializers or {}
+    cols = []
+    for c in df.columns:
+        if c in exclude:
+            continue
+        expr = serializers[c](F.col(c)).alias(c) if c in serializers else F.col(c)
+        cols.append(expr)
     return df.select(F.to_json(F.struct(*cols)).alias("json"))
