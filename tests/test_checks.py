@@ -84,3 +84,22 @@ def test_salted_agg_helper(spark):
     out = {r["src"]: r for r in salted(df, "src", [("count", "v", "n"), ("sum", "v", "s")]).collect()}
     assert out["web"]["n"] == 50 and out["web"]["s"] == 50.0
     assert out["books"]["n"] == 5 and out["books"]["s"] == 10.0
+
+
+def test_schema_conformance(spark):
+    from vldt_spark.checks.schema_conf import conforms, schema_conformance
+    from vldt_spark.flagship import TokenSequence
+
+    good = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string, extra double"
+    )
+    rep = {r["field"]: r["status"] for r in schema_conformance(spark, good, TokenSequence).collect()}
+    assert rep["doc_id"] == "exact"
+    assert rep["tokens"] == "lossless"   # int elements widen to declared long
+    assert rep["extra"] == "extra_ignored"
+    assert conforms(spark, good, TokenSequence)
+
+    bad = spark.createDataFrame([], "doc_id string, n_tok int")
+    rep2 = {r["field"]: r["status"] for r in schema_conformance(spark, bad, TokenSequence).collect()}
+    assert rep2["tokens"] == "missing" and rep2["source"] == "missing"
+    assert not conforms(spark, bad, TokenSequence)

@@ -1,0 +1,79 @@
+"""Union-of-models ordered resolution (A14 hard part — reference
+tests/test_vldt.py:786-818: candidates probed in declared order, first
+success wins, so declaration order changes which model claims an input
+that satisfies both)."""
+
+import json
+from typing import Union
+
+from pyspark.sql import types as T
+
+from vldt_spark.engine import ValidationEngine
+from vldt_spark.model import Model
+
+
+class Cat(Model):
+    name: str
+    meows: int
+
+
+class Dog(Model):
+    name: str
+    barks: int
+
+
+class PetHolderCatFirst(Model):
+    hid: int
+    pet: Union[Cat, Dog]
+
+
+class PetHolderDogFirst(Model):
+    hid: int
+    pet: Union[Dog, Cat]
+
+
+SCHEMA = T.StructType([
+    T.StructField("hid", T.LongType()),
+    T.StructField("pet", T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("meows", T.LongType()),
+        T.StructField("barks", T.LongType()),
+    ])),
+])
+
+
+def _variants(spark, model, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = ValidationEngine(model).annotate(df).orderBy("hid").collect()
+    res = []
+    for r in out:
+        v = json.loads(r["pet"])["__variant"] if r["pet"] else None
+        res.append((v, r["is_valid"]))
+    return res
+
+
+def test_union_of_models_declared_order(spark):
+    rows = [
+        (1, {"name": "a", "meows": 3, "barks": None}),   # only Cat matches
+        (2, {"name": "b", "meows": None, "barks": 2}),   # only Dog matches
+        (3, {"name": "c", "meows": 1, "barks": 1}),      # BOTH match → order decides
+        (4, {"name": "d", "meows": None, "barks": None}),  # neither → violation
+    ]
+    cat_first = _variants(spark, PetHolderCatFirst, rows)
+    assert cat_first[0] == ("Cat", True)
+    assert cat_first[1] == ("Dog", True)
+    assert cat_first[2][0] == "Cat"          # declared order: Cat wins
+    assert cat_first[3][1] is False          # no candidate → invalid
+
+    dog_first = _variants(spark, PetHolderDogFirst, rows)
+    assert dog_first[2][0] == "Dog"          # reversed declaration flips it
+
+
+def test_union_of_models_violation_message(spark):
+    df = spark.createDataFrame(
+        [(9, {"name": "x", "meows": None, "barks": None})], SCHEMA
+    )
+    res = ValidationEngine(PetHolderCatFirst).run(df, id_cols=["hid"])
+    v = res.violations().first()
+    assert v["path"] == "pet"
+    assert v["msg"] == "Expected type Cat | Dog, got dict"

@@ -10,6 +10,7 @@ from vldt_spark.checks.uniqueness import duplicate_keys, duplicate_rows
 from vldt_spark.checks.referential import invalid_fk_values, ri_violation_rows
 from vldt_spark.checks.drift import histogram, kl_divergence, psi, drift_report
 from vldt_spark.checks.rowinvariant import token_equality_violations
+from vldt_spark.checks.schema_conf import schema_conformance, conforms
 
 __all__ = [
     "column_profile",
@@ -23,4 +24,6 @@ __all__ = [
     "psi",
     "drift_report",
     "token_equality_violations",
+    "schema_conformance",
+    "conforms",
 ]

@@ -431,6 +431,43 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
         if src_dtype == spark_type(sub):
             # isinstance fast-path: exact type match wins immediately
             return (src if target == src_dtype else src.cast(target)), empty_violations()
+
+    model_cands = [s for s in node.args if s.is_model]
+    if model_cands and isinstance(src_dtype, T.StructType):
+        # union-of-models: candidates probed in DECLARED order; the first
+        # model whose required fields are all present and non-null wins
+        # (order-sensitivity: tests/test_vldt.py:786-818). Matched variant
+        # stored as canonical JSON + variant tag.
+        matches = []
+        for sub in model_cands:
+            compiled = sub.model_cls.__vldt_compile__()
+            conds = []
+            for spec in compiled.fields:
+                if spec.required:
+                    names = spec.field.aliases + [spec.name]
+                    present = [n for n in names if n in src_dtype.names]
+                    if not present:
+                        conds.append(F.lit(False))
+                        break
+                    conds.append(src[present[0]].isNotNull())
+            cond = F.lit(True)
+            for c in conds:
+                cond = cond & c
+            matches.append((sub.model_cls.__name__, cond))
+        variant = F.lit(None).cast("string")
+        for name, cond in reversed(matches):
+            variant = F.when(cond, F.lit(name)).otherwise(variant)
+        coerced = F.when(
+            src.isNull(), F.lit(None).cast("string")
+        ).otherwise(F.to_json(F.struct(F.coalesce(variant, F.lit("?")).alias("__variant"), src.alias("value"))))
+        names_str = " | ".join(a.py_name for a in node.args)
+        viols = violation_if(
+            src.isNotNull() & variant.isNull(),
+            _p(path),
+            expected_type_msg(names_str, "dict"),
+        )
+        return coerced, viols
+
     candidates = []
     any_ok = None
     for sub in node.args:

@@ -124,6 +124,10 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
+    # the banded self-join references the signature plan on both sides —
+    # persist so shingling+hashing runs once, not twice (sig is 8B×num_hashes
+    # per doc; MEMORY_AND_DISK spills safely at corpus scale)
+    sigs = sigs.persist()
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -220,6 +224,8 @@ def simhash_near_pairs(
     """Candidate pairs via 16-bit band blocking on the 64-bit simhash, then
     exact Hamming filter (bit_count of xor). Returns (id_a, id_b, hamming)."""
     sigs = simhash(docs, text_col=text_col, id_col=id_col)
+    # self-join below reads the signature plan twice — persist (8B per doc)
+    sigs = sigs.persist()
     banded = sigs.select(
         id_col,
         "simhash",
