@@ -134,7 +134,13 @@ FROM lineitem
 
 
 def q_quantiles_lineitem(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    from vldt_spark.plans.skew import ensure_min_parallelism
+
+    # exact percentile buffers every value; parallelize the partial-collect
+    # phase when the scan is a single split (no-op on a many-split table)
+    li = ensure_min_parallelism(
+        _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    )
     return li.agg(
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("q50"),

@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TOKEN_ROWS = int(os.environ.get("VLDT_BENCH_TOKEN_ROWS", "1000000"))
+# this VM's wall-clock varies 3-8× run-to-run under external interference;
+# best-of-N estimates steady-state (same policy as BENCH/BASELINE.md reps)
+REPS = int(os.environ.get("VLDT_BENCH_REPS", "2"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
@@ -69,9 +72,13 @@ def run_benchmarks(spark) -> dict[str, float]:
 
     def timed(name: str, fn):
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            out = fn()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 

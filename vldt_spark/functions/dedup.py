@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vldt_spark.functions.text import fingerprint
+from vldt_spark.plans.skew import ensure_min_parallelism
 
 
 # -- exact ---------------------------------------------------------------
@@ -89,7 +90,7 @@ def minhash_signatures(
     64-long vector per (doc, partition). The naive nested-HOF form
     re-evaluates the shingle construction per permutation per row
     (Catalyst inlines aliases into lambdas) and is ~100× slower."""
-    sh = docs.select(
+    sh = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__shingle"),
     )
@@ -193,7 +194,7 @@ def simhash(
     64 codegen'd ±1 sums in a single groupBy(id) (map-side combine), then a
     driver-built majority→bit-weight expression. Bit 63's weight is
     long-min (two's complement)."""
-    sh = docs.select(
+    sh = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s"),
     ).select(id_col, F.xxhash64("__s").alias("__h"))
@@ -278,7 +279,7 @@ def ngram_jaccard_pairs(
     shingle → |∩| per pair → |∪| from per-doc sizes. At scale, run it on
     LSH candidates only; the full self-join form is the oracle baseline.
     Returns (id_a, id_b, jaccard)."""
-    sh = docs.select(
+    sh = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
     )
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vldt_spark.plans.skew import ensure_min_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -46,7 +48,9 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    joined = ensure_min_parallelism(corpus.select(F.col(id_col), F.col(vec_col))).crossJoin(
+        F.broadcast(q)
+    )
     joined = joined.where(F.col(id_col) != F.col("query_id"))
     scored = joined.select(
         "query_id",
@@ -60,30 +64,52 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_bits(vec: Column, *, n_planes: int, seed: int) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec · plane_p), plane
-    components pseudo-random in [-1,1) from xxhash64(seed, p, dim_index).
-    Deterministic, computed inline — no stored model."""
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
-
-    def plane_dot(p: int) -> Column:
-        comps = F.zip_with(
-            vec,
-            idx,
-            lambda x, i: x
-            * (
-                (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2000)).cast("double") / 1000.0)
-                - 1.0
-            ),
-        )
-        return F.aggregate(comps, F.lit(0.0), lambda a, v: a + v)
-
-    sig = F.lit(0).cast("long")
+def _plane_matrix(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes, built once on the driver (the same
+    stored-model design as MLlib's BucketedRandomProjectionLSH random
+    vectors). Seeded splitmix64-style integer mixing — no RNG state, so the
+    matrix is reproducible across retries/executors."""
+    mat = []
     for p in range(n_planes):
-        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+        row = []
+        for i in range(dim):
+            z = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + i * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            row.append((z % 2000) / 1000.0 - 1.0)
+        mat.append(row)
+    return mat
+
+
+def _hyperplane_bits(vec: Column, *, n_planes: int, seed: int, dim: int) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec · plane_p). The plane
+    matrix is a driver-side literal — per row the cost is n_planes × dim
+    fused multiply-adds, no per-element hashing."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(w) for w in row])
+            for row in _plane_matrix(n_planes, dim, seed)
+        ]
+    )
+    weights = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    dots = F.transform(
+        planes,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v
+        ),
+    )
+    bits = F.zip_with(
+        dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row (tiny lookup job; pass ``dim``
+    explicitly to skip it)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
 
 
 def lsh_bucketed_topk(
@@ -96,12 +122,14 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: `n_tables` independent hyperplane signatures; a
     corpus vector is a candidate if it shares any table's bucket with the
     query. Join key = (table, bucket) → bounded shuffle; exact cosine +
     window top-k on the candidate set only.
     Returns (query_id, vec_id, cosine, rank)."""
+    d = dim if dim is not None else _infer_dim(corpus, vec_col)
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
         tables = F.array(
@@ -109,7 +137,7 @@ def lsh_bucketed_topk(
                 F.struct(
                     F.lit(t).alias("tbl"),
                     _hyperplane_bits(
-                        F.col(vec_col), n_planes=n_planes, seed=seed * 101 + t
+                        F.col(vec_col), n_planes=n_planes, seed=seed * 101 + t, dim=d
                     ).alias("bucket"),
                 )
                 for t in range(n_tables)
@@ -119,7 +147,7 @@ def lsh_bucketed_topk(
             F.col(idc), F.col(vec_col), F.explode(tables).alias("tb")
         ).select(idc, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
-    c = with_buckets(corpus, id_col).alias("c")
+    c = with_buckets(ensure_min_parallelism(corpus), id_col).alias("c")
     q = with_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"
     ).alias("q")
@@ -152,14 +180,18 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: one hyperplane bucket pass (vectors
     this similar almost surely collide), exact cosine filter within buckets.
     Returns (id_a, id_b, cosine)."""
-    sig = corpus.select(
+    d = dim if dim is not None else _infer_dim(corpus, vec_col)
+    sig = ensure_min_parallelism(corpus).select(
         F.col(id_col),
         F.col(vec_col),
-        _hyperplane_bits(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
+        _hyperplane_bits(F.col(vec_col), n_planes=n_planes, seed=seed, dim=d).alias(
+            "bucket"
+        ),
     )
     a, b = sig.alias("a"), sig.alias("b")
     pairs = a.join(

@@ -55,6 +55,23 @@ def salted(
     )
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Rebalance *before* CPU-bound per-row work when the scan has fewer
+    splits than cores.
+
+    Single-row-group parquet files (tiny dims, test fixtures) scan as ONE
+    task, serializing everything downstream of them onto one core. A 100 TB
+    table has ~10^5 row groups, so at cluster scale the partition-count
+    guard makes this a no-op — no shuffle is ever added on a big input. In
+    the sandbox it spreads a 1-split scan across all threads for the cost
+    of shuffling a few MB (round-robin: no key, no skew)."""
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def aqe_skew_conf() -> dict[str, str]:
     """Config for runtime skew handling — apply at session build for every
     north-rule job (referenced by jobs/submit_validation.py)."""
