@@ -721,6 +721,22 @@ def q_lsh_topk_embeddings(spark, sf_dir):
     return lsh_bucketed_topk(emb, queries, k=5)
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF ANN with full probe (nprobe = n_centroids): recall is exactly
+    1.0, so the output must value-match the brute-force KNN oracle — a
+    real correctness gate for the quantizer + inverted-file join path.
+    Production sets nprobe < n_centroids for the speed/recall trade."""
+    from vldt_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=8, iters=2, dim=64
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from vldt_spark.functions.similarity import embedding_near_duplicates
 
@@ -817,6 +833,42 @@ FROM v GROUP BY day_epoch
 """
 
 
+def q_streaming_dup_doc_ids(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): batch 1
+    ingests every document, batch 2 re-ingests doc_id < 50; the duplicate
+    arrives in a *different micro-batch* than the original, so only the
+    cross-batch seen-count state can flag it. Output is batch-order
+    invariant: each overlap key is emitted once with (n_seen=2, n_new=1)."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.streaming.stateful import run_duplicate_monitor
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    root = tempfile.mkdtemp(prefix="vldt_stream_dup_")
+    docs.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    docs.where(F.col("doc_id") < 50).coalesce(1).write.parquet(
+        os.path.join(root, "b=2")
+    )
+    out = run_duplicate_monitor(
+        spark,
+        os.path.join(root, "b=*"),
+        "doc_id",
+        query_name=f"vldt_dup_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.col("n_seen"),
+        F.col("n_new"),
+    )
+
+
+SQL_STREAMING_DUP_DOC_IDS = """
+SELECT doc_id, CAST(2 AS BIGINT) AS n_seen, CAST(1 AS BIGINT) AS n_new
+FROM documents WHERE doc_id < 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -851,8 +903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tojson_roundtrip_nation": q_tojson_roundtrip_nation,
         "knn_cosine_embeddings": q_knn_cosine_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_verdicts": q_streaming_event_verdicts,
+        "streaming_dup_doc_ids": q_streaming_dup_doc_ids,
     }
 
 
@@ -882,6 +936,9 @@ def oracle_sql() -> dict[str, str]:
         "timestamp_parse_events": SQL_TIMESTAMP_PARSE_EVENTS,
         "tojson_roundtrip_nation": SQL_TOJSON_ROUNDTRIP_NATION,
         "knn_cosine_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
+        # full-probe IVF has recall 1.0 → must equal the brute-force oracle
+        "ivf_topk_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
         "streaming_event_verdicts": SQL_STREAMING_EVENT_VERDICTS,
+        "streaming_dup_doc_ids": SQL_STREAMING_DUP_DOC_IDS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
     }

@@ -111,3 +111,22 @@ def test_lsh_topk_finds_near_dup(spark, vectors):
 def test_embedding_near_duplicates(spark, vectors):
     pairs = embedding_near_duplicates(vectors, threshold=0.999).collect()
     assert any({r["id_a"], r["id_b"]} == {0, 100} for r in pairs)
+
+
+def test_ivf_topk_finds_near_dup(spark, vectors):
+    from vldt_spark.functions.similarity import ivf_topk, kmeans_centroids
+
+    out = ivf_topk(
+        vectors,
+        vectors.where(F.col("vec_id") == 0),
+        k=3,
+        n_centroids=4,
+        nprobe=4,  # probe everything -> recall 1.0, exact-match the brute force
+        iters=2,
+    ).orderBy("rank").collect()
+    assert out[0]["vec_id"] == 100 and out[0]["cosine"] > 0.999
+
+    # quantizer is deterministic: same corpus -> identical centroid matrix
+    c1 = kmeans_centroids(vectors, n_centroids=4, iters=2)
+    c2 = kmeans_centroids(vectors, n_centroids=4, iters=2)
+    assert c1 == c2

@@ -1,0 +1,86 @@
+"""Stateful streaming duplicate monitor + CSV validated reader tests."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from vldt_spark.flagship import TokenSequence
+
+
+def test_streaming_duplicate_keys_cross_batch(spark, tmp_path):
+    """Duplicates split ACROSS micro-batches are caught — the case a
+    per-batch groupBy cannot see. File 1 and file 2 each contain `dup-1`
+    once; with maxFilesPerTrigger=1 they arrive in different batches."""
+    from vldt_spark.streaming.stateful import run_duplicate_monitor
+
+    src = str(tmp_path / "dups_src")
+    rows1 = [("dup-1", "web"), ("a", "web"), ("b", "wiki"), ("both-2", "web")]
+    rows2 = [("dup-1", "wiki"), ("c", "web"), ("both-2", "web"), ("both-2", "web")]
+    spark.createDataFrame(rows1, "doc_id string, source string").coalesce(1).write.parquet(
+        os.path.join(src, "f=1")
+    )
+    spark.createDataFrame(rows2, "doc_id string, source string").coalesce(1).write.parquet(
+        os.path.join(src, "f=2")
+    )
+    out = run_duplicate_monitor(
+        spark, src + "/f=*", "doc_id", query_name="t_dups_cross"
+    )
+    got = {r["key"]: r["n_seen"] for r in out.collect()}
+    # dup-1: second occurrence lands in a later batch → n_seen reaches 2
+    assert got.get("dup-1") == 2
+    # both-2: 1 in batch A + 2 in batch B → cumulative 3
+    assert got.get("both-2") == 3
+    # unique keys never emit
+    assert "a" not in got and "b" not in got and "c" not in got
+
+
+def test_streaming_duplicate_single_batch(spark, tmp_path):
+    """Within-batch duplicates also emit (n_new counts the batch's rows)."""
+    from vldt_spark.streaming.stateful import run_duplicate_monitor
+
+    src = str(tmp_path / "dups_one")
+    rows = [("x", "web"), ("x", "web"), ("y", "web")]
+    spark.createDataFrame(rows, "doc_id string, source string").coalesce(1).write.parquet(src)
+    out = run_duplicate_monitor(spark, src, "doc_id", query_name="t_dups_one")
+    got = {r["key"]: (r["n_seen"], r["n_new"]) for r in out.collect()}
+    assert got == {"x": (2, 2)}
+
+
+def test_read_csv_validated_corrupt_rows(spark, tmp_path):
+    """Malformed CSV rows become _corrupt_record + validation violations —
+    never a raised parse error (same contract as the JSON reader)."""
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.sources.readers import read_csv_validated
+
+    p = str(tmp_path / "rows.csv")
+    with open(p, "w") as f:
+        # CSV maps by position: exactly the model's scalar fields, in order
+        f.write("doc_id,n_tok,source\n")
+        f.write("doc-000000000001,5,web\n")
+        f.write("doc-000000000002,7,wiki\n")
+
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class CsvSeq(Model):
+        doc_id: str = Field(not_null=True, regex=r"^doc-\d{12}$")
+        n_tok: int = Field(ge=1, le=2048)
+        source: str = Field(not_null=True)
+
+    df = read_csv_validated(spark, p, CsvSeq)
+    assert "_corrupt_record" in df.columns
+    ann = ValidationEngine(CsvSeq).annotate(df, keep_extra=True)
+    assert ann.where(F.col("is_valid")).count() == 2
+
+    # now a malformed numeric field
+    p2 = str(tmp_path / "bad.csv")
+    with open(p2, "w") as f:
+        f.write("doc_id,n_tok,source\n")
+        f.write("doc-000000000001,notanint,web\n")
+        f.write("doc-000000000002,9,wiki\n")
+    # Spark disallows queries touching ONLY the corrupt column on a raw
+    # CSV scan — cache first (the documented workaround)
+    df2 = read_csv_validated(spark, p2, CsvSeq).cache()
+    bad = df2.where(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+    df2.unpersist()

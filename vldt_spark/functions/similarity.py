@@ -172,6 +172,131 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _normalize_rows(mat: list[list[float]]) -> list[list[float]]:
+    out = []
+    for row in mat:
+        n = sum(x * x for x in row) ** 0.5 or 1.0
+        out.append([x / n for x in row])
+    return out
+
+
+def _centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of vec · centroid_c for every (unit-norm) centroid —
+    with unit centroids, argmax dot == argmax cosine (|vec| is constant
+    across candidates for one row)."""
+    m = F.array(*[F.array(*[F.lit(w) for w in row]) for row in centroids])
+    return F.transform(
+        m,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v
+        ),
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd iterations → unit-norm centroid
+    matrix (the IVF coarse quantizer, trained once on the driver's behalf).
+
+    Init = the n_centroids rows with smallest xxhash64(id) (a seeded,
+    order-independent pseudo-random sample). Assignment runs as one scan
+    against the literal centroid matrix; the update step is
+    posexplode → groupBy(cluster, pos) avg — the shuffle carries
+    n_centroids × dim partial sums per partition, independent of corpus
+    size. At 100 TB, train on a hash-sampled subset
+    (``corpus.where(pmod(xxhash64(id), K) == 0)``) — the quantizer needs a
+    representative sample, not every row."""
+    d = dim if dim is not None else _infer_dim(corpus, vec_col)
+    seed_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = _normalize_rows([list(r[vec_col]) for r in seed_rows])
+    for _ in range(iters):
+        dots = _centroid_dots(F.col(vec_col).cast("array<double>"), cents)
+        cid = F.array_position(dots, F.array_max(dots)) - 1
+        sums = (
+            corpus.select(cid.alias("cid"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [row[:] for row in cents]
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cid"], [0.0] * d)[r["pos"]] = r["s"]
+            cnt[r["cid"]] = r["n"]
+        for c, vals in acc.items():
+            if cnt.get(c):
+                new[int(c)] = [v / cnt[c] for v in vals]
+        cents = _normalize_rows(new)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    (the inverted file); each query probes its ``nprobe`` nearest centroids
+    and scores exact cosine only within those buckets. Join key = cluster
+    id → the corpus-side shuffle is bounded by cluster sizes, never the
+    n×m cross product. Returns (query_id, vec_id, cosine, rank)."""
+    d = dim if dim is not None else _infer_dim(corpus, vec_col)
+    cents = centroids or kmeans_centroids(
+        corpus, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col, iters=iters, dim=d
+    )
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    c_dots = _centroid_dots(vec_d, cents)
+    c = ensure_min_parallelism(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+        "cid", (F.array_position(c_dots, F.array_max(c_dots)) - 1).cast("int")
+    )
+
+    # query side: nprobe nearest centroids via (−dot, idx) struct sort
+    q_dots = _centroid_dots(F.col("__qv").cast("array<double>"), cents)
+    ranked = F.array_sort(
+        F.zip_with(
+            q_dots,
+            F.array(*[F.lit(i) for i in range(len(cents))]),
+            lambda dot, i: F.struct((-dot).alias("neg"), i.alias("idx")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["idx"])
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("cid", F.explode(probes))
+    )
+
+    cand = c.join(F.broadcast(q), "cid").where(F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     *,

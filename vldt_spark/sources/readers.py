@@ -49,6 +49,35 @@ def read_json_validated(
     return parsed.select("r.*")
 
 
+def read_csv_validated(
+    spark: SparkSession,
+    path: str,
+    model: type[Model],
+    *,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV source with the same never-raise contract as ``read_json_validated``:
+    rows that fail schema parse carry ``_corrupt_record`` (PERMISSIVE mode)
+    and become violations in the validation pass instead of aborting the
+    scan. Column pruning and filter pushdown still apply to the typed
+    columns (Spark's CSV datasource supports both)."""
+    from pyspark.sql import types as T
+
+    base = model.spark_schema()
+    schema = T.StructType(
+        list(base.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
 def to_json_rows(
     df: DataFrame,
     *,
