@@ -1,0 +1,49 @@
+"""Multimodal binary-column plumbing tests (decode stubbed, shapes real)."""
+
+from pyspark.sql import functions as F
+
+from vldt_spark.functions.multimodal import (
+    FEATURE_SCHEMA,
+    extract_features,
+    frame_sample_stub,
+    synthetic_media,
+)
+
+
+def test_extract_features_shapes_and_determinism(spark):
+    media = synthetic_media(spark, 30)
+    out = extract_features(media)
+    assert out.schema == FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 30
+    # payloads are the utf-8 bytes of the sha2-512 hex digest: 128 bytes
+    assert all(r["n_bytes"] == 128 for r in rows.values())
+    assert all(len(r["feature"]) == 8 for r in rows.values())
+    # deterministic end-to-end: same input -> identical features
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert again["media-000003"] == rows["media-000003"]["feature"]
+    # first feature component is the byte length
+    assert rows["media-000000"]["feature"][0] == 128.0
+
+
+def test_extract_features_null_payload(spark):
+    media = synthetic_media(spark, 5).withColumn(
+        "payload",
+        F.when(F.col("media_id") == "media-000002", F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows["media-000002"]["n_bytes"] == 0
+    assert all(v == 0.0 for v in rows["media-000002"]["feature"])
+
+
+def test_frame_sampling_explode(spark):
+    media = synthetic_media(spark, 30)
+    frames = frame_sample_stub(media, every_ms=1000)
+    # only video rows expand; duration 5000ms -> 5 frames each
+    n_videos = media.where(F.col("kind") == "video").count()
+    assert frames.count() == n_videos * 5
+    one = frames.where(F.col("media_id") == frames.first()["media_id"])
+    ts = sorted(r["frame_ts_ms"] for r in one.collect())
+    assert ts == [0, 1000, 2000, 3000, 4000]
