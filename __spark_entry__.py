@@ -486,6 +486,75 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+# portable-hash variants: the production minhash/simhash path hashes with
+# xxhash64 (absent in DuckDB → rows-only check); these run the SAME pipeline
+# with the 60-bit md5-prefix hash both engines compute identically, so the
+# full signature math is value-checked by the oracle gate.
+
+_PORTABLE_SHINGLES_CTE = """
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS shingles
+  FROM words
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+)
+"""
+
+
+def q_minhash_portable_signatures(spark, sf_dir):
+    from vldt_spark.functions.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16, hash_fn="md5")
+    return sigs.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"s{i:02d}") for i in range(16)],
+    )
+
+
+SQL_MINHASH_PORTABLE_SIGNATURES = _PORTABLE_SHINGLES_CTE + (
+    "SELECT doc_id,\n"
+    + ",\n".join(
+        f"  min(CAST(('0x' || substr(md5(shingle || '#{i}'), 1, 15)) AS BIGINT)) AS s{i:02d}"
+        for i in range(16)
+    )
+    + "\nFROM ex GROUP BY doc_id"
+)
+
+
+def q_simhash_portable_documents(spark, sf_dir):
+    from vldt_spark.functions.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=60, hash_fn="md5").select("doc_id", "simhash")
+
+
+SQL_SIMHASH_PORTABLE_DOCUMENTS = _PORTABLE_SHINGLES_CTE + (
+    ", hashed AS (\n"
+    "  SELECT doc_id, CAST(('0x' || substr(md5(shingle || '#0'), 1, 15)) AS BIGINT) AS h\n"
+    "  FROM ex\n"
+    "), counted AS (\n"
+    "  SELECT doc_id, count(*) AS n,\n"
+    + ",\n".join(
+        f"    sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS b{j}"
+        for j in range(60)
+    )
+    + "\n  FROM hashed GROUP BY doc_id\n)\n"
+    "SELECT doc_id,\n  "
+    + " + ".join(
+        f"(CASE WHEN 2 * b{j} > n THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(60)
+    )
+    + " AS simhash\nFROM counted"
+)
+
+
 SQL_NGRAM_JACCARD_PAIRS = """
 WITH words AS (
   SELECT doc_id,
@@ -892,7 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "minhash_portable_signatures": q_minhash_portable_signatures,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash_portable_documents": q_simhash_portable_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "token_count_documents": q_token_count_documents,
         "text_quality_documents": q_text_quality_documents,
@@ -927,6 +998,8 @@ def oracle_sql() -> dict[str, str]:
         "psi_documents_nchars": SQL_PSI_DOCUMENTS_NCHARS,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
+        "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,
+        "simhash_portable_documents": SQL_SIMHASH_PORTABLE_DOCUMENTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
         "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,

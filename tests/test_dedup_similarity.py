@@ -130,3 +130,31 @@ def test_ivf_topk_finds_near_dup(spark, vectors):
     c1 = kmeans_centroids(vectors, n_centroids=4, iters=2)
     c2 = kmeans_centroids(vectors, n_centroids=4, iters=2)
     assert c1 == c2
+
+
+def test_portable_md5_hash_matches_python(spark, corpus):
+    """The md5 hash_fn path produces exactly the 60-bit md5-prefix value a
+    plain-Python (or DuckDB) implementation computes — the basis of the
+    oracle-checked minhash/simhash variants."""
+    import hashlib
+
+    from vldt_spark.functions.dedup import _hash64
+
+    df = spark.createDataFrame([("hello world",)], "s string")
+    got = df.select(_hash64(F.col("s"), 3, "md5").alias("h")).first()["h"]
+    expect = int(hashlib.md5(b"hello world#3").hexdigest()[:15], 16)
+    assert got == expect
+
+    # the portable minhash pipeline still finds the known near-dups
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(corpus, num_hashes=16, hash_fn="md5").collect()}
+    same = sum(1 for a, b in zip(sigs["d0"], sigs["d1"]) if a == b)
+    assert same == 16  # whitespace-normalized identical text -> identical sig
+    near = sum(1 for a, b in zip(sigs["d0"], sigs["d2"]) if a == b)
+    assert near >= 5  # one-word change keeps most minhashes
+
+    # portable simhash: identical docs hash identically, near-dups are close
+    sh = {r["doc_id"]: r["simhash"] for r in
+          simhash(corpus, bits=60, hash_fn="md5").collect()}
+    assert sh["d0"] == sh["d1"]
+    assert bin(sh["d0"] ^ sh["d2"]).count("1") <= 12

@@ -73,6 +73,22 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 # -- MinHash + LSH ---------------------------------------------------------
 
 
+def _hash64(col: Column, salt: int, hash_fn: str) -> Column:
+    """64-bit-ish hash of a string with an integer salt.
+
+    ``xxhash64`` is the production path (fastest, JVM-native).
+    ``md5`` is the *portable* path — 60-bit prefix of the md5 hex digest,
+    computable identically in DuckDB (``CAST('0x'||substr(md5(..),1,15) AS
+    BIGINT)``), which upgrades minhash/simhash from rows-only to
+    value-checked in the oracle gate."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(salt))
+    if hash_fn == "md5":
+        salted = F.concat(col, F.lit(f"#{salt}"))
+        return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -80,6 +96,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — sig[i] = min over shingles of
     xxhash64(shingle, i).
@@ -96,7 +113,7 @@ def minhash_signatures(
     )
     hashed = sh.select(
         id_col,
-        *[F.xxhash64("__shingle", F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
+        *[_hash64(F.col("__shingle"), i, hash_fn).alias(f"__h{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy(id_col).agg(
         F.array(*[F.min(f"__h{i}") for i in range(num_hashes)]).alias("sig")
@@ -186,9 +203,11 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash: bigint) — bit j set iff the majority of shingle hashes
-    have bit j set.
+    have bit j set. ``hash_fn="md5"`` uses the 60-bit portable hash (cap
+    ``bits`` at 60 for that path — see ``_hash64``).
 
     Explode-based like ``minhash_signatures``: one xxhash per shingle row,
     64 codegen'd ±1 sums in a single groupBy(id) (map-side combine), then a
@@ -197,7 +216,7 @@ def simhash(
     sh = ensure_min_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s"),
-    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    ).select(id_col, _hash64(F.col("__s"), 0, hash_fn).alias("__h"))
     counted = sh.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
