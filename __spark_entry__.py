@@ -787,7 +787,56 @@ def q_lsh_topk_embeddings(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.where(F.col("vec_id") < 5)
-    return lsh_bucketed_topk(emb, queries, k=5)
+    return lsh_bucketed_topk(emb, queries, k=5, dim=64)
+
+
+def _sql_lsh_topk_embeddings() -> str:
+    """The hyperplane matrices are driver-side literals, so the ENTIRE LSH
+    pipeline (bucket signatures → candidate union over 4 tables → exact
+    cosine → top-k) is reproducible in DuckDB by embedding the same
+    matrices as list literals — upgrading this from rows-only to
+    value-checked. Python float repr round-trips exactly, so both engines
+    evaluate sign(dot) on identical doubles."""
+    from vldt_spark.functions.similarity import _plane_matrix
+
+    def bucket(seed: int) -> str:
+        mat = _plane_matrix(8, 64, seed)
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {row!r}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(mat)
+        )
+
+    buckets = ",\n         ".join(
+        f"({bucket(42 * 101 + t)}) AS b{t}" for t in range(4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sig AS (
+  SELECT vec_id, emb,
+         {buckets}
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, emb AS qe, b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3
+      FROM sig WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id, c.emb, q.qe
+  FROM sig c JOIN q
+    ON (c.b0 = q.qb0 OR c.b1 = q.qb1 OR c.b2 = q.qb2 OR c.b3 = q.qb3)
+  WHERE c.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(emb, qe)
+               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+  FROM cand
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
 
 
 def q_ivf_topk_embeddings(spark, sf_dir):
@@ -1011,6 +1060,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
         # full-probe IVF has recall 1.0 → must equal the brute-force oracle
         "ivf_topk_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
+        # hyperplane matrices are literals → whole LSH pipeline in SQL
+        "lsh_topk_embeddings": _sql_lsh_topk_embeddings(),
         "streaming_event_verdicts": SQL_STREAMING_EVENT_VERDICTS,
         "streaming_dup_doc_ids": SQL_STREAMING_DUP_DOC_IDS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
