@@ -486,6 +486,39 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+def q_rolling_fp_documents(spark, sf_dir):
+    """Winnowing fingerprints (rolling polynomial hash over char k-grams,
+    window minima): per-doc set summary, integer-exact in both engines."""
+    from vldt_spark.functions.text import fingerprint_summary
+    from vldt_spark.plans.skew import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return fingerprint_summary(docs)
+
+
+SQL_ROLLING_FP_DOCUMENTS = r"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents
+), codes AS (
+  SELECT doc_id, [ascii(c) FOR c IN string_split(t, '')] AS cs FROM norm
+), grams AS (
+  SELECT doc_id,
+    [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]),
+                 (acc, c) -> (acc*257 + c) % 1000000007)
+     FOR i IN range(1, greatest(len(cs)-7, 1)+1)] AS hs
+  FROM codes
+), mins AS (
+  SELECT doc_id,
+    list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, greatest(len(hs)-3,1)+1)]) AS fps
+  FROM grams
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a,v) -> a+v) AS sum_fp
+FROM mins
+"""
+
+
 # portable-hash variants: the production minhash/simhash path hashes with
 # xxhash64 (absent in DuckDB → rows-only check); these run the SAME pipeline
 # with the 60-bit md5-prefix hash both engines compute identically, so the
@@ -1018,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_documents": q_text_quality_documents,
         "language_score_documents": q_language_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "rolling_fp_documents": q_rolling_fp_documents,
         "json_extract_events": q_json_extract_events,
         "timestamp_parse_events": q_timestamp_parse_events,
         "tojson_roundtrip_nation": q_tojson_roundtrip_nation,
@@ -1054,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,
         "language_score_documents": SQL_LANGUAGE_SCORE_DOCUMENTS,
         "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
+        "rolling_fp_documents": SQL_ROLLING_FP_DOCUMENTS,
         "json_extract_events": SQL_JSON_EXTRACT_EVENTS,
         "timestamp_parse_events": SQL_TIMESTAMP_PARSE_EVENTS,
         "tojson_roundtrip_nation": SQL_TOJSON_ROUNDTRIP_NATION,

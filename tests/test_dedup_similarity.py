@@ -158,3 +158,20 @@ def test_portable_md5_hash_matches_python(spark, corpus):
           simhash(corpus, bits=60, hash_fn="md5").collect()}
     assert sh["d0"] == sh["d1"]
     assert bin(sh["d0"] ^ sh["d2"]).count("1") <= 12
+
+
+def test_winnowing_fingerprints(spark, corpus):
+    from vldt_spark.functions.text import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(corpus)
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in fp.groupBy("doc_id").agg(F.collect_set("fingerprint").alias("fps")).collect()
+    }
+    # whitespace-normalized identical docs -> identical fingerprint sets
+    assert sets["d0"] == sets["d1"]
+    # one-word change shares most fingerprints (common k-char runs)
+    inter = len(sets["d0"] & sets["d2"])
+    assert inter / len(sets["d0"]) > 0.5
+    # unrelated docs share (almost) nothing
+    assert len(sets["d0"] & sets["d5"]) <= 1

@@ -95,6 +95,103 @@ def fingerprint(text: Column, *, nchars: int = 16) -> Column:
     return F.substring(F.md5(norm), 1, nchars)
 
 
+def _winnow_numpy(codes, k: int, window: int, base: int, mod: int):
+    """Winnowing over one doc's char codes (int64 array) — vectorized:
+    polynomial hash of all k-grams in k shifted passes, then
+    sliding-window minima. Integer-exact (acc < mod·base + 255 « 2^63)."""
+    import numpy as np
+
+    n = len(codes)
+    if n < k:
+        # single clamped gram over whatever chars exist (oracle parity:
+        # DuckDB's list slice clamps the same way)
+        acc = 0
+        for c in codes:
+            acc = (acc * base + int(c)) % mod
+        return np.array([acc], dtype=np.int64)
+    m = n - (k - 1)
+    h = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        h = (h * base + codes[j : j + m]) % mod
+    w = min(window, m)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(h, w).min(axis=1)
+    return np.unique(mins)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Winnowing fingerprints (MOSS-style rolling hash): polynomial hash of
+    every char k-gram of whitespace-normalized lowercase text, minimum of
+    each ``window`` consecutive hashes, deduplicated → one row per
+    (doc, fingerprint). Docs sharing a fingerprint share a k-char run.
+
+    A Catalyst-HOF formulation re-evaluates the codes array per gram
+    (alias inlining inside lambdas → O(n²) per doc); this is the textbook
+    case for an Arrow-vectorized pandas stage instead (B15): numpy does k
+    shifted multiply-add passes + sliding-window minima per batch, exact
+    int64 arithmetic — portable to the DuckDB oracle. Embarrassingly
+    parallel, no shuffle."""
+    import pandas as pd
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema[id_col].dataType, True),
+            T.StructField("fingerprint", T.LongType(), True),
+        ]
+    )
+
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                # mirror the SQL normalization exactly: space-only trim,
+                # whitespace-run collapse, lowercase, codepoint values
+                norm = ws.sub(" ", str(text or "").strip(" ")).lower()
+                codes = np.fromiter(map(ord, norm), dtype=np.int64, count=len(norm))
+                u = _winnow_numpy(codes, k, window, base, mod)
+                ids.extend([did] * len(u))
+                fps.extend(u.tolist())
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def fingerprint_summary(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Per-doc winnowing summary (count/min/max/sum of the fingerprint set)
+    — scalar columns that pin the whole set for oracle comparison."""
+    fp = winnowing_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, window=window)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+        F.sum("fingerprint").alias("sum_fp"),
+    )
+
+
 def tokenize_documents(
     docs: DataFrame,
     *,
