@@ -435,6 +435,41 @@ SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
 
+def q_ks_events_value(spark, sf_dir):
+    """Binned KS drift between click-events' and view-events' value
+    distributions (fixed bins: [0,450] in 20 steps, events' declared value
+    domain) — B7 companion to KL/PSI."""
+    from vldt_spark.checks.drift import histogram, ks_from_histograms
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view")
+    h_c = histogram(clicks, "value", bins=20, lo=0.0, hi=450.0)
+    h_v = histogram(views, "value", bins=20, lo=0.0, hi=450.0)
+    return ks_from_histograms(h_c, h_v)
+
+
+SQL_KS_EVENTS_VALUE = """
+WITH h AS (
+  SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin, event_type
+  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+), rc AS (
+  SELECT bin,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+  FROM h GROUP BY bin
+), c AS (
+  SELECT bin,
+         sum(nc) OVER (ORDER BY bin) AS cc,
+         sum(nv) OVER (ORDER BY bin) AS cv,
+         (SELECT sum(nc) FROM rc) AS tc,
+         (SELECT sum(nv) FROM rc) AS tv
+  FROM rc
+)
+SELECT round(max(abs(cc / tc - cv / tv)), 6) AS ks FROM c
+"""
+
+
 def q_dedup_exact_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from vldt_spark.functions.text import fingerprint
@@ -1040,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "histogram_events_value": q_histogram_events_value,
         "psi_documents_nchars": q_psi_documents_nchars,
+        "ks_events_value": q_ks_events_value,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1079,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_lineitem_verdicts": SQL_VALIDATE_LINEITEM_VERDICTS,
         "histogram_events_value": SQL_HISTOGRAM_EVENTS_VALUE,
         "psi_documents_nchars": SQL_PSI_DOCUMENTS_NCHARS,
+        "ks_events_value": SQL_KS_EVENTS_VALUE,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
         "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,

@@ -103,3 +103,22 @@ def test_schema_conformance(spark):
     rep2 = {r["field"]: r["status"] for r in schema_conformance(spark, bad, TokenSequence).collect()}
     assert rep2["tokens"] == "missing" and rep2["source"] == "missing"
     assert not conforms(spark, bad, TokenSequence)
+
+
+def test_ks_statistic_detects_shift(spark):
+    from vldt_spark.checks.drift import histogram, ks_from_histograms
+    from vldt_spark.sources.token_table import token_sequences, token_sequences_shifted
+
+    a = token_sequences(spark, 4000, seed=42, clean=True)
+    b = token_sequences(spark, 4000, seed=77, clean=True)
+    shifted = token_sequences_shifted(spark, 4000)
+    lo, hi = 0.0, 2048.0
+    ha = histogram(a, "n_tok", bins=20, lo=lo, hi=hi)
+    hb = histogram(b, "n_tok", bins=20, lo=lo, hi=hi)
+    hs = histogram(shifted, "n_tok", bins=20, lo=lo, hi=hi)
+    ks_same = ks_from_histograms(ha, hb).first()["ks"]
+    ks_drift = ks_from_histograms(ha, hs).first()["ks"]
+    assert 0.0 <= ks_same < 0.05  # same distribution, different seed
+    assert ks_drift > 0.08  # shifted token-length distribution
+    # identity: KS of a histogram with itself is exactly 0
+    assert ks_from_histograms(ha, ha).first()["ks"] == 0.0

@@ -88,6 +88,27 @@ def psi(h_ref: DataFrame, h_cur: DataFrame) -> float:
     return float(row["psi"])
 
 
+def ks_from_histograms(h_ref: DataFrame, h_cur: DataFrame) -> DataFrame:
+    """Binned Kolmogorov-Smirnov statistic: max |CDF_ref - CDF_cur| over
+    ordered bins. Exact KS needs a global sort of raw values (infeasible at
+    10^12 rows); the binned form runs entirely on the tiny histogram tables
+    — the window cumulative sum orders bin-cardinality rows, never data.
+    Returns a 1-row DataFrame (ks: double)."""
+    from pyspark.sql import Window
+
+    r = h_ref.groupBy("bin").agg(F.sum("n").alias("n_ref"))
+    c = h_cur.groupBy("bin").agg(F.sum("n").alias("n_cur"))
+    j = r.join(c, "bin", "full_outer").fillna(0, subset=["n_ref", "n_cur"])
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    j = j.crossJoin(F.broadcast(tot))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = j.select(
+        (F.sum("n_ref").over(w) / F.col("tr")).alias("cr"),
+        (F.sum("n_cur").over(w) / F.col("tc")).alias("cc"),
+    )
+    return cdf.agg(F.round(F.max(F.abs(F.col("cr") - F.col("cc"))), 6).alias("ks"))
+
+
 def drift_report(
     ref: DataFrame,
     cur: DataFrame,
