@@ -317,3 +317,72 @@ def test_model_validator_before(spark):
     df = spark.createDataFrame([(1, 10.0)], "bid long, total double")
     out = ValidationEngine(BatchValidated).annotate(df).first()
     assert out["total"] == 20.0
+
+
+# -- tests/test_vldt.py:469-502 — inheritance merges annotations --------------
+
+
+class BaseDoc(Model):
+    rid: int
+    title: str = Field(min_size=1)
+
+
+class ChildDoc(BaseDoc):
+    # re-annotating WITHOUT assigning a new Field keeps the parent's class
+    # attribute via MRO (reference: normal Python attribute lookup,
+    # vldt/models.py + tests/test_vldt.py:469-502)
+    title: str
+    # explicit re-assignment overrides
+    rid: int = Field(ge=100)
+    body: str = Field(not_null=True)
+
+
+def test_inheritance_merges_and_overrides(spark):
+    compiled = ChildDoc.__vldt_compile__()
+    names = [s.name for s in compiled.fields]
+    assert set(names) == {"rid", "title", "body"}
+    # parent's Field constraint inherited through MRO: empty title violates
+    v = viols_of(
+        spark, ChildDoc, [(101, "", "text")], "rid long, title string, body string"
+    )
+    assert ("title", "Expected at least 1 characters") in v
+    # child's explicit Field override wins: rid now needs >= 100
+    v2 = viols_of(
+        spark, ChildDoc, [(5, "t", "x")], "rid long, title string, body string"
+    )
+    assert ("rid", "Value out of range: expected >= 100") in v2
+    # child-added field is required
+    v3 = viols_of(spark, ChildDoc, [(101, "t", None)], "rid long, title string, body string")
+    assert ("body", "Missing required field") in v3
+    # fully valid child row
+    assert viols_of(spark, ChildDoc, [(101, "t", "x")], "rid long, title string, body string") == set()
+
+
+# -- tests/test_vldt.py:382-405 — forward references --------------------------
+
+
+class Tree(Model):
+    rid: int
+    label: str
+    child: Optional["TreeChild"] = None
+
+
+class TreeChild(Model):
+    label: str
+
+
+def test_forward_reference_resolves(spark):
+    import pyspark.sql.types as T
+
+    compiled = Tree.__vldt_compile__()
+    child_spec = [s for s in compiled.fields if s.name == "child"][0]
+    assert isinstance(child_spec.dtype, T.StructType)
+    schema = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("child", T.StructType([T.StructField("label", T.LongType())])),
+    ])
+    data = [(1, "root", (7,))]
+    v = viols_of(spark, Tree, data, schema)
+    # nested coercion through the forward-referenced model: int -> str is fine
+    assert v == set()
