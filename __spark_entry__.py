@@ -470,6 +470,41 @@ SELECT round(max(abs(cc / tc - cv / tv)), 6) AS ks FROM c
 """
 
 
+def q_psi_by_event_type(spark, sf_dir):
+    """Per-partition drift (north star wording): PSI of each event_type's
+    value distribution vs the whole table's — one (group, bin) aggregate."""
+    from vldt_spark.checks.drift import psi_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_by_group(ev, "value", "event_type", bins=20, lo=0.0, hi=450.0)
+
+
+SQL_PSI_BY_EVENT_TYPE = """
+WITH h AS (
+  SELECT event_type, CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), rh AS (
+  SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n_ref
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT g.event_type, rh.bin, rh.n_ref FROM (SELECT DISTINCT event_type FROM h) g CROSS JOIN rh
+), j AS (
+  SELECT grid.event_type, grid.bin, grid.n_ref, COALESCE(h.n, 0) AS n
+  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.bin = grid.bin
+), t AS (
+  SELECT j.*, sum(n) OVER (PARTITION BY event_type) AS tg,
+         (SELECT sum(n_ref) FROM rh) AS tr
+  FROM j
+)
+SELECT event_type,
+       round(sum(((n_ref / tr + 1e-9) - (n / tg + 1e-9))
+                 * ln((n_ref / tr + 1e-9) / (n / tg + 1e-9))), 6) AS psi
+FROM t GROUP BY event_type
+"""
+
+
 def q_dedup_exact_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from vldt_spark.functions.text import fingerprint
@@ -1076,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events_value": q_histogram_events_value,
         "psi_documents_nchars": q_psi_documents_nchars,
         "ks_events_value": q_ks_events_value,
+        "psi_by_event_type": q_psi_by_event_type,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1116,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_events_value": SQL_HISTOGRAM_EVENTS_VALUE,
         "psi_documents_nchars": SQL_PSI_DOCUMENTS_NCHARS,
         "ks_events_value": SQL_KS_EVENTS_VALUE,
+        "psi_by_event_type": SQL_PSI_BY_EVENT_TYPE,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
         "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,

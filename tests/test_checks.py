@@ -122,3 +122,26 @@ def test_ks_statistic_detects_shift(spark):
     assert ks_drift > 0.08  # shifted token-length distribution
     # identity: KS of a histogram with itself is exactly 0
     assert ks_from_histograms(ha, ha).first()["ks"] == 0.0
+
+
+def test_psi_by_group_flags_only_shifted_partition(spark):
+    """Per-partition drift: deterministic distributions — group 'same'
+    matches the reference exactly (PSI ~ 0), group 'shifted' is offset and
+    must cross the 0.1 drift bar."""
+    from pyspark.sql import functions as F
+
+    from vldt_spark.checks.drift import psi_by_group
+
+    ref = spark.range(20000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(20000).select(
+        F.lit("same").alias("g"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    shifted = spark.range(20000).select(
+        F.lit("shifted").alias("g"),
+        ((F.col("id") % 100) * 0.5 + 50).cast("double").alias("v"),
+    )
+    out = {r["g"]: r["psi"] for r in
+           psi_by_group(same.unionByName(shifted), "v", "g",
+                        bins=10, lo=0.0, hi=100.0, ref=ref).collect()}
+    assert out["same"] < 1e-6  # identical distribution -> PSI ~ 0
+    assert out["shifted"] > 0.1

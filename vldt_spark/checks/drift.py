@@ -109,6 +109,54 @@ def ks_from_histograms(h_ref: DataFrame, h_cur: DataFrame) -> DataFrame:
     return cdf.agg(F.round(F.max(F.abs(F.col("cr") - F.col("cc"))), 6).alias("ks"))
 
 
+def psi_by_group(
+    df: DataFrame,
+    col: str,
+    by: str,
+    *,
+    bins: int = 20,
+    lo: float,
+    hi: float,
+    ref: DataFrame | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-partition PSI (north star: per-partition drift histograms): each
+    ``by`` group's distribution of ``col`` vs the reference distribution
+    (default: the whole table). One histogram aggregate keyed (group, bin)
+    — output cardinality |groups| × bins regardless of row count; the PSI
+    reduction is a second tiny aggregate. Returns (by, psi)."""
+    w = (hi - lo) / bins
+    bin_col = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+
+    h = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(by), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rh = (
+        (ref if ref is not None else df)
+        .where(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    # grid = every (group, ref-bin) pair so empty bins contribute their eps
+    # terms identically in every engine
+    grid = h.select(by).distinct().crossJoin(rh)
+    j = grid.join(h, [by, "bin"], "left").fillna(0, subset=["n"])
+    tg = j.groupBy(by).agg(F.sum("n").alias("tg"))
+    tr = rh.agg(F.sum("n_ref").alias("tr"))
+    j = j.join(F.broadcast(tg), by).crossJoin(F.broadcast(tr))
+    p = F.col("n_ref") / F.col("tr") + F.lit(eps)
+    q = F.col("n") / F.col("tg") + F.lit(eps)
+    return (
+        j.groupBy(by)
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+    )
+
+
 def drift_report(
     ref: DataFrame,
     cur: DataFrame,
