@@ -964,7 +964,7 @@ def q_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return embedding_near_duplicates(emb, threshold=0.9)
+    return embedding_near_duplicates(emb, threshold=0.9, dim=64)
 
 
 # ---------------------------------------------------------------------------

@@ -82,9 +82,15 @@ def run_benchmarks(spark) -> dict[str, float]:
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
-    # flagship: full validation of the token table
+    # flagship: full validation of the token table.
+    # The token scan is memory-bandwidth-bound (wide int arrays): this host
+    # saturates around 12-16 concurrent scan tasks, beyond which tasks slow
+    # each other down (measured: 32-way 22s vs 12-way 3.1s on 1M rows).
+    # Capping scan concurrency is the local analogue of tuning executor
+    # cores per node on a real cluster.
+    scan_slots = int(os.environ.get("VLDT_BENCH_SCAN_SLOTS", str(min(12, CPUS))))
     tok_path = ensure_token_table(spark, TOKEN_ROWS)
-    toks = spark.read.parquet(tok_path)
+    toks = spark.read.parquet(tok_path).coalesce(scan_slots)
     dims = sources_dim(spark)
 
     def flagship():
