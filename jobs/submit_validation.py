@@ -70,7 +70,16 @@ def main(argv: list[str] | None = None) -> int:
     from vldt_spark.sources.token_table import sources_dim, token_sequences
 
     if args.synthetic:
-        df = token_sequences(spark, args.synthetic, seed=42)
+        # materialize partitioned by the ledger's partition column — the
+        # Iceberg-table shape the job is designed for. Each per-partition
+        # ledger run then PRUNES to its own files instead of re-generating
+        # and filtering the whole synthetic plan per partition.
+        inp = os.path.join(args.output, "_input")
+        if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+            token_sequences(spark, args.synthetic, seed=42).write.mode(
+                "overwrite"
+            ).partitionBy(args.partition_col).parquet(inp)
+        df = spark.read.parquet(inp)
     else:
         df = spark.read.parquet(args.input)
     dims = {
