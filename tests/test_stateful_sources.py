@@ -84,3 +84,57 @@ def test_read_csv_validated_corrupt_rows(spark, tmp_path):
     bad = df2.where(F.col("_corrupt_record").isNotNull())
     assert bad.count() == 1
     df2.unpersist()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in: lets the TTL/dup handler logic be unit
+    tested without driving ProcessingTimeTimeout through a real stream
+    (whose timeout-triggered batches never quiesce under the synchronous
+    processAllAvailable test driver)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_duplicate_tracker_handler_ttl_semantics():
+    """Handler-level TTL semantics: timeout -> state dropped, nothing
+    emitted; fresh key after expiry restarts the count at 1 (no dup)."""
+    import pandas as pd
+
+    from vldt_spark.streaming.stateful import _make_tracker
+
+    track = _make_tracker(state_ttl_ms=500)
+
+    # timeout invocation: drop state, emit nothing
+    st = _FakeState(value=(3,), timed_out=True)
+    assert list(track(("k1",), iter([]), st)) == []
+    assert st.removed and not st.exists
+
+    # key re-arrives after expiry: count restarts, no dup event, TTL re-armed
+    st2 = _FakeState()
+    out = list(track(("k1",), iter([pd.DataFrame({"key": ["k1"]})]), st2))
+    assert out == [] and st2.get == (1,) and st2.timeout_set == 500
+
+    # second arrival within TTL -> dup event with cumulative count
+    out2 = list(track(("k1",), iter([pd.DataFrame({"key": ["k1"]})]), st2))
+    assert len(out2) == 1 and out2[0]["n_seen"].iloc[0] == 2 and st2.get == (2,)

@@ -43,19 +43,11 @@ _DUP_OUTPUT = T.StructType(
 _DUP_STATE = T.StructType([T.StructField("count", T.LongType(), False)])
 
 
-def streaming_duplicate_keys(
-    stream_df: DataFrame,
-    key_col: str,
-    *,
-    state_ttl_ms: int | None = None,
-) -> DataFrame:
-    """Duplicate-key violation events over a stream.
-
-    Emits (key, n_seen, n_new) whenever a key's cumulative count exceeds 1 —
-    including duplicates split across micro-batches, which a per-batch
-    groupBy cannot see. ``n_seen`` is the cumulative count, ``n_new`` the
-    occurrences in this batch. Use outputMode("update") downstream.
-    """
+def _make_tracker(state_ttl_ms: int | None):
+    """The per-key state handler, separable for unit testing (a real
+    ProcessingTimeTimeout can't be driven deterministically through the
+    synchronous processAllAvailable test path — its timeout-triggered
+    batches never quiesce)."""
 
     def track(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -74,6 +66,23 @@ def streaming_duplicate_keys(
                 {"key": [key[0]], "n_seen": [total], "n_new": [n_new]}
             )
 
+    return track
+
+
+def streaming_duplicate_keys(
+    stream_df: DataFrame,
+    key_col: str,
+    *,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Duplicate-key violation events over a stream.
+
+    Emits (key, n_seen, n_new) whenever a key's cumulative count exceeds 1 —
+    including duplicates split across micro-batches, which a per-batch
+    groupBy cannot see. ``n_seen`` is the cumulative count, ``n_new`` the
+    occurrences in this batch. Use outputMode("update") downstream.
+    """
+    track = _make_tracker(state_ttl_ms)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_ttl_ms is not None
