@@ -79,3 +79,43 @@ def test_generator_deterministic_across_parallelism(spark):
     a = token_sequences(spark, 1000, seed=7, partitions=2)
     b = token_sequences(spark, 1000, seed=7, partitions=8)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_async_validators(spark):
+    """A21: async field/model validators — awaited batch-concurrently in
+    the Arrow UDF (reference tests/test_async_validators.py semantics:
+    same transform results as the sync path)."""
+    import asyncio
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+    from vldt_spark.validators import Mode, field_validator, model_validator
+
+    class AsyncUser(Model):
+        rid: int
+        email: str = Field(regex=r"^[^@ ]+@[^@ ]+$")
+        score: float
+
+        @field_validator("email", mode=Mode.BEFORE)
+        async def normalize_email(value):
+            await asyncio.sleep(0)  # stands in for an external call
+            return value.strip().lower() if value is not None else None
+
+        @model_validator(mode=Mode.AFTER)
+        async def boost(pdf):
+            await asyncio.sleep(0)
+            pdf["score"] = pdf["score"] * 2
+            return pdf
+
+    df = spark.createDataFrame(
+        [(1, "  Alice@Example.COM ", 1.5), (2, "bad email", 2.0)],
+        "rid long, email string, score double",
+    )
+    res = ValidationEngine(AsyncUser).run(df, id_cols=["rid"])
+    rows = {r["rid"]: r for r in res.annotated.collect()}
+    # BEFORE validator normalized the raw value, so the regex passes
+    assert rows[1]["email"] == "alice@example.com" and rows[1]["is_valid"]
+    assert not rows[2]["is_valid"]
+    # AFTER model validator transformed the batch
+    assert rows[1]["score"] == 3.0

@@ -220,7 +220,24 @@ class ValidationEngine:
             if fname not in schema:
                 continue
             ret_type = schema[fname]
-            if getattr(fn, "__vldt_vectorized__", True):
+            if getattr(fn, "__vldt_async__", False):
+                # A21: async field validator — one event loop per Arrow
+                # batch, values awaited concurrently (overlapping external
+                # calls), never per-row-blocking
+                async_fn = fn
+
+                def _wrap_async(s, _f=async_fn):
+                    import asyncio
+
+                    import pandas as pd
+
+                    async def _all():
+                        return await asyncio.gather(*[_f(v) for v in s])
+
+                    return pd.Series(asyncio.run(_all()), index=s.index)
+
+                udf = F.pandas_udf(_wrap_async, returnType=ret_type)
+            elif getattr(fn, "__vldt_vectorized__", True):
                 udf = F.pandas_udf(fn, returnType=ret_type)
             else:
                 scalar_fn = fn
@@ -242,7 +259,12 @@ class ValidationEngine:
         def _run(iterator):
             for pdf in iterator:
                 for fn in fns:
-                    pdf = fn(pdf)
+                    if getattr(fn, "__vldt_async__", False):
+                        import asyncio
+
+                        pdf = asyncio.run(fn(pdf))
+                    else:
+                        pdf = fn(pdf)
                 yield pdf
 
         return df.mapInPandas(_run, schema=schema)

@@ -41,7 +41,13 @@ def field_validator(field: str, *, mode: Mode = Mode.AFTER, vectorized: bool = T
         fn.__vldt_kind__ = "field"
         fn.__vldt_field__ = field
         fn.__vldt_mode__ = mode
-        fn.__vldt_vectorized__ = vectorized
+        # an async fn is per-value by definition: awaited batch-concurrently
+        # inside the Arrow UDF (A21 — the reference's async validators,
+        # /root/reference/vldt/validators.py:81-146, adapted to batches:
+        # one event loop per Arrow batch, asyncio.gather over its values,
+        # so N external calls overlap instead of serializing)
+        fn.__vldt_async__ = inspect.iscoroutinefunction(fn)
+        fn.__vldt_vectorized__ = vectorized and not fn.__vldt_async__
         return fn
 
     return deco
@@ -56,6 +62,7 @@ def model_validator(*, mode: Mode = Mode.AFTER):
             raise TypeError("model validator must take exactly one argument (the batch DataFrame)")
         fn.__vldt_kind__ = "model"
         fn.__vldt_mode__ = mode
+        fn.__vldt_async__ = inspect.iscoroutinefunction(fn)
         return fn
 
     return deco
