@@ -119,3 +119,30 @@ def test_async_validators(spark):
     assert not rows[2]["is_valid"]
     # AFTER model validator transformed the batch
     assert rows[1]["score"] == 3.0
+
+
+def test_errors_json_reference_protocol(spark):
+    """A16: the per-row error payload parses with the reference's
+    conftest protocol — json.loads -> {path: msg | [msgs]}, repeated paths
+    promoted to arrays."""
+    import json
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class M(Model):
+        rid: int
+        count: int = Field(ge=10, le=5)  # impossible range -> two violations
+        name: str
+
+    df = spark.createDataFrame(
+        [(1, 7, None), (2, 12, "ok")], "rid long, count long, name string"
+    )
+    res = ValidationEngine(M).run(df, id_cols=["rid"])
+    errs = {r["rid"]: json.loads(r["error"]) for r in res.errors_json().collect()}
+    # row 1: count violates BOTH bounds (array promotion) + name missing
+    assert isinstance(errs[1]["count"], list) and len(errs[1]["count"]) == 2
+    assert errs[1]["name"] == "Expected type str, got NoneType"
+    # row 2: single violation stays scalar
+    assert errs[2]["count"] == "Value out of range: expected <= 5"

@@ -67,6 +67,43 @@ class ValidationResult:
             *self.id_cols, F.col("v.path").alias("path"), F.col("v.msg").alias("msg")
         )
 
+    def errors_json(self) -> DataFrame:
+        """(id cols..., error: string) for invalid rows — the exact
+        reference ``TypeError`` payload (error_handling.hpp:109-118):
+        a JSON object ``{path: msg}`` where repeated paths promote to
+        ``[msgs]`` arrays, 2-space pretty-printed; ``json.loads(str(err))``
+        compatible (reference tests/conftest.py:4-13). Built in a pandas
+        stage over invalid rows only (violations are rare by design)."""
+        import json as _json
+
+        ids = self.id_cols
+        inv = self.invalid.select(*ids, "violations")
+        id_fields = [inv.schema[c] for c in ids]
+        out_schema = T.StructType(id_fields + [T.StructField("error", T.StringType(), True)])
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                errs = []
+                for v in pdf["violations"]:
+                    d: dict = {}
+                    for item in v:
+                        p, m = item["path"], item["msg"]
+                        if p in d:
+                            if isinstance(d[p], list):
+                                d[p].append(m)
+                            else:
+                                d[p] = [d[p], m]
+                        else:
+                            d[p] = m
+                    errs.append(_json.dumps(d, indent=2))
+                out = pdf[list(ids)].copy()
+                out["error"] = errs
+                yield out
+
+        return inv.mapInPandas(run, schema=out_schema)
+
     def verdicts(self, partition_cols: Iterable[str]) -> DataFrame:
         """Per-partition pass/fail verdicts — B11."""
         pc = list(partition_cols)
