@@ -89,7 +89,9 @@ class ValidationLedger:
             vdir = os.path.join(self.root, "violations", f"part={sval}")
             verdict.write.mode("overwrite").parquet(mdir)
             vio.write.mode("overwrite").parquet(vdir)
-            row = verdict.first()
+            # read the landed metrics back rather than re-running the
+            # verdict computation (one tiny scan vs a full partition pass)
+            row = df.sparkSession.read.parquet(mdir).first()
             metrics = {
                 "partition": sval,
                 "n_rows": row["n_rows"] if row else 0,
@@ -100,9 +102,13 @@ class ValidationLedger:
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             # marker written LAST → crash before this point re-runs the
-            # partition; overwrite above makes the re-run idempotent
-            with open(self._marker(sval), "w") as f:
+            # partition; overwrite above makes the re-run idempotent.
+            # temp-file + atomic rename: a crash mid-write must never leave
+            # a half-written marker that reads as "completed"
+            tmp = self._marker(sval) + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(metrics, f)
+            os.replace(tmp, self._marker(sval))
             out[sval] = metrics
         return out
 
