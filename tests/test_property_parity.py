@@ -78,3 +78,54 @@ def test_scalar_semantics_match_python_reference(spark, rows):
             f"row {rid}: input (count={c!r}, score={s!r}, name={n!r}) "
             f"spark={got.get(rid, set())} python={expect}"
         )
+
+
+class ListModel(Model):
+    rid: int
+    tokens: list[int] = Field(element_ge=0, element_le=100, min_size=1)
+
+
+def py_list_violations(rid, tokens):
+    """Reference container semantics: fail-fast per constraint with the
+    FIRST violating index's dotted path (validation_containers.cpp:92-95);
+    collect-all ACROSS constraints (data_model.cpp:197-211)."""
+    out = set()
+    if tokens is None:
+        out.add(("tokens", "Expected type list, got NoneType"))
+        return out
+    null_idx = next((i for i, x in enumerate(tokens) if x is None), None)
+    if null_idx is not None:
+        out.add((f"tokens.{null_idx}", "Expected type int, got NoneType"))
+    lo_idx = next((i for i, x in enumerate(tokens) if x is not None and x < 0), None)
+    if lo_idx is not None:
+        out.add((f"tokens.{lo_idx}", "Value out of range: expected >= 0"))
+    hi_idx = next((i for i, x in enumerate(tokens) if x is not None and x > 100), None)
+    if hi_idx is not None:
+        out.add((f"tokens.{hi_idx}", "Value out of range: expected <= 100"))
+    if len(tokens) < 1:
+        out.add(("tokens", "Expected at least 1 elements"))
+    return out
+
+
+elem_strat = st.one_of(st.none(), st.integers(-50, 150))
+tokens_strat = st.one_of(st.none(), st.lists(elem_strat, max_size=8))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(tokens_strat, min_size=1, max_size=15))
+def test_container_semantics_match_python_reference(spark, rows):
+    data = [(i, t) for i, t in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, tokens array<int>")
+    res = ValidationEngine(ListModel).run(df, id_cols=["rid"])
+    got = {}
+    for r in res.violations().collect():
+        got.setdefault(r["rid"], set()).add((r["path"], r["msg"]))
+    for rid, toks in data:
+        expect = py_list_violations(rid, toks)
+        assert got.get(rid, set()) == expect, (
+            f"row {rid}: tokens={toks!r} spark={got.get(rid, set())} python={expect}"
+        )

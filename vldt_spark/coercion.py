@@ -172,6 +172,37 @@ def _list_value(src, src_dtype, node, path, fld, truthy_bool):
     elem_dt = src_dtype.elementType
     viol_parts: list[Column] = []
 
+    fast_path = (
+        elem_dt == inner_target or inner.is_any or _lossless(elem_dt, inner_target)
+    )
+    if (
+        fast_path
+        and src_dtype.containsNull  # schema-proven null-free arrays skip it
+        and not inner.is_any
+        and not inner.is_optional
+        and not inner.is_model
+    ):
+        # None inside a container of non-optional elements errors in the
+        # reference (validate_list → validate_and_convert(None, T),
+        # validation_containers.cpp:61-99) — the fast-path branches below
+        # adopt the source array without per-element recursion (which would
+        # otherwise add the null check), so it lives here. exists() verdict
+        # first; the indexed path is built only on the rare violating rows.
+        first_null = F.array_position(
+            F.transform(src, lambda x: x.isNull()), F.lit(True)
+        )
+        indexed_null = F.array(
+            violation(
+                _sub(path, first_null - 1),
+                F.lit(expected_type_msg(inner.py_name, "NoneType")),
+            )
+        ).cast(VIOLATIONS_TYPE)
+        viol_parts.append(
+            F.when(
+                src.isNotNull() & F.exists(src, lambda x: x.isNull()), indexed_null
+            ).otherwise(empty_violations())
+        )
+
     if elem_dt == inner_target or inner.is_any:
         coerced = src
     elif _lossless(elem_dt, inner_target):
