@@ -84,6 +84,55 @@ FROM lineitem
 """
 
 
+def q_profile_lineitem(spark, sf_dir):
+    """column_profile in the gate: long-format per-column stats incl
+    mean/stddev — exact distinct mode so DuckDB can mirror it."""
+    from vldt_spark.checks.column_stats import column_profile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    prof = column_profile(li)
+    return prof.select(
+        "column",
+        "n",
+        "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round(F.col("min").cast("double"), 4).alias("min_v"),
+        F.round(F.col("max").cast("double"), 4).alias("max_v"),
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+    )
+
+
+SQL_PROFILE_LINEITEM = """
+WITH s AS (
+  SELECT 'l_quantity' AS column, count(*) AS n,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+         min(l_quantity) AS mn, max(l_quantity) AS mx,
+         avg(l_quantity) AS mean, stddev_pop(l_quantity) AS sd
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*),
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+         min(l_extendedprice), max(l_extendedprice),
+         avg(l_extendedprice), stddev_pop(l_extendedprice)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*),
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+         min(l_discount), max(l_discount),
+         avg(l_discount), stddev_pop(l_discount)
+  FROM lineitem
+)
+SELECT s.column, n, n_null,
+       round(CAST(n_null AS DOUBLE) / n, 6) AS null_rate,
+       round(mn, 4) AS min_v, round(mx, 4) AS max_v,
+       round(mean, 4) AS mean, round(sd, 4) AS stddev
+FROM s
+"""
+
+
 def q_nullrates_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
@@ -1098,6 +1147,7 @@ FROM documents WHERE doc_id < 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats_lineitem": q_colstats_lineitem,
+        "profile_lineitem": q_profile_lineitem,
         "nullrates_events": q_nullrates_events,
         "distinct_lineitem": q_distinct_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -1139,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
+        "profile_lineitem": SQL_PROFILE_LINEITEM,
         "nullrates_events": SQL_NULLRATES_EVENTS,
         "distinct_lineitem": SQL_DISTINCT_LINEITEM,
         "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
