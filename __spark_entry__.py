@@ -733,6 +733,36 @@ WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.3
 """
 
 
+def q_dedup_clusters_documents(spark, sf_dir):
+    """Near-dup clustering (connected components, min-label propagation)
+    over the exact n-gram Jaccard pairs — deterministic, so the whole
+    pair→cluster pipeline is value-checked against a recursive-CTE
+    transitive closure in DuckDB."""
+    from vldt_spark.functions.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return near_dup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS_DOCUMENTS = (
+    "WITH RECURSIVE pairs AS (\n"
+    + SQL_NGRAM_JACCARD_PAIRS  # nested WITH inside a CTE body is valid
+    + """
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1164,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_by_event_type": q_psi_by_event_type,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "minhash_portable_signatures": q_minhash_portable_signatures,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1206,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_by_event_type": SQL_PSI_BY_EVENT_TYPE,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
+        "dedup_clusters_documents": SQL_DEDUP_CLUSTERS_DOCUMENTS,
         "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,
         "simhash_portable_documents": SQL_SIMHASH_PORTABLE_DOCUMENTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,

@@ -175,3 +175,26 @@ def test_winnowing_fingerprints(spark, corpus):
     assert inter / len(sets["d0"]) > 0.5
     # unrelated docs share (almost) nothing
     assert len(sets["d0"] & sets["d5"]) <= 1
+
+
+def test_near_dup_clusters_and_dedup(spark, corpus):
+    from vldt_spark.functions.dedup import dedup_near, near_dup_clusters
+
+    # chain a-b-c plus a separate pair d-e: two components
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "id_a string, id_b string"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+    docs = spark.createDataFrame(
+        [(x, f"text {x}") for x in ["a", "b", "c", "d", "e", "solo"]],
+        "doc_id string, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_near(docs, pairs).collect())
+    assert kept == ["a", "d", "solo"]
+
+    # end-to-end: LSH pairs from the known-dup corpus -> d0/d1/d2 cluster
+    lsh_pairs = minhash_lsh_pairs(corpus, threshold=0.3)
+    cl = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(lsh_pairs).collect()}
+    assert cl["d0"] == cl["d1"] == cl["d2"] == "d0"

@@ -283,6 +283,85 @@ def simhash_near_pairs(
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
+# -- near-dup clustering -----------------------------------------------------
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs →
+    (doc_id, cluster_id) with cluster_id = min doc_id in the component —
+    the grouping step a dedup pipeline runs after MinHash/SimHash/Jaccard
+    pair generation.
+
+    Min-label propagation: each node repeatedly takes the smallest label
+    among itself and its neighbours; converges in O(diameter) rounds
+    (near-dup components are shallow — a handful of rounds in practice,
+    ``max_iters`` bounds adversarial chains). Each round is one join +
+    one aggregate on the PAIRS table (small relative to the corpus: only
+    docs that collided). At extreme component sizes switch to the
+    large-star/small-star formulation; the interface stays the same.
+    """
+    a = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        a.unionByName(a.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut the lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_near(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop near-duplicates: keep one representative (the min-id member)
+    per cluster; docs in no cluster survive untouched. The dropped-id set
+    is cluster-membership-sized (small) → broadcast anti-join, the corpus
+    never shuffles."""
+    clusters = near_dup_clusters(pairs, id_a=id_a, id_b=id_b)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
 # -- exact n-gram Jaccard ----------------------------------------------------
 
 
