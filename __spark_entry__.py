@@ -1038,12 +1038,52 @@ def q_ivf_topk_embeddings(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """The raw embeddings table has no near-duplicate pairs (max pairwise
+    cosine ≈ 0.51), so the corpus is augmented with deterministic scaled
+    copies of vec_id < 20 (cosine(v, c·v) = 1 and identical hyperplane
+    signs — guaranteed bucket collisions). The plane matrix is a literal,
+    so the whole detector is reproduced in SQL and value-checked."""
     from vldt_spark.functions.similarity import embedding_near_duplicates
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_near_duplicates(emb, threshold=0.9, dim=64)
+    copies = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        emb.unionByName(copies), threshold=0.9, dim=64
+    )
+
+
+def _sql_embedding_near_dups() -> str:
+    from vldt_spark.functions.similarity import _plane_matrix
+
+    mat = _plane_matrix(12, 64, 7)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {row!r}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(mat)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), e AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 100000, [x * 1.001 FOR x IN emb] FROM base WHERE vec_id < 20
+), sig AS (
+  SELECT vec_id, emb, ({bucket}) AS bucket FROM e
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)) > 0
+                    THEN list_dot_product(a.emb, b.emb)
+                         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+                    ELSE 0.0 END, 6) AS cosine
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1254,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
         # hyperplane matrices are literals → whole LSH pipeline in SQL
         "lsh_topk_embeddings": _sql_lsh_topk_embeddings(),
+        "embedding_near_dups": _sql_embedding_near_dups(),
         "streaming_event_verdicts": SQL_STREAMING_EVENT_VERDICTS,
         "streaming_dup_doc_ids": SQL_STREAMING_DUP_DOC_IDS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
