@@ -22,7 +22,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TOKEN_ROWS = int(os.environ.get("VLDT_BENCH_TOKEN_ROWS", "1000000"))
 # this VM's wall-clock varies 3-8× run-to-run under external interference;
 # best-of-N estimates steady-state (same policy as BENCH/BASELINE.md reps)
-REPS = int(os.environ.get("VLDT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("VLDT_BENCH_REPS", "3"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
