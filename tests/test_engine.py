@@ -146,3 +146,28 @@ def test_errors_json_reference_protocol(spark):
     assert errs[1]["name"] == "Expected type str, got NoneType"
     # row 2: single violation stays scalar
     assert errs[2]["count"] == "Value out of range: expected <= 5"
+
+
+def test_annotate_projection_cache_same_results(spark):
+    """Repeated annotate on same-shaped batches reuses the cached fused
+    projection; results are identical and the cache is schema-keyed."""
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class M(Model):
+        rid: int
+        v: int = Field(ge=0)
+
+    eng = ValidationEngine(M)
+    a = spark.createDataFrame([(1, 5), (2, -1)], "rid long, v long")
+    b = spark.createDataFrame([(3, -7)], "rid long, v long")
+    r1 = eng.annotate(a)
+    r2 = eng.annotate(b)
+    assert len(eng._proj_cache) == 1  # same schema -> one entry
+    assert [r["rid"] for r in r2.where(~r2.is_valid).collect()] == [3]
+    assert [r["rid"] for r in r1.where(~r1.is_valid).collect()] == [2]
+    # a different schema (string v -> coercion path) gets its own entry
+    c = spark.createDataFrame([(4, "8")], "rid long, v string")
+    assert eng.annotate(c).first()["v"] == 8
+    assert len(eng._proj_cache) == 2

@@ -133,16 +133,43 @@ class ValidationEngine:
     def __init__(self, model: type[Model]):
         self.model = model
         self.compiled: CompiledSchema = model.__vldt_compile__()
+        # fused-projection expression cache keyed by input schema: Columns
+        # are immutable expression trees, so re-validating same-shaped
+        # batches reuses them — the expression-level analogue of the
+        # reference's compile-once SchemaCache (schema.cpp:657-680).
+        # Building a wide model's checks costs seconds of driver-side py4j
+        # round-trips; the second batch costs zero.
+        self._proj_cache: dict[tuple, tuple] = {}
 
     # -- row-local fused pass -------------------------------------------------
 
     def annotate(self, df: DataFrame, *, keep_extra: bool = False) -> DataFrame:
         """Single projection producing coerced canonical columns +
         ``violations: array<struct<path,msg>>`` + ``is_valid``."""
-        cfg = self.compiled.config
         df = self._apply_model_validators(df, "model_before")
         df = self._apply_field_udfs(df, "field_before")
 
+        key = (df.schema.json(), keep_extra)
+        if key not in self._proj_cache:
+            self._proj_cache[key] = self._build_projection(df, keep_extra)
+        select_cols, violations_col = self._proj_cache[key]
+
+        out = df.select(*select_cols).withColumn("violations", violations_col).drop(
+            "__v0"
+        )
+        out = self._apply_field_udfs(out, "field_after")
+        out = out.withColumn("is_valid", F.size("violations") == 0)
+        out = self._apply_model_validators(out, "model_after")
+        return out
+
+    def _build_projection(
+        self, df: DataFrame, keep_extra: bool
+    ) -> tuple[list[Column], Column]:
+        """Build the fused-pass expressions for one input schema: the
+        select list (coerced canonical columns [+extras] + the merged
+        per-field violations as ``__v0``) and the final violations column
+        (``__v0`` + cross-field @checks)."""
+        cfg = self.compiled.config
         cols: list[Column] = []
         all_viols: list[Column] = []
         schema = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
@@ -199,29 +226,22 @@ class ValidationEngine:
         # cross-field @check constraints (B10) — evaluated on coerced values
         model_names = [s.name for s in self.compiled.fields]
         proxy = Cols(model_names)
-        projected = df.select(
+        select_cols = [
             *cols,
             *(
-                [c for c in df.columns if c not in model_names]
+                [F.col(c) for c in df.columns if c not in model_names]
                 if keep_extra
                 else []
             ),
             merge_violations(*all_viols).alias("__v0"),
-        )
+        ]
         check_viols: list[Column] = [F.col("__v0")]
         for fn in self.compiled.validators["checks"]:
             pred = fn(proxy)
             name = fn.__vldt_check_name__
             msg = fn.__vldt_check_message__ or f"Check failed: {name}"
             check_viols.append(violation_if(~F.coalesce(pred, F.lit(False)), name, msg))
-
-        out = projected.withColumn("violations", merge_violations(*check_viols)).drop(
-            "__v0"
-        )
-        out = self._apply_field_udfs(out, "field_after")
-        out = out.withColumn("is_valid", F.size("violations") == 0)
-        out = self._apply_model_validators(out, "model_after")
-        return out
+        return select_cols, merge_violations(*check_viols)
 
     # -- validator UDF stages (A17-A20, B15): Arrow-vectorized only ----------
 
