@@ -15,6 +15,7 @@ both engines so the order-insensitive value hash is stable.
 from __future__ import annotations
 
 import datetime
+import functools
 import os
 import sys
 from typing import Optional
@@ -347,6 +348,7 @@ _LI_CONSTRAINT_SQL = """
 """
 
 
+@functools.lru_cache(maxsize=None)
 def _lineitem_model():
     from vldt_spark.fields import Field
     from vldt_spark.model import Model
@@ -375,11 +377,16 @@ def _lineitem_model():
     return LineitemModel
 
 
-def q_validate_lineitem_verdicts(spark, sf_dir):
+@functools.lru_cache(maxsize=None)
+def _engine(model):
     from vldt_spark.engine import ValidationEngine
 
+    return ValidationEngine(model)
+
+
+def q_validate_lineitem_verdicts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    res = ValidationEngine(_lineitem_model()).run(li, id_cols=["l_orderkey"])
+    res = _engine(_lineitem_model()).run(li, id_cols=["l_orderkey"])
     return res.verdicts(["l_returnflag"])
 
 
@@ -399,7 +406,7 @@ def q_validate_lineitem_violations(spark, sf_dir):
     from vldt_spark.engine import ValidationEngine
 
     li = _t(spark, sf_dir, "lineitem")
-    res = ValidationEngine(_lineitem_model()).run(li, id_cols=["l_orderkey", "l_linenumber"])
+    res = _engine(_lineitem_model()).run(li, id_cols=["l_orderkey", "l_linenumber"])
     return res.violations()
 
 
@@ -1104,6 +1111,7 @@ _EV_CONSTRAINT_SQL = """
 """
 
 
+@functools.lru_cache(maxsize=None)
 def _event_model():
     from typing import Optional
 

@@ -30,9 +30,16 @@ class TokenSequence(Model):
         return F.size(cols.tokens) == cols.n_tok
 
 
+_ENGINE: ValidationEngine | None = None
+
+
 def validate_token_table(
     df: DataFrame, sources_dim: DataFrame | None = None
 ) -> ValidationResult:
-    engine = ValidationEngine(TokenSequence)
+    global _ENGINE
+    if _ENGINE is None:
+        # one engine per process: the fused-projection expression cache
+        # then persists across batches (compile-once, engine.py)
+        _ENGINE = ValidationEngine(TokenSequence)
     dims = {"sources": sources_dim} if sources_dim is not None else None
-    return engine.run(df, id_cols=["doc_id"], dims=dims)
+    return _ENGINE.run(df, id_cols=["doc_id"], dims=dims)
