@@ -740,6 +740,39 @@ WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.3
 """
 
 
+def q_top_docs_by_quality(spark, sf_dir):
+    """Top-k corpus sampling by quality score (sorts/limits/top-k over the
+    training-data ops): Spark plans this as TakeOrderedAndProject — a
+    per-partition top-k then a single k-row merge, never a global sort."""
+    from vldt_spark.functions.text import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text_quality(F.col("text")).alias("quality"))
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_TOP_DOCS_BY_QUALITY = """
+WITH q AS (
+  SELECT doc_id,
+         round(
+           0.4 * (length(regexp_replace(trim(text), '[^A-Za-z ]', '', 'g'))
+                  / greatest(length(trim(text)), 1))
+         + 0.4 * (CASE WHEN
+                    (length(trim(text)) / greatest(
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))
+                    BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+         + 0.2 * (CASE WHEN regexp_matches(trim(text), '[.!?"'']$') THEN 1.0 ELSE 0.0 END),
+         6) AS quality
+  FROM documents
+)
+SELECT doc_id, quality FROM q ORDER BY quality DESC, doc_id LIMIT 20
+"""
+
+
 def q_dedup_clusters_documents(spark, sf_dir):
     """Near-dup clustering (connected components, min-label propagation)
     over the exact n-gram Jaccard pairs — deterministic, so the whole
@@ -1250,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "token_count_documents": q_token_count_documents,
         "text_quality_documents": q_text_quality_documents,
+        "top_docs_by_quality": q_top_docs_by_quality,
         "language_score_documents": q_language_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "rolling_fp_documents": q_rolling_fp_documents,
@@ -1291,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
         "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,
+        "top_docs_by_quality": SQL_TOP_DOCS_BY_QUALITY,
         "language_score_documents": SQL_LANGUAGE_SCORE_DOCUMENTS,
         "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
         "rolling_fp_documents": SQL_ROLLING_FP_DOCUMENTS,

@@ -198,3 +198,27 @@ def test_near_dup_clusters_and_dedup(spark, corpus):
     lsh_pairs = minhash_lsh_pairs(corpus, threshold=0.3)
     cl = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(lsh_pairs).collect()}
     assert cl["d0"] == cl["d1"] == cl["d2"] == "d0"
+
+
+def test_ivf_recall_at_realistic_nprobe(spark):
+    """IVF with nprobe < n_centroids trades recall for bounded probing;
+    recall@5 against the exact brute force must stay useful (> 0.5)."""
+    from vldt_spark.functions.similarity import cosine_topk_bruteforce, ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=3, iters=2, dim=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, recall
