@@ -773,6 +773,39 @@ SELECT doc_id, quality FROM q ORDER BY quality DESC, doc_id LIMIT 20
 """
 
 
+def q_stratified_cap_documents(spark, sf_dir):
+    """Deterministic per-domain cap (at most 30 docs per source, chosen by
+    portable hash rank) + the hash-fraction sample count — reproducible on
+    any partitioning, value-checked in DuckDB."""
+    from vldt_spark.functions.sampling import deterministic_sample, stratified_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = stratified_cap(docs, "source", 30, "doc_id", hash_fn="md5")
+    sampled = deterministic_sample(docs, 0.25, "doc_id", hash_fn="md5")
+    per_source = capped.groupBy("source").agg(F.count(F.lit(1)).alias("n_capped"))
+    return per_source.crossJoin(
+        F.broadcast(sampled.agg(F.count(F.lit(1)).alias("n_sampled")))
+    ).orderBy("source")
+
+
+SQL_STRATIFIED_CAP_DOCUMENTS = """
+WITH h AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+), ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY hv % 1000000000, doc_id) AS rk
+  FROM h
+), capped AS (
+  SELECT source, count(*) AS n_capped FROM ranked WHERE rk <= 30 GROUP BY source
+), sampled AS (
+  SELECT count(*) AS n_sampled FROM h WHERE hv % 1000000 < 250000
+)
+SELECT c.source, c.n_capped, s.n_sampled FROM capped c CROSS JOIN sampled s
+"""
+
+
 def q_dedup_clusters_documents(spark, sf_dir):
     """Near-dup clustering (connected components, min-label propagation)
     over the exact n-gram Jaccard pairs — deterministic, so the whole
@@ -1276,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "stratified_cap_documents": q_stratified_cap_documents,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "minhash_portable_signatures": q_minhash_portable_signatures,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1320,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
         "dedup_clusters_documents": SQL_DEDUP_CLUSTERS_DOCUMENTS,
+        "stratified_cap_documents": SQL_STRATIFIED_CAP_DOCUMENTS,
         "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,
         "simhash_portable_documents": SQL_SIMHASH_PORTABLE_DOCUMENTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,

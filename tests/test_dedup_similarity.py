@@ -222,3 +222,23 @@ def test_ivf_recall_at_realistic_nprobe(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.5, recall
+
+
+def test_deterministic_sampling_is_partition_invariant(spark):
+    """The same rows are chosen regardless of partitioning/cluster layout —
+    the property df.sample() lacks and resumable pipelines need."""
+    from vldt_spark.functions.sampling import deterministic_sample, stratified_cap
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("source")
+    )
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in
+          deterministic_sample(docs.repartition(13), 0.3, "doc_id").collect()}
+    assert s1 == s2
+    assert 0.25 < len(s1) / 2000 < 0.35  # close to the requested fraction
+
+    c1 = {r["doc_id"] for r in stratified_cap(docs, "source", 10, "doc_id").collect()}
+    c2 = {r["doc_id"] for r in
+          stratified_cap(docs.repartition(13), "source", 10, "doc_id").collect()}
+    assert c1 == c2 and len(c1) == 70  # 7 groups x 10

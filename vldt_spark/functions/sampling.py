@@ -1,0 +1,63 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` draws from a per-partition RNG: results change with
+partitioning, retries, and cluster size — useless for reproducible corpus
+construction or resumable jobs. These operators key every decision off a
+hash of a stable row key instead, so the same row makes the same decision
+on any cluster, any partitioning, any retry:
+
+  * deterministic_sample — keep a fraction (hash(key) mod M < frac·M)
+  * stratified_cap       — at most n rows per group, chosen by hash rank
+                           (caps hot domains in a web corpus; the window
+                           partitions by group, never a global sort)
+
+``hash_fn="md5"`` uses the portable 60-bit md5-prefix hash (see
+functions/dedup._hash64) so the oracle gate value-checks both operators
+against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vldt_spark.functions.dedup import _hash64
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    *,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by the row's key hash alone.
+    One scan, no shuffle, no RNG state; filter pushes down to the scan
+    when the key is a stored column."""
+    m = 1_000_000
+    h = F.pmod(_hash64(F.col(key_col).cast("string"), seed, hash_fn), F.lit(m))
+    return df.where(h < int(fraction * m))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    *,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """At most ``n_per_group`` rows per group, selected by ascending key
+    hash (a deterministic uniform draw). The window partitions by group —
+    the shuffle key is the group column; per-reducer load is bounded by
+    group size, and a WindowGroupLimit keeps only n rows per partition
+    before the exchange on Spark 4."""
+    h = F.pmod(_hash64(F.col(key_col).cast("string"), seed, hash_fn), F.lit(1_000_000_000))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )
