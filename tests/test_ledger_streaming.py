@@ -76,3 +76,25 @@ def test_streaming_matches_batch(spark, tmp_path):
     batch_invalid = batch.filter(~F.col("is_valid")).count()
     assert stream_totals["r"] == 3000
     assert stream_totals["i"] == batch_invalid
+
+
+def test_quarantine_sink_routes_and_reconciles(spark, tmp_path):
+    """Valid rows -> data/, invalid rows + violation lineage -> quarantine/;
+    counts reconcile with the input (write-audit-publish)."""
+    import json
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.sources.quarantine import reconcile, write_quarantined
+
+    toks = token_sequences(spark, 3000, seed=42)
+    res = ValidationEngine(TokenSequence).run(toks, id_cols=["doc_id"])
+    root = str(tmp_path / "q")
+    stats = write_quarantined(res, root, partition_col="source")
+    assert stats["n_valid"] > 0 and stats["n_quarantined"] > 0
+    assert reconcile(spark, root, toks.count())
+    # quarantined rows carry parseable violation lineage + original values
+    q = spark.read.parquet(root + "/quarantine")
+    row = q.first()
+    v = json.loads(row["violations_json"])
+    assert v and all("path" in e and "msg" in e for e in v)
+    assert "tokens" in q.columns and "doc_id" in q.columns
