@@ -134,6 +134,46 @@ FROM s
 """
 
 
+def q_colstats_by_event_type(spark, sf_dir):
+    """Per-partition column stats (north star): one grouped aggregate,
+    output = |groups| x |columns| rows."""
+    from vldt_spark.checks.column_stats import column_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    out = column_stats(ev, ["value", "user_id"], approx_distinct=False, by="event_type")
+    return out.select(
+        "event_type",
+        "column",
+        "n",
+        "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round(F.col("min").cast("double"), 4).alias("min_v"),
+        F.round(F.col("max").cast("double"), 4).alias("max_v"),
+        "n_distinct",
+    )
+
+
+SQL_COLSTATS_BY_EVENT_TYPE = """
+WITH s AS (
+  SELECT event_type, 'value' AS column, count(*) AS n,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+         min(value) AS mn, max(value) AS mx,
+         count(DISTINCT value) AS n_distinct
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 'user_id', count(*),
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+         min(user_id), max(user_id), count(DISTINCT user_id)
+  FROM events GROUP BY event_type
+)
+SELECT event_type, s.column, n, n_null,
+       round(CAST(n_null AS DOUBLE) / n, 6) AS null_rate,
+       round(CAST(mn AS DOUBLE), 4) AS min_v, round(CAST(mx AS DOUBLE), 4) AS max_v,
+       n_distinct
+FROM s
+"""
+
+
 def q_nullrates_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
@@ -1292,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats_lineitem": q_colstats_lineitem,
         "profile_lineitem": q_profile_lineitem,
+        "colstats_by_event_type": q_colstats_by_event_type,
         "nullrates_events": q_nullrates_events,
         "distinct_lineitem": q_distinct_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -1337,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
+        "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,
         "nullrates_events": SQL_NULLRATES_EVENTS,
         "distinct_lineitem": SQL_DISTINCT_LINEITEM,
         "quantiles_lineitem": SQL_QUANTILES_LINEITEM,

@@ -25,13 +25,18 @@ def column_stats(
     *,
     approx_distinct: bool = True,
     rsd: float = 0.02,
+    by: str | None = None,
 ) -> DataFrame:
     """Long-format profile: one row per column with
     (column, n, n_null, null_rate, min, max, n_distinct).
 
+    ``by`` adds a grouping column — per-PARTITION column stats (north
+    star) in the same single grouped aggregate; output cardinality is
+    |groups| × |columns| regardless of row count.
+
     min/max stringified so heterogeneous column types fit one result schema.
     """
-    cols = list(columns) if columns else df.columns
+    cols = list(columns) if columns else [c for c in df.columns if c != by]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
@@ -49,7 +54,7 @@ def column_stats(
             aggs.append(F.approx_count_distinct(c, rsd).alias(f"__nd_{c}"))
         else:
             aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
-    wide = df.agg(*aggs)
+    wide = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
     # unpivot driver-side schema manipulation: stack the per-column triples
     stacked = []
     for c in cols:
@@ -64,7 +69,10 @@ def column_stats(
                 F.col(f"__nd_{c}").alias("n_distinct"),
             )
         )
-    return wide.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
+    keys = [F.col(by)] if by else []
+    return wide.select(*keys, F.explode(F.array(*stacked)).alias("s")).select(
+        *([by] if by else []), "s.*"
+    )
 
 
 def numeric_quantiles(
