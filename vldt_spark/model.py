@@ -139,11 +139,11 @@ class Model(metaclass=ModelMeta):
                 # plain class attribute is the default (schema.cpp:442-446)
                 fld = Field(default=raw)
             specs.append(FieldSpec(name=fname, node=compile_type(ann), field=fld))
+        # every StructField is nullable on purpose: required-ness is a
+        # CHECK (violation row), not a schema rejection — a non-nullable
+        # field would make Spark error on read instead of quarantining
         struct = T.StructType(
-            [
-                T.StructField(s.name, s.dtype, nullable=not s.required or s.node.is_optional or True)
-                for s in specs
-            ]
+            [T.StructField(s.name, s.dtype, nullable=True) for s in specs]
         )
         compiled = CompiledSchema(
             fields=specs,
