@@ -98,3 +98,46 @@ def test_quarantine_sink_routes_and_reconciles(spark, tmp_path):
     v = json.loads(row["violations_json"])
     assert v and all("path" in e and "msg" in e for e in v)
     assert "tokens" in q.columns and "doc_id" in q.columns
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Per-window streaming PSI: a clean-day window scores low, a shifted-
+    distribution day scores high — matching the batch PSI semantics."""
+    from vldt_spark.checks.drift import histogram, psi
+    from vldt_spark.streaming.drift_stream import run_drift_monitor
+
+    src = str(tmp_path / "drift_src")
+    # day 1: values uniform 0..99 (same as reference); day 2: shifted +50
+    day1 = spark.range(5000).select(
+        F.lit("2026-01-01 10:00:00").cast("timestamp").alias("ts"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    day2 = spark.range(5000).select(
+        F.lit("2026-01-02 10:00:00").cast("timestamp").alias("ts"),
+        ((F.col("id") % 100) * 0.5 + 50).cast("double").alias("v"),
+    )
+    day1.unionByName(day2).coalesce(2).write.parquet(src)
+
+    ref = spark.range(20000).select((F.col("id") % 100).cast("double").alias("v"))
+    ref_hist = histogram(ref, "v", bins=10, lo=0.0, hi=100.0)
+
+    q = run_drift_monitor(
+        spark, src, ref_hist, "v", "ts", bins=10, lo=0.0, hi=100.0,
+        window="1 day", query_name="t_drift_stream",
+    )
+    # append mode: windows emit once the watermark passes their end —
+    # advance it with two later sentinel batches appended to the source
+    for day in ["2026-01-05", "2026-01-06"]:
+        spark.range(1).select(
+            F.lit(day + " 10:00:00").cast("timestamp").alias("ts"),
+            F.lit(1.0).alias("v"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+    rows = {str(r["window_start"])[:10]: r["psi"] for r in spark.table("t_drift_stream").collect()}
+    assert rows["2026-01-01"] < 1e-6  # identical distribution
+    assert rows["2026-01-02"] > 0.1  # shifted -> drifted
+
+    # per-window streaming PSI == the batch psi() on the same slice
+    batch_psi = psi(ref_hist, histogram(day2, "v", bins=10, lo=0.0, hi=100.0))
+    assert abs(rows["2026-01-02"] - round(batch_psi, 6)) < 1e-4

@@ -3,5 +3,18 @@ from vldt_spark.streaming.validate_stream import (
     stream_verdicts,
     windowed_violation_counts,
 )
+from vldt_spark.streaming.stateful import (
+    streaming_duplicate_keys,
+    run_duplicate_monitor,
+)
+from vldt_spark.streaming.drift_stream import stream_psi, run_drift_monitor
 
-__all__ = ["validated_stream", "stream_verdicts", "windowed_violation_counts"]
+__all__ = [
+    "validated_stream",
+    "stream_verdicts",
+    "windowed_violation_counts",
+    "streaming_duplicate_keys",
+    "run_duplicate_monitor",
+    "stream_psi",
+    "run_drift_monitor",
+]

@@ -1,0 +1,128 @@
+"""Continuous distribution-drift monitoring (streaming B7).
+
+Per event-time window: bin the monitored column, count per (window, bin)
+(stateful agg #1), stream-static join the reference histogram (stateless),
+then reduce to one PSI per window (stateful agg #2 — chained time-window
+aggregations are supported with watermarks on Spark 3.5+). Output is one
+row per closed window: the same PSI number the batch check produces,
+continuously.
+
+State is bounded: |windows in flight| × bins rows for the first agg,
+|windows| for the second; the reference histogram is a broadcast-sized
+static table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bin_col(col: Column, *, bins: int, lo: float, hi: float) -> Column:
+    """Same fixed-width binning as checks/drift.histogram — one formula for
+    batch and stream keeps the PSI numbers comparable."""
+    w = (hi - lo) / bins
+    return F.least(
+        F.greatest(F.floor((col - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+
+
+def stream_psi(
+    stream_df: DataFrame,
+    ref_hist: DataFrame,
+    value_col: str,
+    ts_col: str,
+    *,
+    bins: int,
+    lo: float,
+    hi: float,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-window PSI of ``value_col``'s distribution vs ``ref_hist``
+    (a static (bin, n_ref) table, e.g. from checks/drift.histogram).
+
+    Returns a streaming DataFrame (window_start, window_end, n_rows, psi);
+    use append mode — rows emit when the watermark closes the window.
+
+    The reference is STATIC, so its per-bin probabilities are embedded as
+    driver-side literals — the whole PSI reduction then fits in ONE chained
+    aggregation (window×bin counts → per-window map → literal-vs-map PSI
+    expression), avoiding the stream-stream join Spark forbids after
+    aggregation."""
+    ref_rows = ref_hist.groupBy("bin").agg(F.sum("n").alias("n_ref")).collect()
+    ref_tot = float(sum(r["n_ref"] for r in ref_rows)) or 1.0
+    ref_p = {int(r["bin"]): r["n_ref"] / ref_tot for r in ref_rows}
+
+    binned = (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(ts_col),
+            bin_col(F.col(value_col), bins=bins, lo=lo, hi=hi).alias("bin"),
+        )
+    )
+    win_hist = binned.groupBy(F.window(F.col(ts_col), window), F.col("bin")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    # chained time-window aggregation (Spark 3.5+): re-window on the event
+    # time of the first window so the watermark propagates downstream
+    per_win = win_hist.groupBy(
+        F.window(F.window_time(F.col("window")), window).alias("window")
+    ).agg(
+        F.sum("n_cur").alias("n_rows"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bin"), F.col("n_cur")))
+        ).alias("m"),
+    )
+    tc = F.col("n_rows").cast("double")
+    terms = []
+    for b in range(bins):
+        p = ref_p.get(b, 0.0) + eps
+        q = F.coalesce(F.col("m").getItem(b), F.lit(0)).cast("double") / tc + eps
+        terms.append((F.lit(p) - q) * F.log(F.lit(p) / q))
+    psi_expr = terms[0]
+    for t in terms[1:]:
+        psi_expr = psi_expr + t
+    return per_win.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_rows",
+        F.round(psi_expr, 6).alias("psi"),
+    )
+
+
+def run_drift_monitor(
+    spark,
+    source_dir: str,
+    ref_hist: DataFrame,
+    value_col: str,
+    ts_col: str,
+    *,
+    bins: int,
+    lo: float,
+    hi: float,
+    window: str = "1 day",
+    schema=None,
+    query_name: str = "vldt_stream_drift",
+) -> DataFrame:
+    """Drive a parquet-directory stream through the drift monitor (memory
+    sink, APPEND mode — chained stateful aggregations require it; a window
+    emits once the watermark passes its end) and return the per-window PSI
+    table. The caller advances the watermark past the windows of interest
+    (e.g. a later batch of fresh data) before reading results."""
+    schema = schema or spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = stream_psi(
+        stream, ref_hist, value_col, ts_col, bins=bins, lo=lo, hi=hi, window=window
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
