@@ -274,6 +274,28 @@ def q_unique_orderkeys(spark, sf_dir):
     return duplicate_keys(o, "o_orderkey")
 
 
+def q_uniqueness_report_lineitem(spark, sf_dir):
+    """One-row uniqueness summary (B5 report shape): totals + dup-key and
+    dup-row counts from the salted two-stage aggregate."""
+    from vldt_spark.checks.uniqueness import uniqueness_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return uniqueness_report(li, "l_orderkey")
+
+
+SQL_UNIQUENESS_REPORT_LINEITEM = """
+WITH d AS (
+  SELECT l_orderkey, count(*) AS n_dups
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+  GROUP BY l_orderkey HAVING count(*) > 1
+)
+SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+       (SELECT count(l_orderkey) FROM lineitem) AS n_nonnull,
+       (SELECT count(*) FROM d) AS n_dup_keys,
+       (SELECT coalesce(sum(n_dups), 0) FROM d) AS n_dup_rows
+"""
+
+
 SQL_UNIQUE_ORDERKEYS = """
 SELECT o_orderkey, count(*) AS n_dups
 FROM orders WHERE o_orderkey IS NOT NULL
@@ -1338,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_lineitem": q_quantiles_lineitem,
         "dup_keys_lineitem": q_dup_keys_lineitem,
         "unique_orderkeys": q_unique_orderkeys,
+        "uniqueness_report_lineitem": q_uniqueness_report_lineitem,
         "ri_lineitem_orders": q_ri_lineitem_orders,
         "ri_customer_allowed_nations": q_ri_customer_allowed_nations,
         "range_checks_lineitem": q_range_checks_lineitem,
@@ -1384,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
+        "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,
         "ri_lineitem_orders": SQL_RI_LINEITEM_ORDERS,
         "ri_customer_allowed_nations": SQL_RI_CUSTOMER_ALLOWED_NATIONS,
         "range_checks_lineitem": SQL_RANGE_CHECKS_LINEITEM,

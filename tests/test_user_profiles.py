@@ -183,3 +183,24 @@ def test_corrupt_json_becomes_violation(spark):
     rows = parsed.select("id", "_corrupt_record").collect()
     corrupt = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(corrupt) == 1  # malformed row → violation, not an exception
+
+
+def test_to_json_custom_serializer_hook(spark):
+    """A25/A23: the per-column serializer hook is consulted before the
+    default encoding (reference Config(json_serializer={type: fn}),
+    json_utils.cpp:53-148) — here a date-format override."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from vldt_spark.sources.readers import to_json_rows
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-14 15:09:26")], "rid long, registered_at string"
+    ).withColumn("registered_at", F.to_timestamp("registered_at"))
+    js = to_json_rows(
+        df,
+        serializers={"registered_at": lambda c: F.date_format(c, "yyyy/MM/dd")},
+    )
+    out = json.loads(js.first()["json"])
+    assert out == {"rid": 1, "registered_at": "2024/03/14"}
