@@ -41,6 +41,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from vldt_spark.plans.skew import aqe_skew_conf
 
+    owns_session = SparkSession.getActiveSession() is None
     b = SparkSession.builder.appName("vldt_spark_stream")
     if args.master:
         b = b.master(args.master)
@@ -99,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
         v_q.start()
         x_q.start()
         spark.streams.awaitAnyTermination()
-    spark.stop()
+    if owns_session:  # never tear down a caller-owned session (test reuse)
+        spark.stop()
     return 0
 
 

@@ -141,3 +141,28 @@ def test_streaming_drift_monitor(spark, tmp_path):
     # per-window streaming PSI == the batch psi() on the same slice
     batch_psi = psi(ref_hist, histogram(day2, "v", bins=10, lo=0.0, hi=100.0))
     assert abs(rows["2026-01-02"] - round(batch_psi, 6)) < 1e-4
+
+
+def test_stream_job_resumes_exactly_once(spark, tmp_path):
+    """Kill-and-resubmit semantics: a second --once run with the same
+    checkpoint processes ONLY files that arrived after the first run —
+    no double-counting in either sink."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.submit_stream import main as stream_main
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    token_sequences(spark, 2000, seed=42).coalesce(1).write.parquet(src)
+    assert stream_main(["--input", src, "--output", out, "--once"]) == 0
+    v1 = spark.read.parquet(out + "/verdicts")
+    total1 = v1.agg(F.sum("n_rows")).first()[0]
+    assert total1 == 2000
+
+    # new data arrives; resubmit with the same checkpoint
+    token_sequences(spark, 500, seed=7).coalesce(1).write.mode("append").parquet(src)
+    assert stream_main(["--input", src, "--output", out, "--once"]) == 0
+    v2 = spark.read.parquet(out + "/verdicts")
+    assert v2.agg(F.sum("n_rows")).first()[0] == 2500  # 2000 + 500, not 4500
+    assert v2.select("batch_id").distinct().count() == 2
