@@ -274,6 +274,22 @@ def q_unique_orderkeys(spark, sf_dir):
     return duplicate_keys(o, "o_orderkey")
 
 
+def q_dup_composite_lineitem(spark, sf_dir):
+    """Composite-key uniqueness (real PKs are multi-column): duplicated
+    (l_partkey, l_suppkey) pairs via the same salted two-stage aggregate."""
+    from vldt_spark.checks.uniqueness import duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_partkey", "l_suppkey"])
+
+
+SQL_DUP_COMPOSITE_LINEITEM = """
+SELECT l_partkey, l_suppkey, count(*) AS n_dups
+FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
+"""
+
+
 def q_uniqueness_report_lineitem(spark, sf_dir):
     """One-row uniqueness summary (B5 report shape): totals + dup-key and
     dup-row counts from the salted two-stage aggregate."""
@@ -1361,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_keys_lineitem": q_dup_keys_lineitem,
         "unique_orderkeys": q_unique_orderkeys,
         "uniqueness_report_lineitem": q_uniqueness_report_lineitem,
+        "dup_composite_lineitem": q_dup_composite_lineitem,
         "ri_lineitem_orders": q_ri_lineitem_orders,
         "ri_customer_allowed_nations": q_ri_customer_allowed_nations,
         "range_checks_lineitem": q_range_checks_lineitem,
@@ -1408,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,
+        "dup_composite_lineitem": SQL_DUP_COMPOSITE_LINEITEM,
         "ri_lineitem_orders": SQL_RI_LINEITEM_ORDERS,
         "ri_customer_allowed_nations": SQL_RI_CUSTOMER_ALLOWED_NATIONS,
         "range_checks_lineitem": SQL_RANGE_CHECKS_LINEITEM,

@@ -19,15 +19,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def duplicate_keys(df: DataFrame, key: str, *, salt_buckets: int = 64) -> DataFrame:
-    """Keys occurring more than once → (key, n_dups). Null keys excluded
-    (nulls are a not_null violation, not a uniqueness one)."""
-    salted = df.select(key).where(F.col(key).isNotNull()).withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(salt_buckets))
+def duplicate_keys(
+    df: DataFrame, key: str | list[str], *, salt_buckets: int = 64
+) -> DataFrame:
+    """Keys occurring more than once → (key cols..., n_dups). Composite
+    keys pass a list (the salted two-stage shape is identical — the salt
+    hashes every key column). Rows with ANY null key column are excluded
+    (nulls are not_null violations, not uniqueness ones)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    salted = df.select(*keys).where(nn).withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()),
+            F.lit(salt_buckets),
+        ),
     )
-    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
+    partial = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return (
-        partial.groupBy(key)
+        partial.groupBy(*keys)
         .agg(F.sum("__c").alias("n_dups"))
         .where(F.col("n_dups") > 1)
     )

@@ -8,9 +8,13 @@ per function)."""
 from vldt_spark.functions.text import (
     tokenize_documents,
     token_count,
+    bpe_ish_token_count,
     text_quality,
     language_score,
+    language_id,
     fingerprint,
+    winnowing_fingerprints,
+    fingerprint_summary,
 )
 from vldt_spark.functions.dedup import (
     exact_duplicates,
@@ -18,13 +22,19 @@ from vldt_spark.functions.dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     simhash,
+    simhash_near_pairs,
     ngram_jaccard_pairs,
+    near_dup_clusters,
+    dedup_near,
 )
 from vldt_spark.functions.similarity import (
     cosine_topk_bruteforce,
     lsh_bucketed_topk,
+    ivf_topk,
+    kmeans_centroids,
     embedding_near_duplicates,
 )
+from vldt_spark.functions.sampling import deterministic_sample, stratified_cap
 
 __all__ = [
     "tokenize_documents",
@@ -40,5 +50,16 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
     "lsh_bucketed_topk",
+    "ivf_topk",
+    "kmeans_centroids",
     "embedding_near_duplicates",
+    "bpe_ish_token_count",
+    "language_id",
+    "winnowing_fingerprints",
+    "fingerprint_summary",
+    "simhash_near_pairs",
+    "near_dup_clusters",
+    "dedup_near",
+    "deterministic_sample",
+    "stratified_cap",
 ]
