@@ -171,3 +171,27 @@ def test_annotate_projection_cache_same_results(spark):
     c = spark.createDataFrame([(4, "8")], "rid long, v string")
     assert eng.annotate(c).first()["v"] == 8
     assert len(eng._proj_cache) == 2
+
+
+def test_unique_together_composite(spark):
+    """Model-level composite uniqueness: unique_together flags rows whose
+    column TUPLE repeats, even when each column alone is non-unique."""
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.model import Model
+
+    class Pair(Model):
+        rid: int
+        a: int
+        b: int
+
+        unique_together = [("a", "b")]
+
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 2), (3, 2, 1), (4, 1, 2)],  # (1,2) repeats
+        "rid long, a long, b long",
+    )
+    res = ValidationEngine(Pair).run(df, id_cols=["rid"])
+    bad = {r["rid"] for r in res.invalid.collect()}
+    assert bad == {2, 4}
+    v = res.violations().first()
+    assert v["path"] == "a.b" and "unique fields (a, b)" in v["msg"]

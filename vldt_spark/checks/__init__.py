@@ -5,23 +5,35 @@ Each check generalizes a reference validation primitive from one object to
 (/root/reference/src/error_handling.hpp:13-132 → violations array column).
 """
 
-from vldt_spark.checks.column_stats import column_profile, column_stats
-from vldt_spark.checks.uniqueness import duplicate_keys, duplicate_rows
-from vldt_spark.checks.referential import invalid_fk_values, ri_violation_rows
-from vldt_spark.checks.drift import histogram, kl_divergence, psi, drift_report
+from vldt_spark.checks.column_stats import column_profile, column_stats, numeric_quantiles
+from vldt_spark.checks.uniqueness import duplicate_keys, duplicate_rows, uniqueness_report
+from vldt_spark.checks.referential import invalid_fk_values, ri_violation_rows, ri_report
+from vldt_spark.checks.drift import (
+    histogram,
+    kl_divergence,
+    psi,
+    psi_by_group,
+    ks_from_histograms,
+    drift_report,
+)
 from vldt_spark.checks.rowinvariant import token_equality_violations
 from vldt_spark.checks.schema_conf import schema_conformance, conforms
 
 __all__ = [
     "column_profile",
     "column_stats",
+    "numeric_quantiles",
     "duplicate_keys",
     "duplicate_rows",
+    "uniqueness_report",
     "invalid_fk_values",
     "ri_violation_rows",
+    "ri_report",
     "histogram",
     "kl_divergence",
     "psi",
+    "psi_by_group",
+    "ks_from_histograms",
     "drift_report",
     "token_equality_violations",
     "schema_conformance",

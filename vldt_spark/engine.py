@@ -355,6 +355,31 @@ class ValidationEngine:
         ids = list(id_cols) if id_cols else [self.compiled.fields[0].name]
         dims = dims or {}
 
+        # model-level composite uniqueness: class attribute
+        # ``unique_together = [("a", "b"), ...]`` — same salted two-stage
+        # aggregate + broadcast join-back as per-field unique, keyed on the
+        # column tuple
+        for combo in getattr(self.model, "unique_together", []) or []:
+            combo = list(combo)
+            if not all(c in df.columns for c in combo):
+                continue
+            dups = self.duplicate_keys(df, combo).select(
+                *[F.col(c).alias(f"__dk_{c}") for c in combo]
+            )
+            cond = F.lit(True)
+            for c in combo:
+                cond = cond & (ann[c] == F.col(f"__dk_{c}"))
+            extra = violation_if(
+                F.col(f"__dk_{combo[0]}").isNotNull(),
+                ".".join(combo),
+                f"Duplicate value for unique fields ({', '.join(combo)})",
+            )
+            ann = (
+                ann.join(F.broadcast(dups), cond, "left")
+                .withColumn("violations", merge_violations(F.col("violations"), extra))
+                .drop(*[f"__dk_{c}" for c in combo])
+            )
+
         # whole-table checks read ONLY the key column from the raw input —
         # never the annotated plan, which would re-run the fused pass per
         # aggregate (column pruning then reaches the parquet scan)
