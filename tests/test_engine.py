@@ -195,3 +195,15 @@ def test_unique_together_composite(spark):
     assert bad == {2, 4}
     v = res.violations().first()
     assert v["path"] == "a.b" and "unique fields (a, b)" in v["msg"]
+
+
+def test_reserved_field_name_raises():
+    import pytest
+
+    from vldt_spark.model import Model
+
+    with pytest.raises(TypeError, match="reserved"):
+        class Bad(Model):
+            rid: int
+            violations: str
+        Bad.__vldt_compile__()

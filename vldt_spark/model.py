@@ -125,11 +125,19 @@ class Model(metaclass=ModelMeta):
             return cached
         hints = typing.get_type_hints(cls, include_extras=True)
         specs: list[FieldSpec] = []
+        reserved = {"violations", "is_valid", "__v0"}
         for fname, ann in hints.items():
             if typing.get_origin(ann) is ClassVar:
                 continue  # ClassVars are not instance fields (models.py:38-46)
             if fname.startswith("_") or fname == "vldt_config":
                 continue
+            if fname in reserved:
+                # engine output columns — a field by this name would be
+                # silently shadowed; fail loudly at compile time instead
+                raise TypeError(
+                    f"Field name '{fname}' is reserved by the validation "
+                    f"engine (reserved: {sorted(reserved)})"
+                )
             raw = getattr(cls, fname, UNDEFINED)
             if isinstance(raw, Field):
                 fld = raw
