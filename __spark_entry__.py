@@ -290,6 +290,47 @@ GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
 """
 
 
+def q_token_equality_documents(spark, sf_dir):
+    """B8 per-row token-array-equality invariant, oracle-checked: the
+    'current' table tokenizes documents portably (char codes), the
+    'reference' copy deterministically perturbs doc_id < 25 (+1 on every
+    token) and drops doc_id >= 480 (missing-ref case). Array equality is a
+    native Catalyst comparison; the join is the B8 shape."""
+    from vldt_spark.checks.rowinvariant import equality_report
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)).alias("tokens"),
+    )
+    ref = toks.where(F.col("doc_id") < 480).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 25, F.transform("tokens", lambda x: x + 1)
+        ).otherwise(F.col("tokens")).alias("tokens"),
+    )
+    return equality_report(toks, ref)
+
+
+SQL_TOKEN_EQUALITY_DOCUMENTS = """
+WITH cur AS (
+  SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS tokens FROM documents
+), ref AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 25 THEN [t + 1 FOR t IN tokens] ELSE tokens END AS tokens
+  FROM cur WHERE doc_id < 480
+), j AS (
+  SELECT cur.doc_id, cur.tokens AS a, ref.tokens AS b
+  FROM cur LEFT JOIN ref ON cur.doc_id = ref.doc_id
+)
+SELECT count(*) AS n_checked,
+       sum(CASE WHEN b IS NOT NULL AND a = b THEN 1 ELSE 0 END) AS n_equal,
+       sum(CASE WHEN b IS NOT NULL AND a != b THEN 1 ELSE 0 END) AS n_diff,
+       sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS n_missing_ref
+FROM j
+"""
+
+
 def q_uniqueness_report_lineitem(spark, sf_dir):
     """One-row uniqueness summary (B5 report shape): totals + dup-key and
     dup-row counts from the salted two-stage aggregate."""
@@ -1378,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_orderkeys": q_unique_orderkeys,
         "uniqueness_report_lineitem": q_uniqueness_report_lineitem,
         "dup_composite_lineitem": q_dup_composite_lineitem,
+        "token_equality_documents": q_token_equality_documents,
         "ri_lineitem_orders": q_ri_lineitem_orders,
         "ri_customer_allowed_nations": q_ri_customer_allowed_nations,
         "range_checks_lineitem": q_range_checks_lineitem,
@@ -1426,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,
         "dup_composite_lineitem": SQL_DUP_COMPOSITE_LINEITEM,
+        "token_equality_documents": SQL_TOKEN_EQUALITY_DOCUMENTS,
         "ri_lineitem_orders": SQL_RI_LINEITEM_ORDERS,
         "ri_customer_allowed_nations": SQL_RI_CUSTOMER_ALLOWED_NATIONS,
         "range_checks_lineitem": SQL_RANGE_CHECKS_LINEITEM,
