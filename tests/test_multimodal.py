@@ -47,3 +47,17 @@ def test_frame_sampling_explode(spark):
     one = frames.where(F.col("media_id") == frames.first()["media_id"])
     ts = sorted(r["frame_ts_ms"] for r in one.collect())
     assert ts == [0, 1000, 2000, 3000, 4000]
+
+
+def test_resize_stub_shapes(spark):
+    from vldt_spark.functions.multimodal import resize_stub
+
+    media = synthetic_media(spark, 10)
+    out = resize_stub(media, width=8, height=8)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(len(r["payload"]) == 64 for r in rows)  # 8x8 deterministic bytes
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    # deterministic: same input -> identical resized payloads
+    again = {r["media_id"]: r["payload"] for r in resize_stub(media, width=8, height=8).collect()}
+    assert again[rows[0]["media_id"]] == rows[0]["payload"]

@@ -90,6 +90,49 @@ def extract_features(media: DataFrame, *, batch_note: str = "image") -> DataFram
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, *, width: int = 32, height: int = 32) -> DataFrame:
+    """Image-resize plumbing: STUB decode/resample (real impl:
+    ``PIL.Image.open(...).resize((w, h))``) — the fake deterministically
+    downsamples the payload bytes to ``w*h`` by strided selection so batch
+    shapes, output schema, and the mapInPandas Arrow path are all real.
+    Embarrassingly parallel, no shuffle; payload bytes never leave the
+    executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out_payloads = []
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    out_payloads.append(None)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, num=target).astype(np.int64)
+                out_payloads.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_stub(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: expands each video row into frame
     timestamps (real impl would decode frames with pyav/ffmpeg). The
