@@ -386,3 +386,19 @@ def test_forward_reference_resolves(spark):
     v = viols_of(spark, Tree, data, schema)
     # nested coercion through the forward-referenced model: int -> str is fine
     assert v == set()
+
+
+# -- tests/test_vldt.py:529-551 — set validation (A13) ------------------------
+
+
+class TypedTags(Model):
+    rid: int
+    tags: set[int] = Field()
+
+
+def test_set_distinct_invariant(spark):
+    v = viols_of(spark, TypedTags, [(1, [3, 1, 3])], "rid long, tags array<int>")
+    assert ("tags", "Duplicate elements in set") in v
+    # all-distinct set is clean
+    v2 = viols_of(spark, TypedTags, [(2, [1, 2, 3])], "rid long, tags array<int>")
+    assert v2 == set()
