@@ -207,3 +207,40 @@ def test_reserved_field_name_raises():
             rid: int
             violations: str
         Bad.__vldt_compile__()
+
+
+def test_annotated_field_metadata_and_custom_deserializer(spark):
+    """Annotated[T, Field(...)] metadata + ModelConfig custom deserializer
+    (A26: reference Config(deserializer=...) custom-format parsing,
+    tests/test_deserialization.py:38-44 -> d/M/yyyy dates)."""
+    import datetime
+    from typing import Annotated
+
+    from pyspark.sql import functions as F
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model, ModelConfig
+
+    class Event(Model):
+        rid: int
+        score: Annotated[int, Field(ge=0, le=100)]
+        when: datetime.datetime
+
+        vldt_config = ModelConfig(
+            deserializers={"when": lambda c: F.try_to_timestamp(c, F.lit("d/M/yyyy"))}
+        )
+
+    df = spark.createDataFrame(
+        [(1, 55, "14/3/2024"), (2, 200, "31/12/2023"), (3, 7, "not a date")],
+        "rid long, score long, when string",
+    )
+    res = ValidationEngine(Event).run(df, id_cols=["rid"])
+    rows = {r["rid"]: r for r in res.annotated.collect()}
+    assert rows[1]["is_valid"]
+    assert rows[1]["when"] == datetime.datetime(2024, 3, 14)
+    # Annotated Field constraint applies: 200 > 100
+    v = {(r["rid"], r["path"], r["msg"]) for r in res.violations().collect()}
+    assert (2, "score", "Value out of range: expected <= 100") in v
+    # custom-format parse failure -> violation, not a raise
+    assert (3, "when", "Expected type datetime, got str") in v

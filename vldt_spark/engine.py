@@ -41,7 +41,7 @@ from vldt_spark.errors import (
     violation_if,
 )
 from vldt_spark.model import CompiledSchema, Model
-from vldt_spark.typeschema import ContainerKind
+from vldt_spark.typeschema import ContainerKind, py_name_of_spark
 from vldt_spark.validators import Cols
 
 
@@ -198,14 +198,27 @@ class ValidationEngine:
                 continue
 
             src = F.col(src_name)
-            coerced, viols_col = build_value(
-                src,
-                schema[src_name],
-                spec.node,
-                spec.name,
-                fld=spec.field,
-                truthy_bool=cfg.truthy_bool,
-            )
+            if spec.name in cfg.deserializers:
+                # custom deserializer (A26): the expression factory parses
+                # the raw value into the target type (reference
+                # Config(deserializer=...), deserializer.cpp:9-70); a
+                # non-null input producing null = parse failure violation
+                coerced = cfg.deserializers[spec.name](src).try_cast(spec.dtype)
+                viols_col = violation_if(
+                    src.isNotNull() & coerced.isNull(),
+                    spec.name,
+                    f"Expected type {spec.node.py_name}, got "
+                    + py_name_of_spark(schema[src_name]),
+                )
+            else:
+                coerced, viols_col = build_value(
+                    src,
+                    schema[src_name],
+                    spec.node,
+                    spec.name,
+                    fld=spec.field,
+                    truthy_bool=cfg.truthy_bool,
+                )
             viols = [viols_col]
             # defaults / required-null (data_model.cpp:192-212)
             if spec.field.has_default:

@@ -41,6 +41,14 @@ class ModelConfig:
     # truthiness bool coercion like Python bool(v) (reference A8) instead of
     # strict cast("boolean")
     truthy_bool: bool = True
+    # custom deserializers (reference Config(deserializer={to: {from: fn}}),
+    # /root/reference/vldt/config.py + src/schema/deserializer.cpp:9-70):
+    # field name → Column-expression factory applied to the RAW column
+    # BEFORE coercion — pure Catalyst, e.g. a custom date format:
+    #   {"when": lambda c: F.try_to_timestamp(c, F.lit("d/M/yyyy"))}
+    # use try_* variants: a factory returning null for a non-null input is
+    # recorded as a violation row; a RAISING expression would abort the scan
+    deserializers: dict = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -139,8 +147,26 @@ class Model(metaclass=ModelMeta):
                     f"engine (reserved: {sorted(reserved)})"
                 )
             raw = getattr(cls, fname, UNDEFINED)
+            # Annotated[T, Field(...)] metadata (modern annotation style):
+            # a class-attribute Field still takes precedence
+            annotated_field = None
+            if typing.get_origin(ann) is not None and hasattr(ann, "__metadata__"):
+                for m in ann.__metadata__:
+                    if isinstance(m, Field):
+                        annotated_field = m
+                        break
             if isinstance(raw, Field):
                 fld = raw
+            elif annotated_field is not None:
+                fld = annotated_field
+                if raw is not UNDEFINED and not callable(raw):
+                    fld = annotated_field  # plain attr alongside Annotated:
+                    # Annotated carries constraints; the attr is the default
+                    if not fld.has_default:
+                        import copy as _copy
+
+                        fld = _copy.copy(annotated_field)
+                        fld.default = raw
             elif raw is UNDEFINED or callable(raw):
                 fld = Field()
             else:
