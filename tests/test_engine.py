@@ -244,3 +244,32 @@ def test_annotated_field_metadata_and_custom_deserializer(spark):
     assert (2, "score", "Value out of range: expected <= 100") in v
     # custom-format parse failure -> violation, not a raise
     assert (3, "when", "Expected type datetime, got str") in v
+
+
+def test_default_expr_per_row(spark):
+    """Per-row expression defaults: the reference's default_factory makes a
+    fresh value per instance (random session ids, tests/test_fields.py:
+    83-102); the engine analogue is a deterministic per-row expression."""
+    from pyspark.sql import functions as F
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class Sess(Model):
+        rid: int
+        session_id: str = Field(
+            default_expr=lambda: F.sha2(F.col("rid").cast("string"), 256)
+        )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "explicit"), (3, None)], "rid long, session_id string"
+    )
+    rows = {r["rid"]: r["session_id"]
+            for r in ValidationEngine(Sess).annotate(df).collect()}
+    assert rows[2] == "explicit"  # provided value wins over the default
+    assert rows[1] != rows[3] and len(rows[1]) == 64  # fresh per row
+    # deterministic: re-running yields identical ids (resume-safe)
+    again = {r["rid"]: r["session_id"]
+             for r in ValidationEngine(Sess).annotate(df).collect()}
+    assert again == rows

@@ -40,6 +40,14 @@ from vldt_spark.fields import Field
 from vldt_spark.typeschema import ContainerKind, TypeNode, py_name_of_spark, spark_type
 
 
+def default_column(fld: Field, dtype: T.DataType) -> Column:
+    """Default as a Column: scalar default/factory → literal; per-row
+    ``default_expr`` → the factory's expression (deterministic per row)."""
+    if fld.default_expr is not None:
+        return fld.default_expr().cast(dtype)
+    return F.lit(fld.resolve_default()).cast(dtype)
+
+
 def _p(path: Column | str) -> Column:
     return F.lit(path) if isinstance(path, str) else path
 
@@ -414,8 +422,7 @@ def _model_value(src, src_dtype, node, path, truthy_bool):
                 break
         if src_name is None:
             if spec.field.has_default:
-                d = spec.field.resolve_default()
-                parts.append(F.lit(d).cast(spec.dtype).alias(spec.name))
+                parts.append(default_column(spec.field, spec.dtype).alias(spec.name))
             elif spec.node.is_optional:
                 parts.append(F.lit(None).cast(spec.dtype).alias(spec.name))
             else:
@@ -433,8 +440,7 @@ def _model_value(src, src_dtype, node, path, truthy_bool):
             truthy_bool=truthy_bool,
         )
         if spec.field.has_default:
-            d = spec.field.resolve_default()
-            c = F.coalesce(c, F.lit(d).cast(spec.dtype))
+            c = F.coalesce(c, default_column(spec.field, spec.dtype))
         elif not spec.node.is_optional:
             viols.append(
                 violation_if(

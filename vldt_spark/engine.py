@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from vldt_spark.coercion import build_value, scalar_constraints
+from vldt_spark.coercion import build_value, default_column, scalar_constraints
 from vldt_spark.errors import (
     VIOLATIONS_TYPE,
     empty_violations,
@@ -184,8 +184,7 @@ class ValidationEngine:
                     break
             if src_name is None:
                 if spec.field.has_default:
-                    d = spec.field.resolve_default()
-                    cols.append(F.lit(d).cast(spec.dtype).alias(spec.name))
+                    cols.append(default_column(spec.field, spec.dtype).alias(spec.name))
                 elif spec.node.is_optional:
                     cols.append(F.lit(None).cast(spec.dtype).alias(spec.name))
                 else:
@@ -222,8 +221,7 @@ class ValidationEngine:
             viols = [viols_col]
             # defaults / required-null (data_model.cpp:192-212)
             if spec.field.has_default:
-                d = spec.field.resolve_default()
-                coerced = F.coalesce(coerced, F.lit(d).cast(spec.dtype))
+                coerced = F.coalesce(coerced, default_column(spec.field, spec.dtype))
             elif not spec.node.is_optional:
                 viols.append(
                     violation_if(

@@ -47,6 +47,7 @@ class Field:
         default_factory: Callable[[], Any] | None = None,
         alias: str | Sequence[str] | None = None,
         *,
+        default_expr: Callable[[], Any] | None = None,
         ge: Any = None,
         gt: Any = None,
         le: Any = None,
@@ -64,8 +65,20 @@ class Field:
         if default is not UNDEFINED and default_factory is not None:
             # reference: /root/reference/vldt/fields.py:23-24
             raise ValueError("cannot specify both default and default_factory")
+        if default_expr is not None and (
+            default is not UNDEFINED or default_factory is not None
+        ):
+            raise ValueError("default_expr excludes default/default_factory")
         self.default = default
         self.default_factory = default_factory
+        # PER-ROW expression default: the reference's default_factory makes
+        # a fresh value per instance (random session ids,
+        # tests/test_fields.py:83-102) — a driver-side scalar cannot.
+        # default_expr is a zero-arg factory returning a Column evaluated
+        # per row; make it DETERMINISTIC (seed from row content, e.g.
+        # sha2 of the id column) so retries/resume reproduce the same value
+        # (SURVEY.md §7 hard part 4 — documented deviation from RNG).
+        self.default_expr = default_expr
         if alias is None:
             self.aliases: list[str] = []
         elif isinstance(alias, str):
@@ -88,7 +101,11 @@ class Field:
 
     @property
     def has_default(self) -> bool:
-        return self.default is not UNDEFINED or self.default_factory is not None
+        return (
+            self.default is not UNDEFINED
+            or self.default_factory is not None
+            or self.default_expr is not None
+        )
 
     def resolve_default(self) -> Any:
         """Resolution chain step 2-3 (/root/reference/src/data_model.cpp:192-212)."""
