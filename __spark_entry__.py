@@ -806,6 +806,51 @@ SQL_MINHASH_PORTABLE_SIGNATURES = _PORTABLE_SHINGLES_CTE + (
 )
 
 
+def q_minhash_portable_pairs(spark, sf_dir):
+    """The FULL banded-LSH pairs pipeline on the portable hash: 16-hash
+    signatures → 4 bands (md5 band hash) → bucket self-join → Jaccard
+    estimate — end-to-end value-checked against the generated SQL twin."""
+    from vldt_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.3, hash_fn="md5"
+    )
+
+
+def _sql_minhash_portable_pairs() -> str:
+    h = lambda expr, salt: (
+        f"CAST(('0x' || substr(md5({expr} || '#{salt}'), 1, 15)) AS BIGINT)"
+    )
+    sig_cols = ",\n    ".join(
+        f"min({h('shingle', i)}) AS s{i:02d}" for i in range(16)
+    )
+    def band(b: int) -> str:
+        cols = " || ',' || ".join(f"CAST(s{b*4+j:02d} AS VARCHAR)" for j in range(4))
+        return h(f"({cols})", 0)
+    bands = ",\n    ".join(f"{band(b)} AS b{b}" for b in range(4))
+    eq = " + ".join(f"(CASE WHEN a.s{i:02d} = b.s{i:02d} THEN 1 ELSE 0 END)" for i in range(16))
+    band_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(4))
+    return f"""
+{_PORTABLE_SHINGLES_CTE.rstrip()},
+sigs AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM ex GROUP BY doc_id
+), banded AS (
+  SELECT *,
+    {bands}
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(({eq}) / 16.0, 6) AS jaccard_est
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND ({band_match})
+)
+SELECT id_a, id_b, jaccard_est FROM pairs WHERE jaccard_est >= 0.3
+"""
+
+
 def q_simhash_portable_documents(spark, sf_dir):
     from vldt_spark.functions.dedup import simhash
 
@@ -1435,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_cap_documents": q_stratified_cap_documents,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "minhash_portable_signatures": q_minhash_portable_signatures,
+        "minhash_portable_pairs": q_minhash_portable_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_portable_documents": q_simhash_portable_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1483,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_documents": SQL_DEDUP_CLUSTERS_DOCUMENTS,
         "stratified_cap_documents": SQL_STRATIFIED_CAP_DOCUMENTS,
         "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,
+        "minhash_portable_pairs": _sql_minhash_portable_pairs(),
         "simhash_portable_documents": SQL_SIMHASH_PORTABLE_DOCUMENTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,

@@ -129,6 +129,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
@@ -136,11 +137,13 @@ def minhash_lsh_pairs(
     hash become candidates (shuffle key = (band, band_hash) — bounded
     buckets); estimated Jaccard = fraction of equal minhashes; pairs kept
     when estimate ≥ threshold. Returns (id_a, id_b, jaccard_est).
-    """
+    ``hash_fn="md5"`` makes the WHOLE pipeline (shingle hash + band hash)
+    DuckDB-reproducible for the oracle gate."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(
-        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_k=shingle_k
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, hash_fn=hash_fn,
     )
     # the banded self-join references the signature plan on both sides —
     # persist so shingling+hashing runs once, not twice (sig is 8B×num_hashes
@@ -154,7 +157,11 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r))).alias("bh"),
+                    _hash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)),
+                        0,
+                        hash_fn,
+                    ).alias("bh"),
                 ),
             )
         ).alias("bb"),
