@@ -858,6 +858,34 @@ def q_simhash_portable_documents(spark, sf_dir):
     return simhash(docs, bits=60, hash_fn="md5").select("doc_id", "simhash")
 
 
+def q_simhash_portable_pairs(spark, sf_dir):
+    """The FULL simhash near-pair pipeline on the portable hash: 60-bit
+    signature → 4×15-bit band blocking → Hamming filter — end-to-end
+    value-checked against a generated SQL twin (DuckDB xor + bit_count)."""
+    from vldt_spark.functions.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=6, bits=60, hash_fn="md5")
+
+
+def _sql_simhash_portable_pairs() -> str:
+    bands = " OR ".join(
+        f"((a.simhash >> {i * 15}) & 32767) = ((b.simhash >> {i * 15}) & 32767)"
+        for i in range(4)
+    )
+    return (
+        "WITH sigs AS (\n"
+        + SQL_SIMHASH_PORTABLE_DOCUMENTS
+        + f"""
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({bands})
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+    )
+
+
 SQL_SIMHASH_PORTABLE_DOCUMENTS = _PORTABLE_SHINGLES_CTE + (
     ", hashed AS (\n"
     "  SELECT doc_id, CAST(('0x' || substr(md5(shingle || '#0'), 1, 15)) AS BIGINT) AS h\n"
@@ -1483,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable_pairs": q_minhash_portable_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_portable_documents": q_simhash_portable_documents,
+        "simhash_portable_pairs": q_simhash_portable_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "token_count_documents": q_token_count_documents,
         "text_quality_documents": q_text_quality_documents,
@@ -1531,6 +1560,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,
         "minhash_portable_pairs": _sql_minhash_portable_pairs(),
         "simhash_portable_documents": SQL_SIMHASH_PORTABLE_DOCUMENTS,
+        "simhash_portable_pairs": _sql_simhash_portable_pairs(),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
         "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,

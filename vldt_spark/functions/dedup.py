@@ -247,10 +247,15 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate pairs via 16-bit band blocking on the 64-bit simhash, then
-    exact Hamming filter (bit_count of xor). Returns (id_a, id_b, hamming)."""
-    sigs = simhash(docs, text_col=text_col, id_col=id_col)
+    """Candidate pairs via 4-band blocking (bits/4-wide bands) on the
+    simhash, then exact Hamming filter (bit_count of xor).
+    Returns (id_a, id_b, hamming)."""
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
+    sigs = simhash(docs, text_col=text_col, id_col=id_col, bits=bits, hash_fn=hash_fn)
     # self-join below reads the signature plan twice — persist (8B per doc)
     sigs = sigs.persist()
     banded = sigs.select(
@@ -261,8 +266,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bh"),
                     )
                     for i in range(4)
