@@ -129,3 +129,50 @@ def test_container_semantics_match_python_reference(spark, rows):
         assert got.get(rid, set()) == expect, (
             f"row {rid}: tokens={toks!r} spark={got.get(rid, set())} python={expect}"
         )
+
+
+class UnionNum(Model):
+    rid: int
+    val: "int | float"
+
+
+def py_union_violations(val):
+    """Reference ordered union resolution (validation_containers.cpp:297-326):
+    conversion attempts in declared order, int then float; both fail -> error."""
+    if val is None:
+        return {("val", "Expected type int | float, got NoneType")}
+    for conv in (int, float):
+        try:
+            conv(val)
+            return set()
+        except (TypeError, ValueError):
+            continue
+    return {("val", "Expected type int | float, got str")}
+
+
+union_strat = st.one_of(
+    st.none(),
+    st.integers(-10**6, 10**6).map(str),
+    st.floats(-1e6, 1e6, allow_nan=False).map(lambda f: format(f, ".4f")),
+    st.text(alphabet="pq.", min_size=1, max_size=4),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(union_strat, min_size=1, max_size=20))
+def test_union_semantics_match_python_reference(spark, rows):
+    data = [(i, v) for i, v in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, val string")
+    res = ValidationEngine(UnionNum).run(df, id_cols=["rid"])
+    got = {}
+    for r in res.violations().collect():
+        got.setdefault(r["rid"], set()).add((r["path"], r["msg"]))
+    for rid, v in data:
+        expect = py_union_violations(v)
+        assert got.get(rid, set()) == expect, (
+            f"row {rid}: val={v!r} spark={got.get(rid, set())} python={expect}"
+        )
