@@ -16,6 +16,7 @@ from vldt_spark.fields import Field, UNDEFINED
 from vldt_spark.model import Model, ModelConfig
 from vldt_spark.validators import field_validator, model_validator, check
 from vldt_spark.engine import ValidationEngine, ValidationResult, validate
+from vldt_spark.plans.ledger import ValidationLedger
 
 __all__ = [
     "Field",
@@ -28,6 +29,7 @@ __all__ = [
     "ValidationEngine",
     "ValidationResult",
     "validate",
+    "ValidationLedger",
 ]
 
 __version__ = "0.1.0"
