@@ -273,3 +273,13 @@ def test_default_expr_per_row(spark):
     again = {r["rid"]: r["session_id"]
              for r in ValidationEngine(Sess).annotate(df).collect()}
     assert again == rows
+
+
+def test_result_profile_of_valid_rows(spark, toktab):
+    from vldt_spark.flagship import validate_token_table
+
+    res = validate_token_table(toktab)
+    prof = {r["column"]: r for r in res.profile(["n_tok", "doc_id"]).collect()}
+    assert prof["n_tok"]["n_null"] == 0  # invalid rows excluded
+    assert prof["n_tok"]["mean"] is not None
+    assert prof["doc_id"]["mean"] is None  # non-numeric: stats only

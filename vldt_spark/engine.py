@@ -117,6 +117,13 @@ class ValidationResult:
             .withColumn("passed", F.col("n_invalid") == 0)
         )
 
+    def profile(self, columns: Iterable[str] | None = None) -> DataFrame:
+        """Column profile (B2/B3) of the VALID rows — the natural follow-up
+        to a validation pass: stats over what actually passed."""
+        from vldt_spark.checks.column_stats import column_profile
+
+        return column_profile(self.valid, list(columns) if columns else None)
+
     def summary(self) -> DataFrame:
         """Per-constraint-path violation counts (one small aggregate)."""
         return (
