@@ -176,3 +176,70 @@ def test_union_semantics_match_python_reference(spark, rows):
         assert got.get(rid, set()) == expect, (
             f"row {rid}: val={v!r} spark={got.get(rid, set())} python={expect}"
         )
+
+
+class InnerP(Model):
+    a: int
+    b: str
+
+
+class OuterP(Model):
+    rid: int
+    inner: InnerP
+
+
+def py_nested_violations(inner):
+    """Mirror of _model_value semantics: null struct -> one outer violation,
+    nested errors re-parented under dotted paths (validation.cpp:64-84)."""
+    if inner is None:
+        return {("inner", "Expected type InnerP, got NoneType")}
+    a, b = inner
+    out = set()
+    if a is None:
+        out.add(("inner.a", "Expected type int, got NoneType"))
+    else:
+        try:
+            int(a)
+        except (TypeError, ValueError):
+            out.add(("inner.a", "Expected type int, got str"))
+    if b is None:
+        out.add(("inner.b", "Expected type str, got NoneType"))
+    return out
+
+
+inner_strat = st.one_of(
+    st.none(),
+    st.tuples(
+        st.one_of(st.none(), st.integers(-999, 999).map(str), st.just("zz")),
+        st.one_of(st.none(), st.text(alphabet="mn", max_size=3)),
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(inner_strat, min_size=1, max_size=15))
+def test_nested_struct_semantics_match_python_reference(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("inner", T.StructType([
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ])),
+    ])
+    data = [(i, r) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(data, schema)
+    res = ValidationEngine(OuterP).run(df, id_cols=["rid"])
+    got = {}
+    for r in res.violations().collect():
+        got.setdefault(r["rid"], set()).add((r["path"], r["msg"]))
+    for rid, inner in data:
+        expect = py_nested_violations(inner)
+        assert got.get(rid, set()) == expect, (
+            f"row {rid}: inner={inner!r} spark={got.get(rid, set())} python={expect}"
+        )
