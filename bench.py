@@ -83,12 +83,13 @@ def run_benchmarks(spark) -> dict[str, float]:
         return out
 
     # flagship: full validation of the token table.
-    # The token scan is memory-bandwidth-bound (wide int arrays): this host
-    # saturates around 12-16 concurrent scan tasks, beyond which tasks slow
-    # each other down (measured: 32-way 22s vs 12-way 3.1s on 1M rows).
+    # The token scan is memory-bandwidth-bound (wide int arrays): beyond
+    # ~half the logical cores, concurrent scan tasks slow each other down
+    # (quiet-window sweep: 8→12.0s, 12→4.5s, 16→2.8s, 24→2.5s, 32→22s on
+    # 1M rows; under external congestion the optimum shifts lower).
     # Capping scan concurrency is the local analogue of tuning executor
     # cores per node on a real cluster.
-    scan_slots = int(os.environ.get("VLDT_BENCH_SCAN_SLOTS", str(min(12, CPUS))))
+    scan_slots = int(os.environ.get("VLDT_BENCH_SCAN_SLOTS", str(max(8, CPUS // 2))))
     tok_path = ensure_token_table(spark, TOKEN_ROWS)
     toks = spark.read.parquet(tok_path).coalesce(scan_slots)
     dims = sources_dim(spark)
