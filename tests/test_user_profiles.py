@@ -204,3 +204,23 @@ def test_to_json_custom_serializer_hook(spark):
     )
     out = json.loads(js.first()["json"])
     assert out == {"rid": 1, "registered_at": "2024/03/14"}
+
+
+def test_nested_model_end_to_end_quarantine(spark, users, tmp_path):
+    """Integration: nested-model validation -> reference-protocol error
+    JSON -> quarantine sink, over the F2 user-profiles fixture."""
+    import json
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.sources.quarantine import reconcile, write_quarantined
+
+    res = ValidationEngine(UserProfile).run(users, id_cols=["id"])
+    errs = {r["id"]: json.loads(r["error"]) for r in res.errors_json().collect()}
+    assert errs  # the fixture injects invalid rows
+    # dotted nested paths appear in the reference-protocol payload
+    assert any("." in k for e in errs.values() for k in e)
+
+    root = str(tmp_path / "q")
+    stats = write_quarantined(res, root)
+    assert stats["n_quarantined"] == len(errs)
+    assert reconcile(spark, root, users.count())
