@@ -166,3 +166,30 @@ def test_stream_job_resumes_exactly_once(spark, tmp_path):
     v2 = spark.read.parquet(out + "/verdicts")
     assert v2.agg(F.sum("n_rows")).first()[0] == 2500  # 2000 + 500, not 4500
     assert v2.select("batch_id").distinct().count() == 2
+
+
+def test_build_corpus_pipeline(spark, tmp_path):
+    """End-to-end corpus build: validate -> dedup -> quality -> domain cap;
+    funnel counts are monotone and the cap binds."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_corpus import main as corpus_main
+
+    src = str(tmp_path / "docs")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base.write.parquet(src)
+    out = str(tmp_path / "corpus")
+    assert corpus_main([
+        "--input", src, "--output", out,
+        "--quality", "0.2", "--cap-per-source", "3", "--jaccard", "0.5",
+    ]) == 0
+    rep = json.load(open(out + "/funnel.json"))
+    assert rep["n_input"] == rep["n_valid"] + rep["n_quarantined"]
+    assert (rep["n_valid"] >= rep["n_after_exact_dedup"]
+            >= rep["n_after_near_dedup"] >= rep["n_after_quality"]
+            >= rep["n_final"])
+    # the per-source cap binds at 3
+    per_src = spark.read.parquet(out + "/corpus").groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 3 for r in per_src)
