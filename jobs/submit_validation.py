@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
                     default=int(os.environ.get("VLDT_SHUFFLE_PARTITIONS", "0")) or None)
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = build_session(args.master, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -108,7 +111,8 @@ def main(argv: list[str] | None = None) -> int:
         "seqs_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
         "token_equality": rep,
     }))
-    spark.stop()
+    if owns_session:  # never tear down a caller-owned session (test reuse)
+        spark.stop()
     return 0
 
 

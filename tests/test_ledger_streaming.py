@@ -193,3 +193,23 @@ def test_build_corpus_pipeline(spark, tmp_path):
     # the per-source cap binds at 3
     per_src = spark.read.parquet(out + "/corpus").groupBy("source").count().collect()
     assert per_src and all(r["count"] <= 3 for r in per_src)
+
+
+def test_submit_validation_job_resumes(spark, tmp_path, capsys):
+    """Job-level resume: a second submission with the same ledger output
+    skips every completed partition."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.submit_validation import main as validate_main
+
+    out = str(tmp_path / "run")
+    assert validate_main(["--synthetic", "5000", "--output", out]) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["n_rows"] == 5000 and rep1["partitions_run"]
+
+    assert validate_main(["--synthetic", "5000", "--output", out]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["partitions_run"] == []  # everything committed -> no work
+    assert sorted(rep2["partitions_skipped"]) == sorted(rep1["partitions_run"])
