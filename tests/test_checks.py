@@ -145,3 +145,15 @@ def test_psi_by_group_flags_only_shifted_partition(spark):
                         bins=10, lo=0.0, hi=100.0, ref=ref).collect()}
     assert out["same"] < 1e-6  # identical distribution -> PSI ~ 0
     assert out["shifted"] > 0.1
+
+
+def test_ri_report_counts_per_invalid_value(spark):
+    from vldt_spark.checks.referential import ri_report
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "zz"), (4, "zz"), (5, "zz"), (6, None)],
+        "id long, fk string",
+    )
+    dim = spark.createDataFrame([("a",), ("b",)], "pk string")
+    rows = {r["fk"]: r["n_rows"] for r in ri_report(fact, "fk", dim, "pk").collect()}
+    assert rows == {"zz": 3}  # nulls are not RI violations
