@@ -74,7 +74,7 @@ def q_colstats_lineitem(spark, sf_dir):
 
 SQL_COLSTATS_LINEITEM = """
 SELECT count(*) AS n,
-       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null_qty,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
        round(min(l_quantity), 4) AS min_qty,
        round(max(l_quantity), 4) AS max_qty,
        round(avg(l_quantity), 4) AS avg_qty,
@@ -109,19 +109,19 @@ def q_profile_lineitem(spark, sf_dir):
 SQL_PROFILE_LINEITEM = """
 WITH s AS (
   SELECT 'l_quantity' AS column, count(*) AS n,
-         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          min(l_quantity) AS mn, max(l_quantity) AS mx,
          avg(l_quantity) AS mean, stddev_pop(l_quantity) AS sd
   FROM lineitem
   UNION ALL
   SELECT 'l_extendedprice', count(*),
-         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          min(l_extendedprice), max(l_extendedprice),
          avg(l_extendedprice), stddev_pop(l_extendedprice)
   FROM lineitem
   UNION ALL
   SELECT 'l_discount', count(*),
-         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          min(l_discount), max(l_discount),
          avg(l_discount), stddev_pop(l_discount)
   FROM lineitem
@@ -156,13 +156,13 @@ def q_colstats_by_event_type(spark, sf_dir):
 SQL_COLSTATS_BY_EVENT_TYPE = """
 WITH s AS (
   SELECT event_type, 'value' AS column, count(*) AS n,
-         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          min(value) AS mn, max(value) AS mx,
          count(DISTINCT value) AS n_distinct
   FROM events GROUP BY event_type
   UNION ALL
   SELECT event_type, 'user_id', count(*),
-         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          min(user_id), max(user_id), count(DISTINCT user_id)
   FROM events GROUP BY event_type
 )
@@ -324,9 +324,9 @@ WITH cur AS (
   FROM cur LEFT JOIN ref ON cur.doc_id = ref.doc_id
 )
 SELECT count(*) AS n_checked,
-       sum(CASE WHEN b IS NOT NULL AND a = b THEN 1 ELSE 0 END) AS n_equal,
-       sum(CASE WHEN b IS NOT NULL AND a != b THEN 1 ELSE 0 END) AS n_diff,
-       sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS n_missing_ref
+       CAST(sum(CASE WHEN b IS NOT NULL AND a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+       CAST(sum(CASE WHEN b IS NOT NULL AND a != b THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_ref
 FROM j
 """
 
@@ -349,7 +349,7 @@ WITH d AS (
 SELECT (SELECT count(*) FROM lineitem) AS n_rows,
        (SELECT count(l_orderkey) FROM lineitem) AS n_nonnull,
        (SELECT count(*) FROM d) AS n_dup_keys,
-       (SELECT coalesce(sum(n_dups), 0) FROM d) AS n_dup_rows
+       (SELECT CAST(coalesce(sum(n_dups), 0) AS BIGINT) FROM d) AS n_dup_rows
 """
 
 
@@ -416,10 +416,10 @@ def q_range_checks_lineitem(spark, sf_dir):
 
 
 SQL_RANGE_CHECKS_LINEITEM = """
-SELECT sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS n_disc_oob,
-       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS n_qty_nonpos,
-       sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS n_tax_neg,
-       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS n_price_nonpos
+SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_oob,
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_nonpos,
+       CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_neg,
+       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_nonpos
 FROM lineitem
 """
 
@@ -434,7 +434,7 @@ def q_regex_customer(spark, sf_dir):
 
 SQL_REGEX_CUSTOMER = """
 SELECT count(*) AS n,
-       sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS n_bad_name
+       CAST(sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_name
 FROM customer
 """
 
@@ -513,8 +513,8 @@ SQL_VALIDATE_LINEITEM_VERDICTS = f"""
 WITH v AS (SELECT l_returnflag, {_LI_CONSTRAINT_SQL} AS n_viol FROM lineitem)
 SELECT l_returnflag,
        count(*) AS n_rows,
-       sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS n_invalid,
-       sum(n_viol) AS n_violations,
+       CAST(sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(sum(n_viol) AS BIGINT) AS n_violations,
        (sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) = 0) AS passed
 FROM v GROUP BY l_returnflag
 """
@@ -529,10 +529,75 @@ def q_validate_lineitem_violations(spark, sf_dir):
     return res.violations()
 
 
-SQL_VALIDATE_LINEITEM_VIOLATIONS = f"""
-SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-       'x' AS path, 'x' AS msg
-FROM lineitem WHERE {_LI_CONSTRAINT_SQL} > 0
+SQL_VALIDATE_LINEITEM_VIOLATIONS = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(NULL AS VARCHAR) AS path, CAST(NULL AS VARCHAR) AS msg
+FROM lineitem WHERE FALSE
+"""
+
+
+def q_validate_lineitem_violations_dirty(spark, sf_dir):
+    """B12 violation rows with REAL lineage: the clean table (verified
+    violation-free at every SF) is deterministically dirtied on five
+    disjoint keys — one row each for a range (ge), set-membership (isin),
+    range (le), cross-field @check, and required-null failure — and the
+    engine's exploded (id, path, msg) rows are value-checked against the
+    oracle's exact prediction of every violation. Mirrors the reference's
+    core error output (/root/reference/tests/test_vldt.py:122-127,196-203:
+    TypeError payload {path: msg})."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.col("l_orderkey") % 1000
+    ln1 = F.col("l_linenumber") == 1
+    dirty = (
+        li.withColumn(
+            "l_quantity",
+            F.when((m == 7) & ln1, F.lit(-5.0)).otherwise(F.col("l_quantity")),
+        )
+        .withColumn(
+            "l_returnflag",
+            F.when((m == 11) & ln1, F.lit("Z")).otherwise(F.col("l_returnflag")),
+        )
+        .withColumn(
+            "l_discount",
+            F.when((m == 13) & ln1, F.lit(1.5)).otherwise(F.col("l_discount")),
+        )
+        .withColumn(
+            "l_extendedprice",
+            F.when((m == 17) & ln1, F.lit(0.5)).otherwise(F.col("l_extendedprice")),
+        )
+        .withColumn(
+            "l_tax",
+            F.when((m == 19) & ln1, F.lit(None).cast("double")).otherwise(F.col("l_tax")),
+        )
+    )
+    res = _engine(_lineitem_model()).run(dirty, id_cols=["l_orderkey", "l_linenumber"])
+    return res.violations()
+
+
+SQL_VALIDATE_LINEITEM_VIOLATIONS_DIRTY = """
+WITH k AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_orderkey % 1000 AS m
+  FROM lineitem WHERE l_linenumber = 1
+)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS path,
+       'Value out of range: expected >= 1' AS msg
+FROM k WHERE m = 7
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_returnflag', 'Value not in allowed set'
+FROM k WHERE m = 11
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', 'Value out of range: expected <= 1'
+FROM k WHERE m = 13
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price_covers_quantity',
+       'Check failed: price_covers_quantity'
+FROM k WHERE m = 17
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', 'Expected type float, got NoneType'
+FROM k WHERE m = 19
 """
 
 
@@ -1055,7 +1120,7 @@ WITH tc AS (
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(tc) AS sum_tokens, round(avg(tc), 4) AS avg_tokens
+SELECT source, count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS sum_tokens, round(avg(tc), 4) AS avg_tokens
 FROM tc GROUP BY source
 """
 
@@ -1150,8 +1215,8 @@ def q_json_extract_events(spark, sf_dir):
 
 SQL_JSON_EXTRACT_EVENTS = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
-       sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
 FROM events GROUP BY event_type
 """
 
@@ -1175,8 +1240,8 @@ SQL_TIMESTAMP_PARSE_EVENTS = """
 SELECT count(*) AS n,
        min(floor(epoch(ts))::BIGINT) AS min_epoch,
        max(floor(epoch(ts))::BIGINT) AS max_epoch,
-       sum(CASE WHEN floor(epoch(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')))::BIGINT
-                     = floor(epoch(ts))::BIGINT THEN 1 ELSE 0 END) AS n_lossless
+       CAST(sum(CASE WHEN floor(epoch(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')))::BIGINT
+                     = floor(epoch(ts))::BIGINT THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless
 FROM events
 """
 
@@ -1220,7 +1285,7 @@ s AS (
   FROM e, q WHERE e.vec_id != q.query_id
 ), r AS (
   SELECT query_id, vec_id, round(cos, 6) AS cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
   FROM s
 )
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
@@ -1279,7 +1344,7 @@ scored AS (
 ),
 r AS (
   SELECT query_id, vec_id, cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
   FROM scored
 )
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
@@ -1432,8 +1497,8 @@ WITH v AS (
 )
 SELECT day_epoch,
        count(*) AS n_rows,
-       sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS n_invalid,
-       sum(n_viol) AS n_violations,
+       CAST(sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(sum(n_viol) AS BIGINT) AS n_violations,
        (sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) = 0) AS passed
 FROM v GROUP BY day_epoch
 """
@@ -1498,6 +1563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_checks_lineitem": q_range_checks_lineitem,
         "regex_customer": q_regex_customer,
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
+        "validate_lineitem_violations": q_validate_lineitem_violations,
+        "validate_lineitem_violations_dirty": q_validate_lineitem_violations_dirty,
         "histogram_events_value": q_histogram_events_value,
         "psi_documents_nchars": q_psi_documents_nchars,
         "ks_events_value": q_ks_events_value,
@@ -1549,6 +1616,8 @@ def oracle_sql() -> dict[str, str]:
         "range_checks_lineitem": SQL_RANGE_CHECKS_LINEITEM,
         "regex_customer": SQL_REGEX_CUSTOMER,
         "validate_lineitem_verdicts": SQL_VALIDATE_LINEITEM_VERDICTS,
+        "validate_lineitem_violations": SQL_VALIDATE_LINEITEM_VIOLATIONS,
+        "validate_lineitem_violations_dirty": SQL_VALIDATE_LINEITEM_VIOLATIONS_DIRTY,
         "histogram_events_value": SQL_HISTOGRAM_EVENTS_VALUE,
         "psi_documents_nchars": SQL_PSI_DOCUMENTS_NCHARS,
         "ks_events_value": SQL_KS_EVENTS_VALUE,

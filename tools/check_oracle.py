@@ -48,6 +48,29 @@ def value_hash(rows, colnames):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def arrow_type_label(t):
+    """Coarse-but-type-sensitive label: distinguishes the int-width /
+    decimal class (the driver's hash is type-sensitive — round-1 lesson:
+    DuckDB types un-cast integer sum() as HUGEINT → decimal128 in Arrow,
+    while Spark emits int64, and the values hash differently)."""
+    import pyarrow as pa
+
+    s = str(t)
+    if s.startswith("decimal"):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{arrow_type_label(t.value_type)}>"
+    return s
+
+
+def arrow_schema_labels(tbl):
+    return {f.name: arrow_type_label(f.type) for f in tbl.schema}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -78,6 +101,7 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            satbl = sdf.toArrow()
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as e:
@@ -90,8 +114,11 @@ def main():
             continue
         try:
             res = con.sql(oracles[name])
-            orows = res.fetchall()
-            ocols = [d[0] for d in res.description]
+            oatbl = res.arrow()
+            orows = [
+                tuple(r) for r in zip(*[c.to_pylist() for c in oatbl.columns])
+            ]
+            ocols = oatbl.schema.names
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
@@ -99,6 +126,16 @@ def main():
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
         ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
+        stypes, otypes = arrow_schema_labels(satbl), arrow_schema_labels(oatbl)
+        if ok_cols and stypes != otypes:
+            diff = {
+                c: (stypes.get(c), otypes.get(c))
+                for c in stypes
+                if stypes.get(c) != otypes.get(c)
+            }
+            print(f"FAIL  {name}: arrow type mismatch {diff}")
+            n_fail += 1
+            continue
         if ok_rows and ok_cols and ok_hash:
             print(f"PASS  {name}: rows={len(srows)}")
             n_pass += 1

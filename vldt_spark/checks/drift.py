@@ -142,11 +142,20 @@ def psi_by_group(
         .groupBy(bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n_ref"))
     )
-    # grid = every (group, ref-bin) pair so empty bins contribute their eps
-    # terms identically in every engine
-    grid = h.select(by).distinct().crossJoin(rh)
-    j = grid.join(h, [by, "bin"], "left").fillna(0, subset=["n"])
-    tg = j.groupBy(by).agg(F.sum("n").alias("tg"))
+    # grid = every (group, bin) pair over the UNION of group and ref bins —
+    # mirrors _paired_probs' full-outer semantics. Building it from ref bins
+    # alone drops group mass outside the ref support: a fully-shifted group
+    # would get tg=0 (division by zero) and a partially-shifted one a
+    # silently understated PSI — failing exactly when drift is strongest.
+    all_bins = rh.select("bin").union(h.select("bin")).distinct()
+    grid = h.select(by).distinct().crossJoin(all_bins)
+    j = (
+        grid.join(h, [by, "bin"], "left")
+        .join(rh, ["bin"], "left")
+        .fillna(0, subset=["n", "n_ref"])
+    )
+    # group totals from the FULL group histogram, not the grid join
+    tg = h.groupBy(by).agg(F.sum("n").alias("tg"))
     tr = rh.agg(F.sum("n_ref").alias("tr"))
     j = j.join(F.broadcast(tg), by).crossJoin(F.broadcast(tr))
     p = F.col("n_ref") / F.col("tr") + F.lit(eps)

@@ -188,7 +188,6 @@ def _list_value(src, src_dtype, node, path, fld, truthy_bool):
         and src_dtype.containsNull  # schema-proven null-free arrays skip it
         and not inner.is_any
         and not inner.is_optional
-        and not inner.is_model
     ):
         # None inside a container of non-optional elements errors in the
         # reference (validate_list → validate_and_convert(None, T),

@@ -29,17 +29,52 @@ class Mode(enum.Enum):
     AFTER = "after"
 
 
-def field_validator(field: str, *, mode: Mode = Mode.AFTER, vectorized: bool = True):
+def field_validator(
+    field: str | None = None, *, mode: Mode = Mode.AFTER, vectorized: bool = True
+):
     """Register a per-field transform.
 
     ``fn`` receives and returns a ``pandas.Series`` when vectorized (the
     default; Arrow batches), else a scalar (wrapped into a pandas map —
     still batch-applied, never row-at-a-time Python in the plan).
+
+    Two registration forms:
+
+      * ``@field_validator("price")`` — explicit target; ``fn(series)``.
+      * ``@field_validator(mode=...)`` — reference-parity form
+        (/root/reference/vldt/validators.py:27-40): the target field is
+        inferred from the name of the SECOND parameter and arity is
+        enforced (exactly ``(cls, value)``, classmethod/staticmethod
+        unwrapped); the value argument is the Series.
     """
 
     def deco(fn: Callable) -> Callable:
+        actual = fn.__func__ if isinstance(fn, (classmethod, staticmethod)) else fn
+        if field is None:
+            params = list(inspect.signature(actual).parameters)
+            if len(params) != 2:
+                raise ValueError(
+                    "Field validator must have exactly one field parameter "
+                    "(aside from 'cls' or 'self')"
+                )
+            target = params[1]
+
+            def adapter(series, _f=actual):
+                return _f(None, series)
+
+            adapter.__name__ = getattr(actual, "__name__", "field_validator")
+            adapter.__module__ = getattr(actual, "__module__", __name__)
+            if inspect.iscoroutinefunction(actual):
+                async def adapter(value, _f=actual):  # noqa: F811 — async twin
+                    return await _f(None, value)
+                adapter.__name__ = getattr(actual, "__name__", "field_validator")
+                adapter.__module__ = getattr(actual, "__module__", __name__)
+            fn = adapter
+        else:
+            target = field
+            fn = actual
         fn.__vldt_kind__ = "field"
-        fn.__vldt_field__ = field
+        fn.__vldt_field__ = target
         fn.__vldt_mode__ = mode
         # an async fn is per-value by definition: awaited batch-concurrently
         # inside the Arrow UDF (A21 — the reference's async validators,
