@@ -1369,18 +1369,22 @@ def q_ivf_topk_embeddings(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """The raw embeddings table has no near-duplicate pairs (max pairwise
-    cosine ≈ 0.51), so the corpus is augmented with deterministic scaled
-    copies of vec_id < 20 (cosine(v, c·v) = 1 and identical hyperplane
-    signs — guaranteed bucket collisions). The plane matrix is a literal,
-    so the whole detector is reproduced in SQL and value-checked."""
+    cosine ≈ 0.51), so the corpus is augmented with GENUINELY PERTURBED
+    copies of vec_id < 20: every even position scaled ×1.425, every odd
+    ×0.575, which lands cosine(v, v') ≈ 0.92 — a real near-dup, not a
+    scaled clone with identical hyperplane signs. The detector is the
+    multi-table OR pipeline (8 planes × 8 tables, union recall ≈ 0.96 at
+    c=0.92); the plane matrices are literals, so the whole thing is
+    reproduced in SQL and value-checked."""
     from vldt_spark.functions.similarity import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    mult = lambda i: F.when(i % 2 == 0, F.lit(1.425)).otherwise(F.lit(0.575))
     copies = emb.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        F.transform("embedding", lambda x, i: x * mult(i)).alias("embedding"),
     )
     return embedding_near_duplicates(
         emb.unionByName(copies), threshold=0.9, dim=64
@@ -1390,27 +1394,43 @@ def q_embedding_near_dups(spark, sf_dir):
 def _sql_embedding_near_dups() -> str:
     from vldt_spark.functions.similarity import _plane_matrix
 
-    mat = _plane_matrix(12, 64, 7)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(emb, {row!r}) > 0 THEN {1 << p} ELSE 0 END)"
-        for p, row in enumerate(mat)
+    def bucket(seed: int) -> str:
+        mat = _plane_matrix(8, 64, seed)
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {row!r}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(mat)
+        )
+
+    buckets = ",\n         ".join(
+        f"({bucket(7 * 1009 + t)}) AS b{t}" for t in range(8)
     )
+    band_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(8))
+    # DuckDB i is 1-based, Spark transform's index 0-based: DuckDB odd i ↔
+    # Spark even i → the ×1.425 positions line up
     return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), e AS (
   SELECT vec_id, emb FROM base
   UNION ALL
-  SELECT vec_id + 100000, [x * 1.001 FOR x IN emb] FROM base WHERE vec_id < 20
+  SELECT vec_id + 100000,
+         [emb[i] * (CASE WHEN i % 2 = 1 THEN CAST(1.425 AS DOUBLE) ELSE CAST(0.575 AS DOUBLE) END)
+          FOR i IN range(1, len(emb) + 1)]
+  FROM base WHERE vec_id < 20
 ), sig AS (
-  SELECT vec_id, emb, ({bucket}) AS bucket FROM e
+  SELECT vec_id, emb,
+         {buckets}
+  FROM e
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.emb AS va, b.emb AS vb
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_match})
 ), scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)) > 0
-                    THEN list_dot_product(a.emb, b.emb)
-                         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+  SELECT id_a, id_b,
+         round(CASE WHEN sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)) > 0
+                    THEN list_dot_product(va, vb)
+                         / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
                     ELSE 0.0 END, 6) AS cosine
-  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM cand
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 """

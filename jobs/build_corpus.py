@@ -74,6 +74,16 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
 
+    def materialize(df, stage: str):
+        """Write a funnel stage to parquet and re-read it. Each stage is
+        computed EXACTLY ONCE: without this, every downstream `.count()`
+        re-triggers the upstream fingerprint groupBy / LSH join — three-plus
+        redundant passes over the corpus at 100 TB. The written stages are
+        also the audit trail (and the resume points) of the build."""
+        path = os.path.join(args.output, "stages", stage)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     # 1. validate + quarantine
     res = ValidationEngine(Document).run(
         docs.select("doc_id", "text", "source"), id_cols=["doc_id"]
@@ -81,18 +91,18 @@ def main(argv: list[str] | None = None) -> int:
     q = write_quarantined(res, os.path.join(args.output, "validation"))
     valid = spark.read.parquet(os.path.join(args.output, "validation", "data"))
 
-    # 2. exact dedup
-    exact = dedup_exact(valid)
+    # 2. exact dedup (materialized — counted from parquet metadata, free)
+    exact = materialize(dedup_exact(valid), "exact")
     n_exact = exact.count()
 
     # 3. near dedup (LSH pairs → clusters → representatives)
     pairs = minhash_lsh_pairs(exact, threshold=args.jaccard)
-    near = dedup_near(exact, pairs)
+    near = materialize(dedup_near(exact, pairs), "near")
     n_near = near.count()
 
     # 4. quality gate
     scored = near.withColumn("quality", text_quality(F.col("text")))
-    kept = scored.where(F.col("quality") >= args.quality)
+    kept = materialize(scored.where(F.col("quality") >= args.quality), "quality")
     n_quality = kept.count()
 
     # 5. per-domain cap

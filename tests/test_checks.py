@@ -51,6 +51,10 @@ def test_column_stats_and_profile(spark):
 def test_quantiles_exact(spark):
     df = spark.range(1, 101).select(F.col("id").cast("double").alias("x"))
     q = {(r["p"]): r["q"] for r in numeric_quantiles(df, ["x"], [0.5], exact=True).collect()}
+    # the scale path (percentile_approx sketch — what bench.py times) must
+    # agree with exact within the sketch's rank-error tolerance
+    qa = {(r["p"]): r["q"] for r in numeric_quantiles(df, ["x"], [0.5]).collect()}
+    assert abs(qa[0.5] - q[0.5]) <= max(1.0, 0.01 * abs(q[0.5])), (qa, q)
     assert abs(q[0.5] - 50.5) < 1e-9
 
 

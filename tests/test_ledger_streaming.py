@@ -193,6 +193,16 @@ def test_build_corpus_pipeline(spark, tmp_path):
     # the per-source cap binds at 3
     per_src = spark.read.parquet(out + "/corpus").groupBy("source").count().collect()
     assert per_src and all(r["count"] <= 3 for r in per_src)
+    # every funnel stage is materialized (one pass per stage, never a
+    # recompute of the dedup chain for a count) and matches the report
+    import os as _os
+
+    for stage, key in [("exact", "n_after_exact_dedup"),
+                       ("near", "n_after_near_dedup"),
+                       ("quality", "n_after_quality")]:
+        p = _os.path.join(out, "stages", stage)
+        assert _os.path.isdir(p), p
+        assert spark.read.parquet(p).count() == rep[key]
 
 
 def test_submit_validation_job_resumes(spark, tmp_path, capsys):

@@ -1,0 +1,136 @@
+"""Round-2 behavior fixes, each mirroring a judge/advisor finding:
+
+  * field_validator name inference + arity enforcement
+    (reference /root/reference/vldt/validators.py:27-40, mirrored from
+    reference tests/test_validators.py:265-273)
+  * psi_by_group full-outer bin semantics (group shifted outside the
+    reference support must not divide by zero / understate PSI)
+  * list[Model] null elements violate like scalar elements
+  * unique_together: coerced-value duplicate detection + loud failure on
+    unresolvable columns
+"""
+
+from typing import List
+
+import pytest
+from pyspark.sql import functions as F
+
+from vldt_spark.engine import ValidationEngine
+from vldt_spark.fields import Field
+from vldt_spark.model import Model
+from vldt_spark.validators import Mode, field_validator
+
+
+def test_field_validator_infers_name_from_second_param(spark):
+    class Person(Model):
+        name: str
+        age: int
+
+        @field_validator(mode=Mode.AFTER)
+        def upper_name(cls, name):  # target field inferred: "name"
+            return name.str.upper()
+
+    res = ValidationEngine(Person).run(
+        spark.createDataFrame([("jane", 30)], "name string, age int"),
+        id_cols=["name"],
+    )
+    row = res.annotated.first()
+    assert row["name"] == "JANE" and row["is_valid"]
+
+
+def test_field_validator_arity_enforced():
+    """Wrong arity raises at definition time with the reference's message
+    (reference tests/test_validators.py:269-273)."""
+    with pytest.raises(
+        ValueError, match="Field validator must have exactly one field parameter"
+    ):
+
+        @field_validator(mode=Mode.AFTER)
+        def bad(value):  # only one parameter — no field to infer
+            return value
+
+
+def test_psi_by_group_handles_group_outside_ref_support(spark):
+    """A group whose values fall entirely in bins the reference never
+    populated used to hit DIVIDE_BY_ZERO (ANSI) because its total came from
+    the ref-bin grid; now bins are the union of both supports."""
+    from vldt_spark.checks.drift import psi_by_group
+
+    ref = spark.createDataFrame([(float(v),) for v in range(0, 10)], "value double")
+    cur = spark.createDataFrame(
+        [("inside", float(v)) for v in range(0, 10)]
+        + [("outside", float(v)) for v in range(10, 20)],
+        "grp string, value double",
+    )
+    out = {
+        r["grp"]: r["psi"]
+        for r in psi_by_group(
+            cur, "value", "grp", bins=20, lo=0.0, hi=20.0, ref=ref
+        ).collect()
+    }
+    import math
+
+    assert all(math.isfinite(v) for v in out.values()), out
+    # the fully-shifted group must register dramatically more drift
+    assert out["outside"] > out["inside"], out
+    assert out["outside"] > 10, out  # ~2 * ln(1/eps) scale, not understated
+
+
+def test_list_of_model_null_element_is_violation(spark):
+    """A None element inside a non-optional list[Model] whose struct type
+    matches exactly must fail validation (reference validate_list →
+    validate_and_convert(None, T), validation_containers.cpp:61-99)."""
+
+    class Item(Model):
+        sku: str
+        qty: int
+
+    class Order(Model):
+        order_id: int
+        items: List[Item]
+
+    df = spark.createDataFrame(
+        [
+            (1, [{"sku": "a", "qty": 2}]),
+            (2, [{"sku": "b", "qty": 1}, None]),
+        ],
+        "order_id long, items array<struct<sku:string,qty:bigint>>",
+    )
+    res = ValidationEngine(Order).run(df, id_cols=["order_id"])
+    viol = {
+        (r["order_id"], r["path"], r["msg"]) for r in res.violations().collect()
+    }
+    assert (2, "items.1", "Expected type Item, got NoneType") in viol, viol
+    valid = {r["order_id"]: r["is_valid"] for r in res.annotated.collect()}
+    assert valid == {1: True, 2: False}
+
+
+def test_unique_together_on_coerced_values(spark):
+    """'01' and 1 coerce to the same int key — the composite-uniqueness
+    check must flag them (raw-value comparison would miss the collision)."""
+
+    class Rec(Model):
+        a: int
+        b: str
+
+        unique_together = [("a", "b")]
+
+    df = spark.createDataFrame(
+        [("01", "x"), ("1", "x"), ("2", "y")], "a string, b string"
+    )
+    res = ValidationEngine(Rec).run(df, id_cols=["a"])
+    rows = res.annotated.select("a", "b", "is_valid").collect()
+    flagged = {(r["a"], r["b"]): r["is_valid"] for r in rows}
+    assert flagged[(1, "x")] is False
+    assert flagged[(2, "y")] is True
+
+
+def test_unique_together_unresolvable_column_raises(spark):
+    class Rec2(Model):
+        a: int
+
+        unique_together = [("a", "nope")]
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="unique_together columns not in model"):
+        ValidationEngine(Rec2).run(df, id_cols=["a"])

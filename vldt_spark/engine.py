@@ -156,7 +156,10 @@ class ValidationEngine:
         df = self._apply_model_validators(df, "model_before")
         df = self._apply_field_udfs(df, "field_before")
 
-        key = (df.schema.json(), keep_extra)
+        # keyed on the owning session too: cached Columns hold py4j refs
+        # into the gateway that built them, so a restarted SparkContext
+        # must not see stale expression trees
+        key = (id(df.sparkSession), df.schema.json(), keep_extra)
         if key not in self._proj_cache:
             self._proj_cache[key] = self._build_projection(df, keep_extra)
         select_cols, violations_col = self._proj_cache[key]
@@ -376,12 +379,26 @@ class ValidationEngine:
         # model-level composite uniqueness: class attribute
         # ``unique_together = [("a", "b"), ...]`` — same salted two-stage
         # aggregate + broadcast join-back as per-field unique, keyed on the
-        # column tuple
+        # column tuple. Duplicate detection runs on the COERCED values (a
+        # key pair that only collides after coercion, e.g. "01" vs 1, must
+        # still be flagged, and the join-back compares coerced columns);
+        # Catalyst prunes the annotated plan to just the combo columns, so
+        # for declarative models the aggregate still scans only those
+        # columns. An unresolvable combo column is an error, never a
+        # silent skip.
+        ann0 = ann
+        model_names_set = {s.name for s in self.compiled.fields}
         for combo in getattr(self.model, "unique_together", []) or []:
             combo = list(combo)
-            if not all(c in df.columns for c in combo):
-                continue
-            dups = self.duplicate_keys(df, combo).select(
+            missing = [
+                c for c in combo if c not in model_names_set and c not in ann0.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"unique_together columns not in model {self.model.__name__}: "
+                    f"{missing}"
+                )
+            dups = self.duplicate_keys(ann0.select(*combo), combo).select(
                 *[F.col(c).alias(f"__dk_{c}") for c in combo]
             )
             cond = F.lit(True)

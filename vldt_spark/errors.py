@@ -47,15 +47,26 @@ def violation_if(cond: Column, path: Column | str, msg: Column | str) -> Column:
 #: Catalyst expressions are immutable, so one empty-array Column can appear
 #: in every expression tree — re-building it per check costs a DataType→JVM
 #: conversion each time, which dominates driver-side plan construction for
-#: wide models (measured: ~40% of a 120-field annotate build).
-_EMPTY_VIOLATIONS: Column | None = None
+#: wide models (measured: ~40% of a 120-field annotate build). In classic
+#: py4j mode a Column holds a reference through the gateway that created
+#: it, so the cache is keyed on the active SparkSession: a fully restarted
+#: gateway/SparkContext gets a fresh Column instead of a stale one.
+_EMPTY_VIOLATIONS: tuple[int, Column] | None = None
+
+
+def _session_key() -> int:
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    return id(s) if s is not None else 0
 
 
 def empty_violations() -> Column:
     global _EMPTY_VIOLATIONS
-    if _EMPTY_VIOLATIONS is None:
-        _EMPTY_VIOLATIONS = F.array().cast(VIOLATIONS_TYPE)
-    return _EMPTY_VIOLATIONS
+    key = _session_key()
+    if _EMPTY_VIOLATIONS is None or _EMPTY_VIOLATIONS[0] != key:
+        _EMPTY_VIOLATIONS = (key, F.array().cast(VIOLATIONS_TYPE))
+    return _EMPTY_VIOLATIONS[1]
 
 
 def merge_violations(*arrays: Column) -> Column:

@@ -28,13 +28,27 @@ from vldt_spark.plans.skew import ensure_min_parallelism
 # -- exact ---------------------------------------------------------------
 
 
-def exact_duplicates(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(fingerprint, n_docs, doc_ids) for every duplicated normalized text."""
+def exact_duplicates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 20,
+) -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for every duplicated normalized text.
+
+    ``n_docs`` is exact; ``doc_ids`` is capped at the ``max_ids`` smallest
+    ids — a pathological hot fingerprint (e.g. the empty document repeated
+    10^9 times) must not materialize an unbounded id array in the report
+    row. Pass ``max_ids=None`` to keep every id (small-data debugging)."""
     fp = fingerprint(F.col(text_col))
+    ids = F.sort_array(F.collect_list(id_col))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         docs.select(fp.alias("fp"), F.col(id_col))
         .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), ids.alias("doc_ids"))
         .where(F.col("n_docs") > 1)
     )
 

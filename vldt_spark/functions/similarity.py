@@ -303,29 +303,67 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 7,
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: one hyperplane bucket pass (vectors
-    this similar almost surely collide), exact cosine filter within buckets.
-    Returns (id_a, id_b, cosine)."""
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH:
+    ``n_tables`` independent ``n_planes``-bit signatures, a pair is a
+    candidate if it collides in ANY table (OR semantics — the same design
+    as lsh_bucketed_topk), exact cosine filter on candidates.
+
+    Recall math: per-plane agreement for cosine c is 1 − arccos(c)/π, so a
+    single 12-bit table catches only ~16% of true pairs at c=0.9; with
+    8 planes × 8 tables the union recall is 1 − (1 − p^8)^8 ≈ 0.93 at
+    c=0.9 and ≈ 0.99 at c=0.95 (asserted by pytest on perturbed pairs).
+
+    Scale note: join key is (table, bucket) so the shuffle is bounded by
+    bucket sizes, never all-pairs — but 2^n_planes buckets must out-scale
+    the corpus; at 10^9+ rows raise n_planes (e.g. 16-20) and add tables
+    to hold recall. Returns (id_a, id_b, cosine)."""
     d = dim if dim is not None else _infer_dim(corpus, vec_col)
-    sig = ensure_min_parallelism(corpus).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _hyperplane_bits(F.col(vec_col), n_planes=n_planes, seed=seed, dim=d).alias(
-            "bucket"
-        ),
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _hyperplane_bits(
+                    F.col(vec_col), n_planes=n_planes, seed=seed * 1009 + t, dim=d
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    sig = (
+        ensure_min_parallelism(corpus)
+        .select(F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
     )
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)

@@ -107,12 +107,14 @@ def run_drift_monitor(
     window: str = "1 day",
     schema=None,
     query_name: str = "vldt_stream_drift",
-) -> DataFrame:
+) -> "StreamingQuery":
     """Drive a parquet-directory stream through the drift monitor (memory
     sink, APPEND mode — chained stateful aggregations require it; a window
-    emits once the watermark passes its end) and return the per-window PSI
-    table. The caller advances the watermark past the windows of interest
-    (e.g. a later batch of fresh data) before reading results."""
+    emits once the watermark passes its end) and return the live
+    ``StreamingQuery`` (NOT the result table — the caller keeps driving it:
+    append fresh data to advance the watermark past the windows of
+    interest, call ``processAllAvailable()``, then read
+    ``spark.table(query_name)``, and finally ``stop()`` it)."""
     schema = schema or spark.read.parquet(source_dir).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)
     out = stream_psi(
