@@ -18,7 +18,7 @@ import datetime
 import functools
 import os
 import sys
-from typing import Optional
+from typing import Dict, List, Optional, Tuple
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -598,6 +598,119 @@ FROM k WHERE m = 17
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_tax', 'Expected type float, got NoneType'
 FROM k WHERE m = 19
+"""
+
+
+@functools.lru_cache(maxsize=None)
+def _nested_doc_model():
+    from typing import List
+
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class Meta(Model):
+        lang: str = Field(isin=["de", "en", "es", "fr", "zh"])
+        n_chars: int = Field(ge=0)
+
+    # the PEP 563 string annotation "Meta" resolves against THIS module's
+    # globals, so the locally-defined class must be published there
+    globals()["Meta"] = Meta
+
+    class NestedDoc(Model):
+        doc_id: int
+        tokens: List[int] = Field(element_ge=0)
+        meta: Meta
+
+    return NestedDoc
+
+
+def q_validate_nested_paths_dirty(spark, sf_dir):
+    """A10/A15 lineage paths, oracle-checked: documents are reshaped into a
+    nested row (tokens: array<int> of the first 8 char codes, meta:
+    struct<lang, n_chars>) and dirtied on three disjoint keys — a negative
+    list element (indexed path ``tokens.2``), a bad nested enum
+    (``meta.lang``), and a negative nested range (``meta.n_chars``). The
+    engine's exploded violations must carry the exact dotted/indexed paths
+    the reference produces (validate_list/validate_model re-parenting,
+    /root/reference/src/validation_containers.cpp:61-99,
+    /root/reference/src/validation.cpp:64-84)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    toks = F.transform(F.slice(F.split(F.col("text"), ""), 1, 8), lambda c: F.ascii(c))
+    toks = F.when(
+        m == 5,
+        F.transform(toks, lambda x, i: F.when(i == 2, F.lit(-7)).otherwise(x)),
+    ).otherwise(toks)
+    lang = F.when(m == 9, F.lit("xx")).otherwise(F.col("lang"))
+    n_chars = F.when(m == 13, F.lit(-1).cast("long")).otherwise(F.col("n_chars"))
+    nested = docs.select(
+        "doc_id",
+        toks.alias("tokens"),
+        F.struct(lang.alias("lang"), n_chars.alias("n_chars")).alias("meta"),
+    )
+    from vldt_spark.engine import ValidationEngine
+
+    res = ValidationEngine(_nested_doc_model()).run(nested, id_cols=["doc_id"])
+    return res.violations()
+
+
+SQL_VALIDATE_NESTED_PATHS_DIRTY = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'tokens.2' AS path,
+       'Value out of range: expected >= 0' AS msg
+FROM documents WHERE doc_id % 40 = 5
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'meta.lang', 'Value not in allowed set'
+FROM documents WHERE doc_id % 40 = 9
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'meta.n_chars', 'Value out of range: expected >= 0'
+FROM documents WHERE doc_id % 40 = 13
+"""
+
+
+@functools.lru_cache(maxsize=None)
+def _dict_tuple_model():
+    from vldt_spark.model import Model
+
+    class DictTupleDoc(Model):
+        doc_id: int
+        attrs: Dict[str, int]
+        pair: Tuple[int, str]
+
+    return DictTupleDoc
+
+
+def q_validate_dict_tuple_paths_dirty(spark, sf_dir):
+    """A11/A12 lineage paths, oracle-checked: a map column whose 'bad' key
+    holds an uncoercible string on dirty rows (path ``attrs.bad`` — the
+    reference's ``field.<key>`` re-parenting, validate_dict,
+    /root/reference/src/validation_containers.cpp:115-172) and a 2-tuple
+    whose position 0 fails int coercion (path ``pair.0``, validate_tuple)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    attrs = F.create_map(
+        F.lit("len"),
+        F.col("n_chars").cast("string"),
+        F.lit("bad"),
+        F.when(m == 21, F.lit("oops")).otherwise(F.lit("1")),
+    )
+    pair = F.struct(
+        F.when(m == 29, F.lit("x")).otherwise(F.col("doc_id").cast("string")).alias("p0"),
+        F.col("lang").alias("p1"),
+    )
+    nested = docs.select("doc_id", attrs.alias("attrs"), pair.alias("pair"))
+    from vldt_spark.engine import ValidationEngine
+
+    res = ValidationEngine(_dict_tuple_model()).run(nested, id_cols=["doc_id"])
+    return res.violations()
+
+
+SQL_VALIDATE_DICT_TUPLE_PATHS_DIRTY = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'attrs.bad' AS path,
+       'Expected type int, got str' AS msg
+FROM documents WHERE doc_id % 40 = 21
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'pair.0', 'Expected type int, got str'
+FROM documents WHERE doc_id % 40 = 29
 """
 
 
@@ -1221,6 +1334,58 @@ FROM events GROUP BY event_type
 """
 
 
+@functools.lru_cache(maxsize=None)
+def _props_model():
+    from vldt_spark.model import Model
+
+    class PropsModel(Model):
+        k: Optional[int]
+
+    return PropsModel
+
+
+def q_json_corrupt_offsets_events(spark, sf_dir):
+    """A24 parse-error positions: every event_id % 100 == 3 props string is
+    deterministically corrupted by doubling its first ':' (trailing garbage
+    is NOT used — Jackson tolerates it); the never-raise JSON reader marks
+    the row _corrupt_record and corrupt_record_offsets recovers the byte
+    offset (reference from_json raises ValueError with this offset,
+    /root/reference/src/conversion/json_utils.cpp:166-180). Python's parser
+    fails at the second colon = the 0-based index right after the first,
+    which equals DuckDB's 1-based strpos(props, ':') — the oracle predicts
+    every offset in SQL."""
+    from vldt_spark.sources.readers import corrupt_record_offsets, read_json_validated
+
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    raw = ev.select(
+        F.when(
+            F.col("event_id") % 100 == 3,
+            F.regexp_replace("props", ":", "::"),
+        )
+        .otherwise(F.col("props"))
+        .alias("raw")
+    )
+    parsed = read_json_validated(spark, raw, _props_model())
+    out = corrupt_record_offsets(parsed)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        F.coalesce(F.sum("_corrupt_offset").cast("long"), F.lit(0).cast("long")).alias("sum_offset"),
+        F.sum(F.col("k").isNotNull().cast("long")).alias("n_parsed_k"),
+    )
+
+
+SQL_JSON_CORRUPT_OFFSETS_EVENTS = """
+SELECT count(*) AS n,
+       CAST(sum(CASE WHEN event_id % 100 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN event_id % 100 = 3 THEN strpos(props, ':') ELSE 0 END) AS BIGINT) AS sum_offset,
+       CAST(sum(CASE WHEN event_id % 100 != 3
+                      AND json_extract(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed_k
+FROM events WHERE props IS NOT NULL
+"""
+
+
 def q_timestamp_parse_events(spark, sf_dir):
     """ISO-string → timestamp coercion (reference global deserializer,
     /root/reference/vldt/deserializer.py:3-8): format out, parse back,
@@ -1585,6 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "validate_lineitem_violations": q_validate_lineitem_violations,
         "validate_lineitem_violations_dirty": q_validate_lineitem_violations_dirty,
+        "validate_nested_paths_dirty": q_validate_nested_paths_dirty,
+        "validate_dict_tuple_paths_dirty": q_validate_dict_tuple_paths_dirty,
         "histogram_events_value": q_histogram_events_value,
         "psi_documents_nchars": q_psi_documents_nchars,
         "ks_events_value": q_ks_events_value,
@@ -1607,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "rolling_fp_documents": q_rolling_fp_documents,
         "json_extract_events": q_json_extract_events,
+        "json_corrupt_offsets_events": q_json_corrupt_offsets_events,
         "timestamp_parse_events": q_timestamp_parse_events,
         "tojson_roundtrip_nation": q_tojson_roundtrip_nation,
         "knn_cosine_embeddings": q_knn_cosine_embeddings,
@@ -1638,6 +1806,8 @@ def oracle_sql() -> dict[str, str]:
         "validate_lineitem_verdicts": SQL_VALIDATE_LINEITEM_VERDICTS,
         "validate_lineitem_violations": SQL_VALIDATE_LINEITEM_VIOLATIONS,
         "validate_lineitem_violations_dirty": SQL_VALIDATE_LINEITEM_VIOLATIONS_DIRTY,
+        "validate_nested_paths_dirty": SQL_VALIDATE_NESTED_PATHS_DIRTY,
+        "validate_dict_tuple_paths_dirty": SQL_VALIDATE_DICT_TUPLE_PATHS_DIRTY,
         "histogram_events_value": SQL_HISTOGRAM_EVENTS_VALUE,
         "psi_documents_nchars": SQL_PSI_DOCUMENTS_NCHARS,
         "ks_events_value": SQL_KS_EVENTS_VALUE,
@@ -1658,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
         "rolling_fp_documents": SQL_ROLLING_FP_DOCUMENTS,
         "json_extract_events": SQL_JSON_EXTRACT_EVENTS,
+        "json_corrupt_offsets_events": SQL_JSON_CORRUPT_OFFSETS_EVENTS,
         "timestamp_parse_events": SQL_TIMESTAMP_PARSE_EVENTS,
         "tojson_roundtrip_nation": SQL_TOJSON_ROUNDTRIP_NATION,
         "knn_cosine_embeddings": SQL_KNN_COSINE_EMBEDDINGS,

@@ -125,6 +125,50 @@ def test_unique_together_on_coerced_values(spark):
     assert flagged[(2, "y")] is True
 
 
+def test_corrupt_json_violation_carries_offset(spark):
+    """Reference from_json raises ValueError with the byte offset of the
+    parse failure (/root/reference/src/conversion/json_utils.cpp:166-180);
+    our never-raise contract recovers the offset on the corrupt rows only
+    (Arrow-batched, happy path stays JVM-side)."""
+    import json
+
+    from vldt_spark.sources.readers import corrupt_record_offsets, read_json_validated
+
+    class Tiny(Model):
+        a: int
+
+    good = '{"a": 1}'
+    bad = '{"a": 1,,}'  # offset of the second comma per json.JSONDecodeError
+    df = spark.createDataFrame([(good,), (bad,)], "raw string")
+    parsed = read_json_validated(spark, df, Tiny)
+    out = corrupt_record_offsets(parsed).collect()
+    by_corrupt = {r["_corrupt_record"]: r for r in out}
+    assert by_corrupt[None]["_corrupt_offset"] is None
+    try:
+        json.loads(bad)
+    except json.JSONDecodeError as e:
+        want = e.pos
+    assert by_corrupt[bad]["_corrupt_offset"] == want
+    assert by_corrupt[bad]["_corrupt_msg"] == f"JSON parse error at offset {want}"
+
+
+def test_to_dict_rows_serializer_hook(spark):
+    """Dict-side serializer hooks (reference Config(dict_serializer=...),
+    /root/reference/src/conversion/dict_utils.cpp:203-282): the hook runs
+    on the dict/columnar output path, independent of to_json."""
+    import datetime
+
+    from vldt_spark.sources.readers import to_dict_rows
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 5, 17, 12, 0, 0))], "id long, ts timestamp"
+    )
+    out = to_dict_rows(
+        df, serializers={"ts": lambda c: F.date_format(c, "yyyy/MM/dd")}
+    ).collect()
+    assert out[0].asDict() == {"id": 1, "ts": "2024/05/17"}
+
+
 def test_unique_together_unresolvable_column_raises(spark):
     class Rec2(Model):
         a: int

@@ -18,12 +18,25 @@ from pyspark.sql import functions as F
 
 
 def invalid_fk_values(
-    fact: DataFrame, fk: str, dim: DataFrame, dim_key: str
+    fact: DataFrame,
+    fk: str,
+    dim: DataFrame,
+    dim_key: str,
+    *,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
-    """Distinct non-null FK values absent from the dimension (small output)."""
+    """Distinct non-null FK values absent from the dimension (small output).
+
+    ``broadcast_dim=True`` pins a broadcast anti-join — only when the dim's
+    distinct keys are known to fit executor memory. The default (``None``)
+    leaves the choice to AQE, which broadcasts small dims at runtime and
+    falls back to shuffle for large ones — the safe default given this
+    function is reachable from ``engine.run`` for any ``ref=`` field."""
     vals = fact.select(fk).where(F.col(fk).isNotNull()).distinct()
     d = dim.select(F.col(dim_key).alias(fk)).distinct()
-    return vals.join(F.broadcast(d), fk, "left_anti")
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return vals.join(d, fk, "left_anti")
 
 
 def ri_violation_rows(

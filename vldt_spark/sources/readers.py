@@ -78,6 +78,78 @@ def read_csv_validated(
     )
 
 
+def corrupt_record_offsets(
+    df: DataFrame, *, record_col: str = "_corrupt_record"
+) -> DataFrame:
+    """Best-effort parse-error positions for corrupt JSON records.
+
+    The reference's ``from_json`` raises ``ValueError`` with the byte
+    offset of the parse failure
+    (/root/reference/src/conversion/json_utils.cpp:166-180); Spark's
+    PERMISSIVE mode only hands back the raw record. This recovers the
+    offset by re-parsing ONLY the (rare) corrupt rows in an Arrow-batched
+    stage — the happy path never leaves the JVM. Adds
+    ``_corrupt_offset: int`` (null for clean rows) and
+    ``_corrupt_msg: string`` shaped like the reference's error text."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def _offset(s):
+        import json as _json
+
+        import pandas as pd
+
+        def pos(v):
+            if v is None:
+                return None
+            try:
+                _json.loads(v)
+                return None  # parsed after all (e.g. schema mismatch only)
+            except _json.JSONDecodeError as e:
+                return e.pos
+            except Exception:
+                return 0
+
+        return s.map(pos).astype("Int32")
+
+    out = df.withColumn(
+        "_corrupt_offset",
+        F.when(F.col(record_col).isNotNull(), _offset(F.col(record_col))),
+    )
+    return out.withColumn(
+        "_corrupt_msg",
+        F.when(
+            F.col(record_col).isNotNull(),
+            F.concat(
+                F.lit("JSON parse error at offset "),
+                F.coalesce(F.col("_corrupt_offset").cast("string"), F.lit("?")),
+            ),
+        ),
+    )
+
+
+def to_dict_rows(
+    df: DataFrame,
+    *,
+    exclude: tuple[str, ...] = ("violations", "is_valid"),
+    serializers: dict | None = None,
+) -> DataFrame:
+    """Dict-output sink (reference to_dict, A23): canonical schema-ordered
+    columns with per-column serializer hooks — the Spark analogue of the
+    reference consulting ``Config(dict_serializer={type: fn})`` at every
+    node of to_dict (/root/reference/src/conversion/dict_utils.cpp:203-282).
+    Unlike ``to_json_rows`` the output stays columnar (one column per
+    field), ready for ``.toPandas()`` / ``collect`` → dicts."""
+    serializers = serializers or {}
+    cols = []
+    for c in df.columns:
+        if c in exclude:
+            continue
+        expr = serializers[c](F.col(c)).alias(c) if c in serializers else F.col(c)
+        cols.append(expr)
+    return df.select(*cols)
+
+
 def to_json_rows(
     df: DataFrame,
     *,
