@@ -1689,6 +1689,83 @@ FROM v GROUP BY day_epoch
 """
 
 
+def q_streaming_drift_psi(spark, sf_dir):
+    """Streaming drift monitor (B7 continuous twin), value-checked: events
+    stream through the chained windowed aggregation → per-day PSI vs the
+    static 'view'-events reference histogram. Append mode only emits CLOSED
+    windows, so batch 2 is a single sentinel row 90 days in the future —
+    it advances the watermark past every real window (its own window never
+    closes and is never emitted). The oracle recomputes each day's PSI
+    with the identical fixed-bin formula in SQL."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.checks.drift import histogram
+    from vldt_spark.streaming.drift_stream import stream_psi
+
+    ev = _t(spark, sf_dir, "events")
+    ref = histogram(
+        ev.where(F.col("event_type") == "view"), "value", bins=20, lo=0.0, hi=450.0
+    )
+    root = tempfile.mkdtemp(prefix="vldt_stream_psi_")
+    # watermarks need TIMESTAMP (LTZ); parquet ts is NTZ — session TZ is
+    # UTC so the cast is epoch-preserving and matches DuckDB's epoch(ts)
+    data = ev.select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    data.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    sentinel = ev.limit(1).select(
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_psi(
+        stream, ref, "value", "ts", bins=20, lo=0.0, hi=450.0,
+        window="1 day", watermark="1 hour",
+    )
+    name = f"vldt_stream_psi_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "n_rows",
+        "psi",
+    )
+
+
+SQL_STREAMING_DRIFT_PSI = """
+WITH ref AS (
+  SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin, count(*) AS n
+  FROM events WHERE value IS NOT NULL AND event_type = 'view' GROUP BY 1
+), rt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM ref),
+wins AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS wepoch,
+         CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin, count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), wt AS (SELECT wepoch, CAST(sum(n) AS BIGINT) AS n_rows FROM wins GROUP BY 1),
+grid AS (
+  SELECT wt.wepoch, wt.n_rows, gs.b AS bin
+  FROM wt CROSS JOIN (SELECT unnest(range(0, 20)) AS b) gs
+), j AS (
+  SELECT grid.wepoch, grid.n_rows,
+         COALESCE(ref.n / rt.t, 0) + 1e-9 AS p,
+         CAST(COALESCE(wins.n, 0) AS DOUBLE) / grid.n_rows + 1e-9 AS q
+  FROM grid CROSS JOIN rt
+  LEFT JOIN ref ON ref.bin = grid.bin
+  LEFT JOIN wins ON wins.wepoch = grid.wepoch AND wins.bin = grid.bin
+)
+SELECT wepoch AS window_epoch, n_rows, round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM j GROUP BY wepoch, n_rows
+"""
+
+
 def q_streaming_dup_doc_ids(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState): batch 1
     ingests every document, batch 2 re-ingests doc_id < 50; the duplicate
@@ -1782,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_verdicts": q_streaming_event_verdicts,
+        "streaming_drift_psi": q_streaming_drift_psi,
         "streaming_dup_doc_ids": q_streaming_dup_doc_ids,
     }
 
@@ -1838,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _sql_lsh_topk_embeddings(),
         "embedding_near_dups": _sql_embedding_near_dups(),
         "streaming_event_verdicts": SQL_STREAMING_EVENT_VERDICTS,
+        "streaming_drift_psi": SQL_STREAMING_DRIFT_PSI,
         "streaming_dup_doc_ids": SQL_STREAMING_DUP_DOC_IDS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
     }

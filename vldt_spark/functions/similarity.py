@@ -151,7 +151,11 @@ def lsh_bucketed_topk(
     q = with_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id"
     ).alias("q")
-    cand = (
+    # score inside the bucket join, dedup after: a candidate colliding in
+    # k tables recomputes its cosine k times map-side, but the dedup
+    # shuffle then moves (query_id, id, cosine) rows — not two vector
+    # payloads per candidate (see embedding_near_duplicates for the math)
+    scored = (
         c.join(
             F.broadcast(q),
             (F.col("c.tbl") == F.col("q.tbl")) & (F.col("c.bucket") == F.col("q.bucket")),
@@ -160,13 +164,11 @@ def lsh_bucketed_topk(
         .select(
             F.col("q.query_id").alias("query_id"),
             F.col(f"c.{id_col}").alias(id_col),
-            F.col(f"c.{vec_col}").alias("__cv"),
-            F.col(f"q.{vec_col}").alias("__qv"),
+            F.round(
+                cosine(F.col(f"c.{vec_col}"), F.col(f"q.{vec_col}")), 6
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", id_col])
-    )
-    scored = cand.select(
-        "query_id", id_col, F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -346,24 +348,22 @@ def embedding_near_duplicates(
         )
     )
     a, b = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # score INSIDE the bucket join and filter before deduplicating: a pair
+    # colliding in k of the n_tables recomputes the cosine k times (cheap,
+    # map-side), but the dedup shuffle then carries only the surviving
+    # (id_a, id_b, cosine) rows — ~24 bytes each — instead of two 64-dim
+    # vector payloads per CANDIDATE pair (~1 KB each), which is what a
+    # dropDuplicates-then-score order would move at 10^12 rows.
+    scored = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+        ).alias("cosine"),
     )
-    pairs = cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
-    )
-    return pairs.where(F.col("cosine") >= threshold)
+    return scored.where(F.col("cosine") >= threshold).distinct()
