@@ -18,7 +18,7 @@ import datetime
 import functools
 import os
 import sys
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Set, Tuple, Union
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -602,6 +602,174 @@ FROM k WHERE m = 19
 
 
 @functools.lru_cache(maxsize=None)
+def _aliased_lineitem_model():
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class AliasedLineitem(Model):
+        l_orderkey: int
+        l_quantity: float = Field(alias=["qty_missing", "qty"], ge=1, le=50)
+
+    return AliasedLineitem
+
+
+def q_alias_resolution_lineitem(spark, sf_dir):
+    """A32 alias resolution, oracle-checked: the input carries the quantity
+    under ``qty`` (canonical name absent); the model declares
+    ``alias=["qty_missing", "qty"]`` and must resolve via the FIRST alias
+    that exists (first-alias-wins probing before the canonical name,
+    /root/reference/src/data_model.cpp:172-190). The coerced canonical
+    column's aggregate must equal the raw column's."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").alias("qty")
+    )
+    from vldt_spark.engine import ValidationEngine
+
+    res = ValidationEngine(_aliased_lineitem_model()).run(li, id_cols=["l_orderkey"])
+    return res.annotated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_valid").cast("long")).alias("n_valid"),
+        F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+    )
+
+
+SQL_ALIAS_RESOLUTION_LINEITEM = """
+SELECT count(*) AS n, count(*) AS n_valid, round(sum(l_quantity), 3) AS sum_qty
+FROM lineitem
+"""
+
+
+@functools.lru_cache(maxsize=None)
+def _defaulted_event_model():
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class DefaultedEvent(Model):
+        event_id: int
+        props: str = Field(default="{}")
+        session_tag: str = Field(
+            default_expr=lambda: F.sha2(F.col("event_id").cast("string"), 256)
+        )
+
+    return DefaultedEvent
+
+
+def q_defaults_fill_events(spark, sf_dir):
+    """A33 default chain, oracle-checked: null ``props`` fill with the
+    scalar default; the ``session_tag`` column is absent entirely, so the
+    PER-ROW expression default (the deterministic analogue of the
+    reference's default_factory fresh-value-per-instance,
+    /root/reference/vldt/fields.py:10-43, tests/test_fields.py:83-102)
+    computes sha256(event_id) for every row — both reproduced in SQL."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    from vldt_spark.engine import ValidationEngine
+
+    res = ValidationEngine(_defaulted_event_model()).run(
+        ev.where(F.col("event_id") % 200 == 0), id_cols=["event_id"]
+    )
+    return res.annotated.select("event_id", "props", "session_tag")
+
+
+SQL_DEFAULTS_FILL_EVENTS = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       COALESCE(props, '{}') AS props,
+       sha256(CAST(event_id AS VARCHAR)) AS session_tag
+FROM events WHERE event_id % 200 = 0
+"""
+
+
+@functools.lru_cache(maxsize=None)
+def _union_doc_model():
+    from vldt_spark.model import Model
+
+    class UnionDoc(Model):
+        doc_id: int
+        val: Union[int, float]
+
+    return UnionDoc
+
+
+def q_union_resolution_documents(spark, sf_dir):
+    """A14 ordered union resolution, oracle-checked. ``Union[int, float]``
+    stores heterogeneous unions as string with ordered try_cast resolution
+    (reference tp_validate_union tries alternatives in declaration order,
+    /root/reference/src/validation.cpp:190-240). Three observable branches:
+    canonical int strings pass through the int arm; decimal strings fall
+    through to the float arm; zero-padded int strings are NORMALIZED by the
+    int arm ('0123' → '123' — the ordered-resolution fingerprint); 'n/a'
+    matches no arm → invalid with val NULL."""
+    docs = _t(spark, sf_dir, "documents")
+    m3 = F.col("doc_id") % 3
+    val = (
+        F.when(m3 == 0, F.col("doc_id").cast("string"))
+        .when(m3 == 1, (F.col("n_chars") + F.lit(0.5)).cast("string"))
+        .otherwise(
+            F.when(F.col("doc_id") % 40 == 17, F.lit("n/a")).otherwise(
+                F.concat(F.lit("0"), F.col("doc_id").cast("string"))
+            )
+        )
+    )
+    from vldt_spark.engine import ValidationEngine
+
+    res = ValidationEngine(_union_doc_model()).run(
+        docs.select("doc_id", val.alias("val")), id_cols=["doc_id"]
+    )
+    return res.annotated.select("doc_id", "val", "is_valid")
+
+
+SQL_UNION_RESOLUTION_DOCUMENTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 3 = 1 THEN CAST(n_chars + 0.5 AS VARCHAR)
+            WHEN doc_id % 40 = 17 THEN NULL
+            ELSE CAST(CAST('0' || CAST(doc_id AS VARCHAR) AS BIGINT) AS VARCHAR)
+       END AS val,
+       NOT (doc_id % 3 = 2 AND doc_id % 40 = 17) AS is_valid
+FROM documents
+"""
+
+
+def q_errors_json_dirty(spark, sf_dir):
+    """A16's exact error payload, oracle-checked: errors_json() emits the
+    reference ``TypeError`` JSON — ``{path: msg}``, 2-space pretty-printed
+    (/root/reference/src/error_handling.hpp:109-118, tests/conftest.py:4-13).
+    Every dirty row in the fixture carries exactly one violation, so the
+    oracle reconstructs the same pretty-printed object with string
+    concatenation."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.col("l_orderkey") % 1000
+    ln1 = F.col("l_linenumber") == 1
+    dirty = li.withColumn(
+        "l_quantity",
+        F.when((m == 7) & ln1, F.lit(-5.0)).otherwise(F.col("l_quantity")),
+    ).withColumn(
+        "l_returnflag",
+        F.when((m == 11) & ln1, F.lit("Z")).otherwise(F.col("l_returnflag")),
+    )
+    res = _engine(_lineitem_model()).run(dirty, id_cols=["l_orderkey", "l_linenumber"])
+    return res.errors_json()
+
+
+SQL_ERRORS_JSON_DIRTY = """
+WITH k AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_orderkey % 1000 AS m
+  FROM lineitem WHERE l_linenumber = 1
+)
+SELECT l_orderkey, l_linenumber,
+       '{' || chr(10) || '  "l_quantity": "Value out of range: expected >= 1"'
+           || chr(10) || '}' AS error
+FROM k WHERE m = 7
+UNION ALL
+SELECT l_orderkey, l_linenumber,
+       '{' || chr(10) || '  "l_returnflag": "Value not in allowed set"'
+           || chr(10) || '}'
+FROM k WHERE m = 11
+"""
+
+
+@functools.lru_cache(maxsize=None)
 def _nested_doc_model():
     from typing import List
 
@@ -675,6 +843,7 @@ def _dict_tuple_model():
         doc_id: int
         attrs: Dict[str, int]
         pair: Tuple[int, str]
+        tags: Set[str]
 
     return DictTupleDoc
 
@@ -684,7 +853,9 @@ def q_validate_dict_tuple_paths_dirty(spark, sf_dir):
     holds an uncoercible string on dirty rows (path ``attrs.bad`` — the
     reference's ``field.<key>`` re-parenting, validate_dict,
     /root/reference/src/validation_containers.cpp:115-172) and a 2-tuple
-    whose position 0 fails int coercion (path ``pair.0``, validate_tuple)."""
+    whose position 0 fails int coercion (path ``pair.0``, validate_tuple);
+    plus the A13 set invariant — a duplicated element in a set-typed field
+    (path ``tags``, reference validate_set distinctness)."""
     docs = _t(spark, sf_dir, "documents")
     m = F.col("doc_id") % 40
     attrs = F.create_map(
@@ -697,7 +868,12 @@ def q_validate_dict_tuple_paths_dirty(spark, sf_dir):
         F.when(m == 29, F.lit("x")).otherwise(F.col("doc_id").cast("string")).alias("p0"),
         F.col("lang").alias("p1"),
     )
-    nested = docs.select("doc_id", attrs.alias("attrs"), pair.alias("pair"))
+    tags = F.when(
+        m == 31, F.array(F.col("lang"), F.lit("t"), F.col("lang"))
+    ).otherwise(F.array(F.col("lang"), F.lit("t")))
+    nested = docs.select(
+        "doc_id", attrs.alias("attrs"), pair.alias("pair"), tags.alias("tags")
+    )
     from vldt_spark.engine import ValidationEngine
 
     res = ValidationEngine(_dict_tuple_model()).run(nested, id_cols=["doc_id"])
@@ -711,6 +887,9 @@ FROM documents WHERE doc_id % 40 = 21
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'pair.0', 'Expected type int, got str'
 FROM documents WHERE doc_id % 40 = 29
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'tags', 'Duplicate elements in set'
+FROM documents WHERE doc_id % 40 = 31
 """
 
 
@@ -1430,6 +1609,61 @@ FROM nation ORDER BY js
 # ---------------------------------------------------------------------------
 
 
+def q_multimodal_features_documents(spark, sf_dir):
+    """Multimodal Arrow plumbing, VALUE-checked. The decode step is a
+    documented deterministic fake (byte statistics — real impl would be
+    PIL/libav), but the whole mapInPandas pipeline (binary payload column →
+    Arrow batch → fixed-size float32 feature vector) is exercised for real:
+    pure-ASCII documents are encoded to binary payloads, so every feature
+    the fake derives (length / exact-integer-sum means / min / max /
+    half-means / mean of squares) is reproducible in SQL from the char
+    codes. std (pairwise float summation, not SQL-reproducible) is
+    deliberately not compared. float32 storage is made bit-identical by
+    double→float32→double rounding on both sides."""
+    from vldt_spark.functions.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").rlike("^[ -~]*$"))
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    f = lambda i: F.round(F.element_at("feature", i).cast("double"), 4)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "n_bytes",
+        f(1).alias("f_len"),
+        f(2).alias("f_mean"),
+        f(4).alias("f_min"),
+        f(5).alias("f_max"),
+        f(6).alias("f_half1"),
+        f(7).alias("f_half2"),
+        f(8).alias("f_meansq"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES_DOCUMENTS = """
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+), codes AS (
+  SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS cs FROM ascii_docs
+), halves AS (
+  SELECT doc_id, cs, len(cs) AS n, len(cs) // 2 AS h FROM codes
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       round(CAST(CAST(n AS REAL) AS DOUBLE), 4) AS f_len,
+       round(CAST(CAST(list_avg(cs) AS REAL) AS DOUBLE), 4) AS f_mean,
+       round(CAST(CAST(list_min(cs) AS REAL) AS DOUBLE), 4) AS f_min,
+       round(CAST(CAST(list_max(cs) AS REAL) AS DOUBLE), 4) AS f_max,
+       round(CAST(CAST(list_avg(cs[1:h]) AS REAL) AS DOUBLE), 4) AS f_half1,
+       round(CAST(CAST(list_avg(cs[h+1:n]) AS REAL) AS DOUBLE), 4) AS f_half2,
+       round(CAST(CAST(list_avg([c * c FOR c IN cs]) AS REAL) AS DOUBLE), 4) AS f_meansq
+FROM halves
+"""
+
+
 def q_knn_cosine_embeddings(spark, sf_dir):
     from vldt_spark.functions.similarity import cosine_topk_bruteforce
 
@@ -1829,6 +2063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem_violations_dirty": q_validate_lineitem_violations_dirty,
         "validate_nested_paths_dirty": q_validate_nested_paths_dirty,
         "validate_dict_tuple_paths_dirty": q_validate_dict_tuple_paths_dirty,
+        "errors_json_dirty": q_errors_json_dirty,
+        "union_resolution_documents": q_union_resolution_documents,
+        "alias_resolution_lineitem": q_alias_resolution_lineitem,
+        "defaults_fill_events": q_defaults_fill_events,
         "histogram_events_value": q_histogram_events_value,
         "psi_documents_nchars": q_psi_documents_nchars,
         "ks_events_value": q_ks_events_value,
@@ -1854,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_corrupt_offsets_events": q_json_corrupt_offsets_events,
         "timestamp_parse_events": q_timestamp_parse_events,
         "tojson_roundtrip_nation": q_tojson_roundtrip_nation,
+        "multimodal_features_documents": q_multimodal_features_documents,
         "knn_cosine_embeddings": q_knn_cosine_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -1886,6 +2125,10 @@ def oracle_sql() -> dict[str, str]:
         "validate_lineitem_violations_dirty": SQL_VALIDATE_LINEITEM_VIOLATIONS_DIRTY,
         "validate_nested_paths_dirty": SQL_VALIDATE_NESTED_PATHS_DIRTY,
         "validate_dict_tuple_paths_dirty": SQL_VALIDATE_DICT_TUPLE_PATHS_DIRTY,
+        "errors_json_dirty": SQL_ERRORS_JSON_DIRTY,
+        "union_resolution_documents": SQL_UNION_RESOLUTION_DOCUMENTS,
+        "alias_resolution_lineitem": SQL_ALIAS_RESOLUTION_LINEITEM,
+        "defaults_fill_events": SQL_DEFAULTS_FILL_EVENTS,
         "histogram_events_value": SQL_HISTOGRAM_EVENTS_VALUE,
         "psi_documents_nchars": SQL_PSI_DOCUMENTS_NCHARS,
         "ks_events_value": SQL_KS_EVENTS_VALUE,
@@ -1909,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         "json_corrupt_offsets_events": SQL_JSON_CORRUPT_OFFSETS_EVENTS,
         "timestamp_parse_events": SQL_TIMESTAMP_PARSE_EVENTS,
         "tojson_roundtrip_nation": SQL_TOJSON_ROUNDTRIP_NATION,
+        "multimodal_features_documents": SQL_MULTIMODAL_FEATURES_DOCUMENTS,
         "knn_cosine_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
         # full-probe IVF has recall 1.0 → must equal the brute-force oracle
         "ivf_topk_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
