@@ -741,10 +741,10 @@ def q_errors_json_dirty(spark, sf_dir):
     ln1 = F.col("l_linenumber") == 1
     dirty = li.withColumn(
         "l_quantity",
-        F.when((m == 7) & ln1, F.lit(-5.0)).otherwise(F.col("l_quantity")),
+        F.when(((m == 7) | (m == 23)) & ln1, F.lit(-5.0)).otherwise(F.col("l_quantity")),
     ).withColumn(
         "l_returnflag",
-        F.when((m == 11) & ln1, F.lit("Z")).otherwise(F.col("l_returnflag")),
+        F.when(((m == 11) | (m == 23)) & ln1, F.lit("Z")).otherwise(F.col("l_returnflag")),
     )
     res = _engine(_lineitem_model()).run(dirty, id_cols=["l_orderkey", "l_linenumber"])
     return res.errors_json()
@@ -766,6 +766,14 @@ SELECT l_orderkey, l_linenumber,
        '{' || chr(10) || '  "l_returnflag": "Value not in allowed set"'
            || chr(10) || '}'
 FROM k WHERE m = 11
+UNION ALL
+-- two violations on one row: keys in field-declaration order (the
+-- violations array is built in schema order, dict preserves insertion)
+SELECT l_orderkey, l_linenumber,
+       '{' || chr(10) || '  "l_quantity": "Value out of range: expected >= 1",'
+           || chr(10) || '  "l_returnflag": "Value not in allowed set"'
+           || chr(10) || '}'
+FROM k WHERE m = 23
 """
 
 
@@ -1923,6 +1931,39 @@ FROM v GROUP BY day_epoch
 """
 
 
+def q_ledger_metrics_events(spark, sf_dir):
+    """B13 checkpoint ledger, value-checked end-to-end: events validate
+    partition-by-partition (write-audit-publish — metrics + violations
+    parquet land before the commit marker), and the read-back METRICS
+    table must equal the batch per-partition verdicts the oracle predicts.
+    Exercises the full resume machinery's output path, not just a pytest
+    shape check."""
+    import tempfile
+
+    from vldt_spark.plans.ledger import ValidationLedger
+
+    ev = _t(spark, sf_dir, "events")
+    led = ValidationLedger(tempfile.mkdtemp(prefix="vldt_ledger_"), "event_type")
+    led.run(ev, _event_model(), id_cols=["event_id"])
+    return led.metrics(spark).select(
+        "event_type", "n_rows", "n_invalid", "n_violations", "passed"
+    )
+
+
+SQL_LEDGER_METRICS_EVENTS = f"""
+WITH v AS (
+  SELECT event_type, {_EV_CONSTRAINT_SQL} AS n_viol
+  FROM events WHERE event_type IS NOT NULL
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(sum(n_viol) AS BIGINT) AS n_violations,
+       (sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) = 0) AS passed
+FROM v GROUP BY event_type
+"""
+
+
 def q_streaming_drift_psi(spark, sf_dir):
     """Streaming drift monitor (B7 continuous twin), value-checked: events
     stream through the chained windowed aggregation → per-day PSI vs the
@@ -2098,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_verdicts": q_streaming_event_verdicts,
+        "ledger_metrics_events": q_ledger_metrics_events,
         "streaming_drift_psi": q_streaming_drift_psi,
         "streaming_dup_doc_ids": q_streaming_dup_doc_ids,
     }
@@ -2160,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _sql_lsh_topk_embeddings(),
         "embedding_near_dups": _sql_embedding_near_dups(),
         "streaming_event_verdicts": SQL_STREAMING_EVENT_VERDICTS,
+        "ledger_metrics_events": SQL_LEDGER_METRICS_EVENTS,
         "streaming_drift_psi": SQL_STREAMING_DRIFT_PSI,
         "streaming_dup_doc_ids": SQL_STREAMING_DUP_DOC_IDS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
