@@ -193,6 +193,68 @@ FROM events
 """
 
 
+def q_zscore_outliers_lineitem(spark, sf_dir):
+    """B2 companion: per-column z-score outlier counts. Each engine derives
+    its OWN thresholds from its own moments (no cross-engine float literals);
+    counts agree because the data's granularity (integer quantities, 0.01
+    discount steps) dwarfs the engines' low-bit moment differences."""
+    from vldt_spark.checks.column_stats import zscore_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = zscore_outliers(li, ["l_quantity", "l_discount"], z=1.0)
+    return out.select(
+        "column",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        "n_below",
+        "n_above",
+    )
+
+
+SQL_ZSCORE_OUTLIERS_LINEITEM = """
+WITH m AS (
+  SELECT count(*) AS n,
+         avg(l_quantity) AS mu_q, stddev_pop(l_quantity) AS sd_q,
+         avg(l_discount) AS mu_d, stddev_pop(l_discount) AS sd_d
+  FROM lineitem
+), c AS (
+  SELECT CAST(sum(CASE WHEN l_quantity < mu_q - sd_q THEN 1 ELSE 0 END) AS BIGINT) AS below_q,
+         CAST(sum(CASE WHEN l_quantity > mu_q + sd_q THEN 1 ELSE 0 END) AS BIGINT) AS above_q,
+         CAST(sum(CASE WHEN l_discount < mu_d - sd_d THEN 1 ELSE 0 END) AS BIGINT) AS below_d,
+         CAST(sum(CASE WHEN l_discount > mu_d + sd_d THEN 1 ELSE 0 END) AS BIGINT) AS above_d
+  FROM lineitem CROSS JOIN m
+)
+SELECT 'l_quantity' AS column, n, round(mu_q, 4) AS mean, round(sd_q, 4) AS stddev,
+       round(mu_q - sd_q, 4) AS lo, round(mu_q + sd_q, 4) AS hi,
+       below_q AS n_below, above_q AS n_above
+FROM m CROSS JOIN c
+UNION ALL
+SELECT 'l_discount', n, round(mu_d, 4), round(sd_d, 4),
+       round(mu_d - sd_d, 4), round(mu_d + sd_d, 4), below_d, above_d
+FROM m CROSS JOIN c
+"""
+
+
+def q_frequent_event_types(spark, sf_dir):
+    """Exact top-k frequent values (plans as TakeOrderedAndProject —
+    per-partition top-k + k-row merge, never a global sort); deterministic
+    value tie-break."""
+    from vldt_spark.checks.column_stats import frequent_values
+
+    ev = _t(spark, sf_dir, "events")
+    return frequent_values(ev, "event_type", k=3)
+
+
+SQL_FREQUENT_EVENT_TYPES = """
+SELECT event_type, count(*) AS n
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # B3 — cardinality
 # ---------------------------------------------------------------------------
@@ -2088,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "colstats_by_event_type": q_colstats_by_event_type,
         "nullrates_events": q_nullrates_events,
+        "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
+        "frequent_event_types": q_frequent_event_types,
         "distinct_lineitem": q_distinct_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
         "dup_keys_lineitem": q_dup_keys_lineitem,
@@ -2151,6 +2215,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,
         "nullrates_events": SQL_NULLRATES_EVENTS,
+        "zscore_outliers_lineitem": SQL_ZSCORE_OUTLIERS_LINEITEM,
+        "frequent_event_types": SQL_FREQUENT_EVENT_TYPES,
         "distinct_lineitem": SQL_DISTINCT_LINEITEM,
         "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,

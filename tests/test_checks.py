@@ -161,3 +161,30 @@ def test_ri_report_counts_per_invalid_value(spark):
     dim = spark.createDataFrame([("a",), ("b",)], "pk string")
     rows = {r["fk"]: r["n_rows"] for r in ri_report(fact, "fk", dim, "pk").collect()}
     assert rows == {"zz": 3}  # nulls are not RI violations
+
+
+def test_zscore_outliers_counts(spark):
+    from vldt_spark.checks.column_stats import zscore_outliers
+
+    # mean=0, sd=sqrt(200/7)≈5.35; the ±10 points sit outside z=1 (±5.35)
+    vals = [0.0, 0.0, 0.0, 0.0, 0.0, 10.0, -10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = zscore_outliers(df, ["x"], z=1.0).first()
+    assert row["n"] == 7
+    assert row["n_below"] == 1 and row["n_above"] == 1
+    assert row["lo"] < 0 < row["hi"]
+
+
+def test_frequent_values_topk_plan_and_ties(spark):
+    from vldt_spark.checks.column_stats import frequent_values
+
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 3 + [("c",)] * 1 + [(None,)], "v string"
+    )
+    out = frequent_values(df, "v", k=2)
+    rows = out.collect()
+    # tie between a and b breaks on the value; null excluded
+    assert [(r["v"], r["n"]) for r in rows] == [("a", 3), ("b", 3)]
+    # top-k plans as TakeOrderedAndProject, not a global sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

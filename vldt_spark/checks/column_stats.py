@@ -137,3 +137,63 @@ def column_profile(df: DataFrame, columns: Iterable[str] | None = None) -> DataF
     ]
     means = wide.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
     return base.join(F.broadcast(means), "column", "left")
+
+
+def zscore_outliers(
+    df: DataFrame, columns: Iterable[str], *, z: float = 4.0
+) -> DataFrame:
+    """Per-column count of values beyond mean ± z·stddev_pop (B2 companion:
+    the classic data-quality outlier screen).
+
+    Two aggregate passes, both with map-side partial combine: pass 1
+    computes the moments (|columns| numbers — each engine derives its own
+    thresholds, so no cross-engine float literals are baked in); pass 2
+    counts threshold crossings. At 100 TB, pass 1 can run on a hash sample
+    or reuse a previous profile — thresholds need representativeness, not
+    exactness. Returns (column, n, mean, stddev, lo, hi, n_below, n_above).
+    """
+    cols = list(columns)
+    moments = df.agg(
+        *[F.avg(c).alias(f"__avg_{c}") for c in cols],
+        *[F.stddev_pop(c).alias(f"__sd_{c}") for c in cols],
+    ).first()
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    bounds = {}
+    for c in cols:
+        mu = float(moments[f"__avg_{c}"])
+        sd = float(moments[f"__sd_{c}"])
+        lo, hi = mu - z * sd, mu + z * sd
+        bounds[c] = (mu, sd, lo, hi)
+        aggs.append(F.sum((F.col(c) < F.lit(lo)).cast("long")).alias(f"__below_{c}"))
+        aggs.append(F.sum((F.col(c) > F.lit(hi)).cast("long")).alias(f"__above_{c}"))
+    wide = df.agg(*aggs)
+    stacked = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n"),
+            F.lit(bounds[c][0]).alias("mean"),
+            F.lit(bounds[c][1]).alias("stddev"),
+            F.lit(bounds[c][2]).alias("lo"),
+            F.lit(bounds[c][3]).alias("hi"),
+            F.col(f"__below_{c}").alias("n_below"),
+            F.col(f"__above_{c}").alias("n_above"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
+
+
+def frequent_values(df: DataFrame, column: str, *, k: int = 10) -> DataFrame:
+    """Exact top-k most frequent non-null values with counts.
+
+    groupBy count is a map-side-combined aggregate of value-cardinality
+    output; the k-row head plans as TakeOrderedAndProject (per-partition
+    top-k, single k-row merge — never a global sort). Ties break on the
+    value itself so the result is deterministic across partitionings.
+    """
+    counts = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc(column)).limit(k)
