@@ -193,6 +193,62 @@ FROM events
 """
 
 
+def q_check_suite_customer(spark, sf_dir):
+    """Declarative data-contract suite (checks/suite.py): all row-local
+    expectations fuse into one aggregate pass; uniqueness / RI / PSI run
+    as bounded-output jobs; the single report frame is value-checked —
+    including a deliberately failing RI expectation (customers outside the
+    region-0/1 nations)."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    c = _t(spark, sf_dir, "customer")
+    allowed = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") <= 1)
+    suite = Suite(
+        [
+            expect.not_null("c_custkey"),
+            expect.null_rate_below("c_mktsegment", 0.5),
+            expect.regex("c_name", "^Customer#[0-9]+$"),
+            expect.unique("c_custkey"),
+            expect.ref("c_nationkey", allowed, "n_nationkey"),
+            expect.psi_below("c_acctbal", c, 0.1, bins=10, lo=-1000.0, hi=10000.0),
+        ]
+    )
+    return suite.run(c)
+
+
+SQL_CHECK_SUITE_CUSTOMER = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m_notnull,
+         round(CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m_nullrate,
+         CAST(sum(CASE WHEN c_name IS NOT NULL
+                        AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS m_regex
+  FROM customer
+), dup AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS m
+  FROM (SELECT count(*) AS cnt FROM customer
+        WHERE c_custkey IS NOT NULL GROUP BY c_custkey HAVING count(*) > 1)
+), bad AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m FROM customer
+  WHERE c_nationkey IS NOT NULL
+    AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+)
+SELECT 'not_null' AS check, 'c_custkey' AS column,
+       m_notnull AS metric, CAST(0.0 AS DOUBLE) AS threshold, m_notnull <= 0 AS passed FROM agg
+UNION ALL
+SELECT 'null_rate_below', 'c_mktsegment', m_nullrate, CAST(0.5 AS DOUBLE), m_nullrate < 0.5 FROM agg
+UNION ALL
+SELECT 'regex', 'c_name', m_regex, CAST(0.0 AS DOUBLE), m_regex <= 0 FROM agg
+UNION ALL
+SELECT 'unique', 'c_custkey', dup.m, CAST(0.0 AS DOUBLE), dup.m <= 0 FROM dup
+UNION ALL
+SELECT 'ref', 'c_nationkey', bad.m, CAST(0.0 AS DOUBLE), bad.m <= 0 FROM bad
+UNION ALL
+SELECT 'psi_below', 'c_acctbal', CAST(0.0 AS DOUBLE), CAST(0.1 AS DOUBLE), TRUE
+"""
+
+
 def q_zscore_outliers_lineitem(spark, sf_dir):
     """B2 companion: per-column z-score outlier counts. Each engine derives
     its OWN thresholds from its own moments (no cross-engine float literals);
@@ -2152,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nullrates_events": q_nullrates_events,
         "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
         "frequent_event_types": q_frequent_event_types,
+        "check_suite_customer": q_check_suite_customer,
         "distinct_lineitem": q_distinct_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
         "dup_keys_lineitem": q_dup_keys_lineitem,
@@ -2217,6 +2274,7 @@ def oracle_sql() -> dict[str, str]:
         "nullrates_events": SQL_NULLRATES_EVENTS,
         "zscore_outliers_lineitem": SQL_ZSCORE_OUTLIERS_LINEITEM,
         "frequent_event_types": SQL_FREQUENT_EVENT_TYPES,
+        "check_suite_customer": SQL_CHECK_SUITE_CUSTOMER,
         "distinct_lineitem": SQL_DISTINCT_LINEITEM,
         "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,

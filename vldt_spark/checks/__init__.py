@@ -18,6 +18,8 @@ from vldt_spark.checks.drift import (
 )
 from vldt_spark.checks.rowinvariant import token_equality_violations
 from vldt_spark.checks.schema_conf import schema_conformance, conforms
+from vldt_spark.checks.suite import Suite, expect
+from vldt_spark.checks.column_stats import frequent_values, zscore_outliers
 
 __all__ = [
     "column_profile",
@@ -38,4 +40,8 @@ __all__ = [
     "token_equality_violations",
     "schema_conformance",
     "conforms",
+    "Suite",
+    "expect",
+    "frequent_values",
+    "zscore_outliers",
 ]
