@@ -2049,6 +2049,74 @@ FROM v GROUP BY day_epoch
 """
 
 
+def q_streaming_suite_events(spark, sf_dir):
+    """Continuous data contract: the suite's row-local tier per event-time
+    day window (same sentinel-batch watermark technique as
+    streaming_drift_psi); per-window metrics value-checked against SQL."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.checks.suite import Suite, expect
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="vldt_stream_suite_")
+    data = ev.select(
+        F.col("ts").cast("timestamp").alias("ts"), "value", "event_type"
+    )
+    data.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    ev.limit(1).select(
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit("view").alias("event_type"),
+    ).coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    suite = Suite(
+        [
+            expect.not_null("value"),
+            expect.range("value", lo=0.0, hi=450.0),
+            expect.isin("event_type", ["click", "view", "signup", "purchase", "error"]),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = suite.run_stream(stream, "ts", window="1 day", watermark="1 hour")
+    name = f"vldt_suite_stream_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "check",
+        "column",
+        "metric",
+        "threshold",
+        "passed",
+    )
+
+
+SQL_STREAMING_SUITE_EVENTS = """
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS wepoch,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m_null,
+         CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 450)
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS m_range,
+         CAST(sum(CASE WHEN event_type IS NOT NULL
+                        AND event_type NOT IN ('click','view','signup','purchase','error')
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS m_isin
+  FROM events GROUP BY 1
+)
+SELECT wepoch AS window_epoch, 'not_null' AS check, 'value' AS column,
+       m_null AS metric, CAST(0.0 AS DOUBLE) AS threshold, m_null <= 0 AS passed FROM d
+UNION ALL
+SELECT wepoch, 'range', 'value', m_range, CAST(0.0 AS DOUBLE), m_range <= 0 FROM d
+UNION ALL
+SELECT wepoch, 'isin', 'event_type', m_isin, CAST(0.0 AS DOUBLE), m_isin <= 0 FROM d
+"""
+
+
 def q_ledger_metrics_events(spark, sf_dir):
     """B13 checkpoint ledger, value-checked end-to-end: events validate
     partition-by-partition (write-audit-publish — metrics + violations
@@ -2261,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_verdicts": q_streaming_event_verdicts,
         "ledger_metrics_events": q_ledger_metrics_events,
+        "streaming_suite_events": q_streaming_suite_events,
         "streaming_drift_psi": q_streaming_drift_psi,
         "streaming_dup_doc_ids": q_streaming_dup_doc_ids,
     }
@@ -2327,6 +2396,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _sql_embedding_near_dups(),
         "streaming_event_verdicts": SQL_STREAMING_EVENT_VERDICTS,
         "ledger_metrics_events": SQL_LEDGER_METRICS_EVENTS,
+        "streaming_suite_events": SQL_STREAMING_SUITE_EVENTS,
         "streaming_drift_psi": SQL_STREAMING_DRIFT_PSI,
         "streaming_dup_doc_ids": SQL_STREAMING_DUP_DOC_IDS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only

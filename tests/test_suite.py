@@ -75,3 +75,81 @@ def test_suite_psi_expectation(spark):
     assert s.passed(same)
     rep = s.run(shifted).first()
     assert rep["passed"] is False and rep["metric"] > 0.1
+
+
+def test_suite_from_model_matches_engine(spark):
+    """A model doubles as a table contract: the derived suite's range
+    metric equals the engine's per-row violation count for the same
+    field on the same (dirty) table."""
+    from vldt_spark import validate
+    from vldt_spark.flagship import TokenSequence
+    from vldt_spark.sources.token_table import sources_dim, token_sequences
+
+    df = token_sequences(spark, 2000)  # includes injected violations
+    dims = {"sources": sources_dim(spark)}
+    suite = Suite.from_model(TokenSequence, dims=dims)
+    rep = {(r["check"], r["column"]): r for r in suite.run(df).collect()}
+    assert ("unique", "doc_id") in rep and ("ref", "source") in rep
+    assert ("regex", "doc_id") in rep and ("range", "n_tok") in rep
+
+    res = validate(df, TokenSequence, id_cols=["doc_id"], dims=dims)
+    n_range_engine = (
+        res.violations()
+        .where((F.col("path") == "n_tok") & F.col("msg").contains("out of range"))
+        .count()
+    )
+    assert rep[("range", "n_tok")]["metric"] == float(n_range_engine)
+    n_ref_engine = (
+        res.violations().where(F.col("msg").contains("Referential integrity")).count()
+    )
+    assert rep[("ref", "source")]["metric"] == float(n_ref_engine)
+
+
+def test_suite_strict_bounds(spark):
+    df = spark.createDataFrame([(0.0,), (0.5,), (1.0,)], "x double")
+    rep = Suite([expect.range("x", lo=0.0, hi=1.0, lo_strict=True, hi_strict=True)]).run(df).first()
+    assert rep["metric"] == 2.0  # 0.0 and 1.0 violate the strict bounds
+    rep2 = Suite([expect.range("x", lo=0.0, hi=1.0)]).run(df).first()
+    assert rep2["metric"] == 0.0
+
+
+def test_suite_run_stream_per_window(spark, tmp_path):
+    """Continuous contract: per-window report rows equal the batch tier
+    run on each window's slice; whole-table expectations are rejected."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0), ("2024-01-01 11:00:00", None),
+         ("2024-01-02 09:00:00", -3.0), ("2024-01-02 10:00:00", 2.0)],
+        "ts_s string, v double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    src = str(tmp_path / "stream_src")
+    df.coalesce(1).write.parquet(src + "/b=1")
+    # future sentinel closes both real windows
+    spark.createDataFrame([("2024-06-01 00:00:00", 0.0)], "ts_s string, v double") \
+        .select(F.col("ts_s").cast("timestamp").alias("ts"), "v") \
+        .coalesce(1).write.parquet(src + "/b=2")
+
+    suite = Suite([expect.not_null("v"), expect.range("v", lo=0.0)])
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    out = suite.run_stream(stream, "ts", window="1 day", watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("vldt_suite_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (str(r["window_start"])[:10], r["check"]): r
+        for r in spark.table("vldt_suite_stream").collect()
+    }
+    assert rows[("2024-01-01", "not_null")]["metric"] == 1.0
+    assert rows[("2024-01-01", "range")]["metric"] == 0.0
+    assert rows[("2024-01-02", "range")]["metric"] == 1.0
+    assert rows[("2024-01-02", "not_null")]["passed"] is False or \
+           rows[("2024-01-02", "not_null")]["metric"] == 0.0
+
+    with _pytest.raises(ValueError, match="row-local"):
+        Suite([expect.unique("v")]).run_stream(stream, "ts")

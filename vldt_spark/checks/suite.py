@@ -50,10 +50,26 @@ class expect:
 
     @staticmethod
     def range(
-        column: str, *, lo: Any = None, hi: Any = None, max_violations: int = 0
+        column: str,
+        *,
+        lo: Any = None,
+        hi: Any = None,
+        lo_strict: bool = False,
+        hi_strict: bool = False,
+        max_violations: int = 0,
     ) -> Expectation:
+        """Violations: value < lo (or <= lo when lo_strict — i.e. the
+        declared constraint is value > lo), symmetrically for hi."""
         return Expectation(
-            "range", column, {"lo": lo, "hi": hi, "max_violations": max_violations}
+            "range",
+            column,
+            {
+                "lo": lo,
+                "hi": hi,
+                "lo_strict": lo_strict,
+                "hi_strict": hi_strict,
+                "max_violations": max_violations,
+            },
         )
 
     @staticmethod
@@ -107,56 +123,110 @@ class Suite:
     def __init__(self, expectations: list[Expectation]):
         self.expectations = list(expectations)
 
+    @classmethod
+    def from_model(
+        cls, model, *, dims: dict[str, DataFrame] | None = None
+    ) -> "Suite":
+        """Derive a table contract from a declarative Model: every
+        Field(ge/le/gt/lt/regex/isin/not_null/unique) and non-optional
+        annotation becomes the corresponding expectation, and
+        ``Field(ref=(dim_name, key))`` becomes a referential check when
+        ``dims`` supplies the dimension. A reference user's per-object
+        model therefore doubles as the whole-table data contract.
+
+        gt/lt map to strict bounds (``lo_strict``/``hi_strict``) so the
+        expectation counts exactly the rows the fused pass would flag."""
+        dims = dims or {}
+        compiled = model.__vldt_compile__()
+        exps: list[Expectation] = []
+        for spec in compiled.fields:
+            f, name = spec.field, spec.name
+            if f.not_null or not spec.node.is_optional:
+                exps.append(expect.not_null(name))
+            lo = f.ge if f.ge is not None else f.gt
+            hi = f.le if f.le is not None else f.lt
+            if lo is not None or hi is not None:
+                exps.append(
+                    expect.range(
+                        name,
+                        lo=lo,
+                        hi=hi,
+                        lo_strict=f.ge is None and f.gt is not None,
+                        hi_strict=f.le is None and f.lt is not None,
+                    )
+                )
+            if f.regex is not None:
+                exps.append(expect.regex(name, f.regex))
+            if f.isin is not None:
+                exps.append(expect.isin(name, list(f.isin)))
+            if f.unique:
+                exps.append(expect.unique(name))
+            if f.ref is not None:
+                dim_name, dim_key = f.ref
+                if dim_name in dims:
+                    exps.append(expect.ref(name, dims[dim_name], dim_key))
+        for combo in getattr(model, "unique_together", []) or []:
+            exps.append(expect.unique(list(combo)))
+        return cls(exps)
+
     # -- row-local tier: ONE fused aggregate ------------------------------
+
+    @staticmethod
+    def _bad_condition(e: Expectation):
+        """Boolean Column: this row violates the expectation."""
+        c, p = F.col(e.column), e.params
+        if e.kind in ("not_null", "null_rate_below"):
+            return c.isNull()
+        if e.kind == "range":
+            bad = F.lit(False)
+            if p["lo"] is not None:
+                lo = F.lit(p["lo"])
+                bad = bad | (c <= lo if p.get("lo_strict") else c < lo)
+            if p["hi"] is not None:
+                hi = F.lit(p["hi"])
+                bad = bad | (c >= hi if p.get("hi_strict") else c > hi)
+            return c.isNotNull() & bad
+        if e.kind == "regex":
+            return c.isNotNull() & ~c.rlike(p["pattern"])
+        if e.kind == "isin":
+            return c.isNotNull() & ~c.isin(p["values"])
+        raise ValueError(f"not a row-local expectation: {e.kind}")
+
+    @staticmethod
+    def _report_struct(e: Expectation, i: int):
+        """Report row struct from the aggregated __m_<i> / __n columns."""
+        p = e.params
+        m = F.col(f"__m_{i}").cast("double")
+        if e.kind == "null_rate_below":
+            metric = m / F.col("__n")
+            threshold = F.lit(float(p["rate"]))
+            passed = metric < threshold
+        else:
+            key = {
+                "not_null": "max_nulls",
+                "range": "max_violations",
+                "regex": "max_violations",
+                "isin": "max_violations",
+            }[e.kind]
+            metric = m
+            threshold = F.lit(float(p[key]))
+            passed = metric <= threshold
+        return F.struct(
+            F.lit(e.kind).alias("check"),
+            F.lit(e.column).alias("column"),
+            F.round(metric, 6).alias("metric"),
+            threshold.alias("threshold"),
+            passed.alias("passed"),
+        )
 
     def _row_local_report(self, df: DataFrame, exps: list[Expectation]) -> DataFrame | None:
         if not exps:
             return None
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i, e in enumerate(exps):
-            c, p = F.col(e.column), e.params
-            if e.kind == "not_null" or e.kind == "null_rate_below":
-                bad = c.isNull()
-            elif e.kind == "range":
-                bad = F.lit(False)
-                if p["lo"] is not None:
-                    bad = bad | (c < F.lit(p["lo"]))
-                if p["hi"] is not None:
-                    bad = bad | (c > F.lit(p["hi"]))
-                bad = c.isNotNull() & bad
-            elif e.kind == "regex":
-                bad = c.isNotNull() & ~c.rlike(p["pattern"])
-            elif e.kind == "isin":
-                bad = c.isNotNull() & ~c.isin(p["values"])
-            aggs.append(F.sum(bad.cast("long")).alias(f"__m_{i}"))
+            aggs.append(F.sum(self._bad_condition(e).cast("long")).alias(f"__m_{i}"))
         wide = df.agg(*aggs)
-        rows = []
-        for i, e in enumerate(exps):
-            p = e.params
-            m = F.col(f"__m_{i}").cast("double")
-            if e.kind == "null_rate_below":
-                metric = m / F.col("__n")
-                threshold = F.lit(float(p["rate"]))
-                passed = metric < threshold
-            else:
-                key = {
-                    "not_null": "max_nulls",
-                    "range": "max_violations",
-                    "regex": "max_violations",
-                    "isin": "max_violations",
-                }[e.kind]
-                metric = m
-                threshold = F.lit(float(p[key]))
-                passed = metric <= threshold
-            rows.append(
-                F.struct(
-                    F.lit(e.kind).alias("check"),
-                    F.lit(e.column).alias("column"),
-                    F.round(metric, 6).alias("metric"),
-                    threshold.alias("threshold"),
-                    passed.alias("passed"),
-                )
-            )
+        rows = [self._report_struct(e, i) for i, e in enumerate(exps)]
         return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
 
     # -- whole-table tier: bounded-output jobs ----------------------------
@@ -225,3 +295,47 @@ class Suite:
     def passed(self, df: DataFrame) -> bool:
         """True iff every expectation holds (the CI-gate boolean)."""
         return self.run(df).agg(F.min("passed")).first()[0] is True
+
+    # -- streaming tier ----------------------------------------------------
+
+    def run_stream(
+        self,
+        stream_df: DataFrame,
+        ts_col: str,
+        *,
+        window: str = "1 day",
+        watermark: str = "1 hour",
+    ) -> DataFrame:
+        """Continuous contract: the row-local tier per event-time window.
+
+        The SAME fused-aggregate expressions run inside one watermarked
+        windowed aggregation (stateless expressions + bounded state:
+        |open windows| rows), emitting per-window report rows
+        (window_start, window_end, check, column, metric, threshold,
+        passed) in append mode once the watermark closes a window.
+        Whole-table expectations (unique / ref / psi) are not streamable
+        here — uniqueness needs cross-batch state
+        (streaming/stateful.py) and drift its own monitor
+        (streaming/drift_stream.py); declaring one raises."""
+        bad = [e.kind for e in self.expectations if e.kind not in _ROW_LOCAL]
+        if bad:
+            raise ValueError(
+                f"run_stream supports row-local expectations only, got: {bad}"
+            )
+        exps = self.expectations
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, e in enumerate(exps):
+            aggs.append(
+                F.sum(self._bad_condition(e).cast("long")).alias(f"__m_{i}")
+            )
+        win = (
+            stream_df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("__w"))
+            .agg(*aggs)
+        )
+        rows = [self._report_struct(e, i) for i, e in enumerate(exps)]
+        return win.select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            F.explode(F.array(*rows)).alias("s"),
+        ).select("window_start", "window_end", "s.*")
