@@ -243,3 +243,49 @@ def test_nested_struct_semantics_match_python_reference(spark, rows):
         assert got.get(rid, set()) == expect, (
             f"row {rid}: inner={inner!r} spark={got.get(rid, set())} python={expect}"
         )
+
+
+# -- Suite row-local tier vs Python oracle --------------------------------
+
+_suite_row = st.tuples(
+    st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+    st.one_of(st.none(), st.sampled_from(["ok-1", "ok-22", "bad", ""])),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "zz"])),
+)
+
+
+@given(rows=st.lists(_suite_row, min_size=1, max_size=30))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_suite_row_local_matches_python_oracle(spark, rows):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = spark.createDataFrame(rows, "x double, name string, seg string")
+    suite = Suite(
+        [
+            expect.not_null("x"),
+            expect.null_rate_below("name", 0.6),
+            expect.range("x", lo=-50.0, hi=50.0, hi_strict=True),
+            expect.regex("name", r"^ok-\d+$"),
+            expect.isin("seg", ["a", "b"]),
+        ]
+    )
+    rep = {(r["check"], r["column"]): r["metric"] for r in suite.run(df).collect()}
+
+    n = len(rows)
+    exp_null_x = sum(1 for x, _, _ in rows if x is None)
+    exp_nullrate = round(sum(1 for _, s, _ in rows if s is None) / n, 6)
+    exp_range = sum(
+        1 for x, _, _ in rows if x is not None and (x < -50.0 or x >= 50.0)
+    )
+    import re as _re
+
+    exp_regex = sum(
+        1 for _, s, _ in rows if s is not None and not _re.match(r"^ok-\d+$", s)
+    )
+    exp_isin = sum(1 for _, _, g in rows if g is not None and g not in ("a", "b"))
+
+    assert rep[("not_null", "x")] == float(exp_null_x)
+    assert abs(rep[("null_rate_below", "name")] - exp_nullrate) < 1e-9
+    assert rep[("range", "x")] == float(exp_range)
+    assert rep[("regex", "name")] == float(exp_regex)
+    assert rep[("isin", "seg")] == float(exp_isin)
