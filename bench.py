@@ -137,6 +137,25 @@ def run_benchmarks(spark) -> dict[str, float]:
 
     timed("quantiles_sketch_lineitem", quantiles_sketch)
 
+    # the declarative contract's row-local tier: five expectations fused
+    # into ONE aggregate pass over the fact table
+    from vldt_spark.checks.suite import Suite, expect
+
+    def suite_rowlocal():
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        suite = Suite(
+            [
+                expect.not_null("l_orderkey"),
+                expect.range("l_quantity", lo=1.0, hi=50.0),
+                expect.range("l_discount", lo=0.0, hi=1.0),
+                expect.isin("l_returnflag", ["A", "N", "R"]),
+                expect.isin("l_linestatus", ["O", "F"]),
+            ]
+        )
+        return suite.run(li).collect()
+
+    timed("suite_rowlocal_lineitem", suite_rowlocal)
+
     return timings
 
 
