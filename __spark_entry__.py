@@ -211,6 +211,9 @@ def q_check_suite_customer(spark, sf_dir):
             expect.unique("c_custkey"),
             expect.ref("c_nationkey", allowed, "n_nationkey"),
             expect.psi_below("c_acctbal", c, 0.1, bins=10, lo=-1000.0, hi=10000.0),
+            expect.row_count_between(lo=1),
+            expect.distinct_count_between("c_nationkey", lo=1, hi=25, approx=False),
+            expect.quantile_between("c_acctbal", 0.5, lo=-1000.0, hi=10000.0, exact=True),
         ]
     )
     return suite.run(c)
@@ -233,6 +236,11 @@ WITH agg AS (
   SELECT CAST(count(*) AS DOUBLE) AS m FROM customer
   WHERE c_nationkey IS NOT NULL
     AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+), extra AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+         CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS nd,
+         CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE) AS med
+  FROM customer
 )
 SELECT 'not_null' AS check, 'c_custkey' AS column,
        m_notnull AS metric, CAST(0.0 AS DOUBLE) AS threshold, m_notnull <= 0 AS passed FROM agg
@@ -246,6 +254,14 @@ UNION ALL
 SELECT 'ref', 'c_nationkey', bad.m, CAST(0.0 AS DOUBLE), bad.m <= 0 FROM bad
 UNION ALL
 SELECT 'psi_below', 'c_acctbal', CAST(0.0 AS DOUBLE), CAST(0.1 AS DOUBLE), TRUE
+UNION ALL
+SELECT 'row_count_between', '*', n_rows, CAST(1.0 AS DOUBLE), n_rows >= 1 FROM extra
+UNION ALL
+SELECT 'distinct_count_between', 'c_nationkey', nd, CAST(25.0 AS DOUBLE),
+       nd BETWEEN 1 AND 25 FROM extra
+UNION ALL
+SELECT 'quantile_between', 'c_acctbal', round(med, 6), CAST(10000.0 AS DOUBLE),
+       med BETWEEN -1000 AND 10000 FROM extra
 """
 
 

@@ -153,3 +153,32 @@ def test_suite_run_stream_per_window(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="row-local"):
         Suite([expect.unique("v")]).run_stream(stream, "ts")
+
+
+def test_suite_volume_cardinality_quantile_expectations(spark):
+    df = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "x double"
+    )
+    suite = Suite(
+        [
+            expect.row_count_between(lo=50, hi=200),
+            expect.distinct_count_between("x", lo=10, hi=10, approx=False),
+            expect.quantile_between("x", 0.5, lo=4.0, hi=5.0, exact=True),
+        ]
+    )
+    rep = {r["check"]: r for r in suite.run(df).collect()}
+    assert rep["row_count_between"]["metric"] == 100.0
+    assert rep["row_count_between"]["passed"] is True
+    assert rep["distinct_count_between"]["metric"] == 10.0
+    assert rep["quantile_between"]["passed"] is True
+    # volume guard trips on an empty slice
+    empty = df.where(F.col("x") < 0)
+    assert Suite([expect.row_count_between(lo=1)]).passed(empty) is False
+    # sketch modes run too (values approximate, bounds generous)
+    loose = Suite(
+        [
+            expect.distinct_count_between("x", lo=5, hi=20),
+            expect.quantile_between("x", 0.5, lo=3.0, hi=6.0),
+        ]
+    )
+    assert loose.passed(df) is True

@@ -98,6 +98,44 @@ class expect:
         )
 
     @staticmethod
+    def row_count_between(
+        lo: int = 0, hi: int | None = None
+    ) -> Expectation:
+        """Table-level volume guard (an empty or truncated input is the
+        most common upstream failure). metric = row count."""
+        return Expectation("row_count_between", "*", {"lo": lo, "hi": hi})
+
+    @staticmethod
+    def distinct_count_between(
+        column: str, lo: int = 0, hi: int | None = None, *, approx: bool = True
+    ) -> Expectation:
+        """Cardinality guard. ``approx`` uses the HyperLogLog++ sketch
+        (the only option at 10^12 rows); ``approx=False`` is exact for
+        small tables / oracle checks."""
+        return Expectation(
+            "distinct_count_between", column, {"lo": lo, "hi": hi, "approx": approx}
+        )
+
+    @staticmethod
+    def quantile_between(
+        column: str,
+        prob: float,
+        lo: float | None = None,
+        hi: float | None = None,
+        *,
+        exact: bool = False,
+        accuracy: int = 10000,
+    ) -> Expectation:
+        """Distributional position guard (e.g. median inside a band).
+        Default is the mergeable percentile_approx sketch; ``exact=True``
+        buffers values (small tables / oracle checks only)."""
+        return Expectation(
+            "quantile_between",
+            column,
+            {"prob": prob, "lo": lo, "hi": hi, "exact": exact, "accuracy": accuracy},
+        )
+
+    @staticmethod
     def psi_below(
         column: str,
         ref_df: DataFrame,
@@ -252,6 +290,35 @@ class Suite:
             ).first()[0]
             metric, thr = float(n_bad), float(p["max_violations"])
             passed = metric <= thr
+        elif e.kind == "row_count_between":
+            n = df.count()
+            lo, hi = p["lo"], p["hi"]
+            metric = float(n)
+            thr = float(hi if hi is not None else lo)
+            passed = n >= lo and (hi is None or n <= hi)
+        elif e.kind == "distinct_count_between":
+            agg = (
+                F.approx_count_distinct(e.column)
+                if p["approx"]
+                else F.countDistinct(e.column)
+            )
+            n = df.agg(agg.alias("n")).first()["n"]
+            lo, hi = p["lo"], p["hi"]
+            metric = float(n)
+            thr = float(hi if hi is not None else lo)
+            passed = n >= lo and (hi is None or n <= hi)
+        elif e.kind == "quantile_between":
+            prob = F.lit(float(p["prob"]))
+            q_agg = (
+                F.percentile(F.col(e.column), prob)
+                if p["exact"]
+                else F.percentile_approx(F.col(e.column), prob, p["accuracy"])
+            )
+            v = float(df.agg(q_agg.alias("q")).first()["q"])
+            lo, hi = p["lo"], p["hi"]
+            metric = v
+            thr = float(hi if hi is not None else lo)
+            passed = (lo is None or v >= lo) and (hi is None or v <= hi)
         elif e.kind == "psi_below":
             from vldt_spark.checks.drift import histogram, psi
 
