@@ -182,3 +182,30 @@ def test_suite_volume_cardinality_quantile_expectations(spark):
         ]
     )
     assert loose.passed(df) is True
+
+
+def test_run_suite_job_exit_codes(spark, tmp_path):
+    """The CI-gate job: exit 1 when the contract fails (synthetic table
+    has injected violations), report + summary land either way; exit 0 on
+    a clean contract."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_suite import main as suite_main
+
+    out = str(tmp_path / "contract")
+    rc = suite_main(["--synthetic", "3000", "--output", out])
+    summary = json.load(open(out + "/summary.json"))
+    assert rc == 1 and summary["passed"] is False
+    assert summary["n_failed"] >= 1
+    rep = spark.read.parquet(out + "/report")
+    assert rep.count() == summary["n_expectations"]
+
+    # a trivially-satisfiable contract on the same table passes
+    src = str(tmp_path / "tbl")
+    spark.range(10).write.parquet(src)
+    out2 = str(tmp_path / "contract2")
+    rc2 = suite_main(["--input", src, "--output", out2])
+    assert rc2 == 0
+    assert json.load(open(out2 + "/summary.json"))["passed"] is True
