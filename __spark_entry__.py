@@ -1921,9 +1921,10 @@ def q_embedding_near_dups(spark, sf_dir):
     copies of vec_id < 20: every even position scaled ×1.425, every odd
     ×0.575, which lands cosine(v, v') ≈ 0.92 — a real near-dup, not a
     scaled clone with identical hyperplane signs. The detector is the
-    multi-table OR pipeline (8 planes × 8 tables, union recall ≈ 0.96 at
-    c=0.92); the plane matrices are literals, so the whole thing is
-    reproduced in SQL and value-checked."""
+    multi-table OR pipeline at its SCALE configuration — 12 planes
+    (2^12 buckets, so bucket occupancy stays bounded on the sf0.1 corpus)
+    × 12 tables (union recall ≈ 0.92 at c=0.92); the plane matrices are
+    literals, so the whole thing is reproduced in SQL and value-checked."""
     from vldt_spark.functions.similarity import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1935,7 +1936,7 @@ def q_embedding_near_dups(spark, sf_dir):
         F.transform("embedding", lambda x, i: x * mult(i)).alias("embedding"),
     )
     return embedding_near_duplicates(
-        emb.unionByName(copies), threshold=0.9, dim=64
+        emb.unionByName(copies), threshold=0.9, n_planes=12, n_tables=12, dim=64
     )
 
 
@@ -1943,16 +1944,16 @@ def _sql_embedding_near_dups() -> str:
     from vldt_spark.functions.similarity import _plane_matrix
 
     def bucket(seed: int) -> str:
-        mat = _plane_matrix(8, 64, seed)
+        mat = _plane_matrix(12, 64, seed)
         return " + ".join(
             f"(CASE WHEN list_dot_product(emb, {row!r}) > 0 THEN {1 << p} ELSE 0 END)"
             for p, row in enumerate(mat)
         )
 
     buckets = ",\n         ".join(
-        f"({bucket(7 * 1009 + t)}) AS b{t}" for t in range(8)
+        f"({bucket(7 * 1009 + t)}) AS b{t}" for t in range(12)
     )
-    band_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(8))
+    band_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(12))
     # DuckDB i is 1-based, Spark transform's index 0-based: DuckDB odd i ↔
     # Spark even i → the ×1.425 positions line up
     return f"""

