@@ -265,6 +265,43 @@ SELECT 'quantile_between', 'c_acctbal', round(med, 6), CAST(10000.0 AS DOUBLE),
 """
 
 
+def q_suite_token_contract(spark, sf_dir):
+    """The north-star token contract as a suite: documents become
+    (doc_id, tokens) rows (first-8 char codes), every doc_id % 40 == 5 row
+    gets an out-of-vocabulary element injected, and the fused
+    element_range expectation must count exactly those rows (any-element
+    exists() semantics — row-local, one aggregate pass)."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    toks = F.transform(F.slice(F.split(F.col("text"), ""), 1, 8), lambda c: F.ascii(c))
+    toks = F.when(
+        m == 5,
+        F.transform(toks, lambda x, i: F.when(i == 2, F.lit(-7)).otherwise(x)),
+    ).otherwise(toks)
+    df = docs.select("doc_id", toks.alias("tokens"))
+    suite = Suite(
+        [
+            expect.not_null("tokens"),
+            expect.element_range("tokens", lo=0, hi=50256),
+        ]
+    )
+    return suite.run(df)
+
+
+SQL_SUITE_TOKEN_CONTRACT = """
+WITH d AS (
+  SELECT CAST(sum(CASE WHEN doc_id % 40 = 5 THEN 1 ELSE 0 END) AS DOUBLE) AS m
+  FROM documents
+)
+SELECT 'not_null' AS check, 'tokens' AS column, CAST(0.0 AS DOUBLE) AS metric,
+       CAST(0.0 AS DOUBLE) AS threshold, TRUE AS passed FROM d
+UNION ALL
+SELECT 'element_range', 'tokens', m, CAST(0.0 AS DOUBLE), m <= 0 FROM d
+"""
+
+
 def q_zscore_outliers_lineitem(spark, sf_dir):
     """B2 companion: per-column z-score outlier counts. Each engine derives
     its OWN thresholds from its own moments (no cross-engine float literals);
@@ -2301,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
         "frequent_event_types": q_frequent_event_types,
         "check_suite_customer": q_check_suite_customer,
+        "suite_token_contract": q_suite_token_contract,
         "distinct_lineitem": q_distinct_lineitem,
         "quantiles_lineitem": q_quantiles_lineitem,
         "dup_keys_lineitem": q_dup_keys_lineitem,
@@ -2368,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outliers_lineitem": SQL_ZSCORE_OUTLIERS_LINEITEM,
         "frequent_event_types": SQL_FREQUENT_EVENT_TYPES,
         "check_suite_customer": SQL_CHECK_SUITE_CUSTOMER,
+        "suite_token_contract": SQL_SUITE_TOKEN_CONTRACT,
         "distinct_lineitem": SQL_DISTINCT_LINEITEM,
         "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,

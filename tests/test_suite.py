@@ -209,3 +209,38 @@ def test_run_suite_job_exit_codes(spark, tmp_path):
     rc2 = suite_main(["--input", src, "--output", out2])
     assert rc2 == 0
     assert json.load(open(out2 + "/summary.json"))["passed"] is True
+
+
+def test_suite_element_range_and_model_derivation(spark):
+    """Array-element bounds: a row violates when ANY element is out of
+    range; from_model derives it from Field(element_ge/element_le) and the
+    metric equals the engine's count of rows with an indexed-path range
+    violation (the engine reports the first bad element per row)."""
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [4, -1, 5]), (3, None), (4, [70000])],
+        "id long, tokens array<long>",
+    )
+    rep = (
+        Suite([expect.element_range("tokens", lo=0, hi=50256)])
+        .run(df)
+        .first()
+    )
+    assert rep["metric"] == 2.0  # rows 2 (-1) and 4 (70000); null row skipped
+
+    from vldt_spark import validate
+    from vldt_spark.flagship import TokenSequence
+    from vldt_spark.sources.token_table import sources_dim, token_sequences
+
+    data = token_sequences(spark, 2000)
+    suite = Suite.from_model(TokenSequence, dims={"sources": sources_dim(spark)})
+    rep2 = {(r["check"], r["column"]): r for r in suite.run(data).collect()}
+    assert ("element_range", "tokens") in rep2
+    res = validate(data, TokenSequence, id_cols=["doc_id"],
+                   dims={"sources": sources_dim(spark)})
+    n_engine = (
+        res.violations()
+        .where(F.col("path").startswith("tokens.")
+               & F.col("msg").contains("out of range"))
+        .count()
+    )
+    assert rep2[("element_range", "tokens")]["metric"] == float(n_engine)

@@ -85,6 +85,20 @@ class expect:
         )
 
     @staticmethod
+    def element_range(
+        column: str, *, lo: Any = None, hi: Any = None, max_violations: int = 0
+    ) -> Expectation:
+        """Array-column element bounds — e.g. every token id inside the
+        vocabulary (the north-star token table's core invariant). A row
+        violates when ANY element is out of range (exists(), row-local —
+        fuses into the single aggregate pass and streams)."""
+        return Expectation(
+            "element_range",
+            column,
+            {"lo": lo, "hi": hi, "max_violations": max_violations},
+        )
+
+    @staticmethod
     def unique(column, *, max_dup_rows: int = 0) -> Expectation:
         cols = [column] if isinstance(column, str) else list(column)
         return Expectation("unique", ",".join(cols), {"columns": cols, "max_dup_rows": max_dup_rows})
@@ -152,7 +166,7 @@ class expect:
         )
 
 
-_ROW_LOCAL = {"not_null", "null_rate_below", "range", "regex", "isin"}
+_ROW_LOCAL = {"not_null", "null_rate_below", "range", "regex", "isin", "element_range"}
 
 REPORT_COLS = ["check", "column", "metric", "threshold", "passed"]
 
@@ -193,6 +207,10 @@ class Suite:
                         hi_strict=f.le is None and f.lt is not None,
                     )
                 )
+            e_lo = getattr(f, "element_ge", None)
+            e_hi = getattr(f, "element_le", None)
+            if e_lo is not None or e_hi is not None:
+                exps.append(expect.element_range(name, lo=e_lo, hi=e_hi))
             if f.regex is not None:
                 exps.append(expect.regex(name, f.regex))
             if f.isin is not None:
@@ -228,6 +246,17 @@ class Suite:
             return c.isNotNull() & ~c.rlike(p["pattern"])
         if e.kind == "isin":
             return c.isNotNull() & ~c.isin(p["values"])
+        if e.kind == "element_range":
+
+            def oob(x):
+                bad = F.lit(False)
+                if p["lo"] is not None:
+                    bad = bad | (x < F.lit(p["lo"]))
+                if p["hi"] is not None:
+                    bad = bad | (x > F.lit(p["hi"]))
+                return x.isNotNull() & bad
+
+            return c.isNotNull() & F.exists(c, oob)
         raise ValueError(f"not a row-local expectation: {e.kind}")
 
     @staticmethod
@@ -245,6 +274,7 @@ class Suite:
                 "range": "max_violations",
                 "regex": "max_violations",
                 "isin": "max_violations",
+                "element_range": "max_violations",
             }[e.kind]
             metric = m
             threshold = F.lit(float(p[key]))
