@@ -244,3 +244,25 @@ def test_suite_element_range_and_model_derivation(spark):
         .count()
     )
     assert rep2[("element_range", "tokens")]["metric"] == float(n_engine)
+
+
+def test_suite_size_and_length_expectations(spark):
+    df = spark.createDataFrame(
+        [("ab", [1]), ("abcdef", [1, 2, 3]), (None, [])],
+        "s string, arr array<long>",
+    )
+    rep = {r["check"]: r for r in Suite(
+        [
+            expect.length_between("s", lo=3, hi=10),
+            expect.size_between("arr", lo=1, hi=2),
+        ]
+    ).run(df).collect()}
+    assert rep["length_between"]["metric"] == 1.0  # "ab"; null skipped
+    assert rep["size_between"]["metric"] == 2.0    # [] and [1,2,3]
+
+    # from_model: TokenSequence's tokens min_size=1 derives size_between,
+    # doc_id has no size bounds
+    from vldt_spark.flagship import TokenSequence
+
+    kinds = {(e.kind, e.column) for e in Suite.from_model(TokenSequence).expectations}
+    assert ("size_between", "tokens") in kinds

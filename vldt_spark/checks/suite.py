@@ -99,6 +99,29 @@ class expect:
         )
 
     @staticmethod
+    def length_between(
+        column: str, *, lo: int | None = None, hi: int | None = None,
+        max_violations: int = 0,
+    ) -> Expectation:
+        """String length bounds (Field(min_size/max_size) on str)."""
+        return Expectation(
+            "length_between", column,
+            {"lo": lo, "hi": hi, "max_violations": max_violations},
+        )
+
+    @staticmethod
+    def size_between(
+        column: str, *, lo: int | None = None, hi: int | None = None,
+        max_violations: int = 0,
+    ) -> Expectation:
+        """Array/map cardinality bounds (Field(min_size/max_size) on
+        containers)."""
+        return Expectation(
+            "size_between", column,
+            {"lo": lo, "hi": hi, "max_violations": max_violations},
+        )
+
+    @staticmethod
     def unique(column, *, max_dup_rows: int = 0) -> Expectation:
         cols = [column] if isinstance(column, str) else list(column)
         return Expectation("unique", ",".join(cols), {"columns": cols, "max_dup_rows": max_dup_rows})
@@ -166,7 +189,16 @@ class expect:
         )
 
 
-_ROW_LOCAL = {"not_null", "null_rate_below", "range", "regex", "isin", "element_range"}
+_ROW_LOCAL = {
+    "not_null",
+    "null_rate_below",
+    "range",
+    "regex",
+    "isin",
+    "element_range",
+    "length_between",
+    "size_between",
+}
 
 REPORT_COLS = ["check", "column", "metric", "threshold", "passed"]
 
@@ -211,6 +243,15 @@ class Suite:
             e_hi = getattr(f, "element_le", None)
             if e_lo is not None or e_hi is not None:
                 exps.append(expect.element_range(name, lo=e_lo, hi=e_hi))
+            if f.min_size is not None or f.max_size is not None:
+                from vldt_spark.typeschema import ContainerKind
+
+                sizer = (
+                    expect.length_between
+                    if spec.node.kind is ContainerKind.NONE
+                    else expect.size_between
+                )
+                exps.append(sizer(name, lo=f.min_size, hi=f.max_size))
             if f.regex is not None:
                 exps.append(expect.regex(name, f.regex))
             if f.isin is not None:
@@ -257,6 +298,14 @@ class Suite:
                 return x.isNotNull() & bad
 
             return c.isNotNull() & F.exists(c, oob)
+        if e.kind in ("length_between", "size_between"):
+            n = F.length(c) if e.kind == "length_between" else F.size(c)
+            bad = F.lit(False)
+            if p["lo"] is not None:
+                bad = bad | (n < F.lit(p["lo"]))
+            if p["hi"] is not None:
+                bad = bad | (n > F.lit(p["hi"]))
+            return c.isNotNull() & bad
         raise ValueError(f"not a row-local expectation: {e.kind}")
 
     @staticmethod
@@ -275,6 +324,8 @@ class Suite:
                 "regex": "max_violations",
                 "isin": "max_violations",
                 "element_range": "max_violations",
+                "length_between": "max_violations",
+                "size_between": "max_violations",
             }[e.kind]
             metric = m
             threshold = F.lit(float(p[key]))
