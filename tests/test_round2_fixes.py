@@ -178,3 +178,69 @@ def test_unique_together_unresolvable_column_raises(spark):
     df = spark.createDataFrame([(1,)], "a int")
     with pytest.raises(ValueError, match="unique_together columns not in model"):
         ValidationEngine(Rec2).run(df, id_cols=["a"])
+
+
+def test_forward_reference_model_resolves(spark):
+    """Forward references to later-defined models resolve at (lazy)
+    compile time (reference tests/test_vldt.py:382-405)."""
+
+    class FNode(Model):
+        value: int
+        nxt: "FLeaf"
+
+    class FLeaf(Model):
+        v: int
+
+    # PEP 563: string annotations resolve against MODULE globals — models
+    # defined in function scope must publish forward-ref targets there
+    # (module-level models, the normal case, need nothing)
+    globals()["FLeaf"] = FLeaf
+
+    res = ValidationEngine(FNode).run(
+        spark.createDataFrame([(1, {"v": 2})], "value long, nxt struct<v:long>"),
+        id_cols=["value"],
+    )
+    row = res.annotated.first()
+    assert row["is_valid"] and row["nxt"]["v"] == 2
+
+
+def test_cyclic_model_rejected_with_clear_error():
+    """The reference allows cyclic models as Python objects
+    (tests/test_vldt.py:504-527); a Spark StructType is a finite tree, so
+    the cycle must fail at compile time with guidance — never a
+    RecursionError."""
+    from typing import List, Optional
+
+    class TreeNode(Model):
+        value: int
+        children: Optional[List["TreeNode"]]
+
+    globals()["TreeNode"] = TreeNode
+
+    with pytest.raises(TypeError, match="Recursive model reference"):
+        TreeNode.__vldt_compile__()
+
+
+def test_model_inheritance_adds_fields(spark):
+    """Subclass models inherit parent fields and constraints and may add
+    their own (reference tests/test_vldt.py:469-502, 719-746)."""
+
+    class Base(Model):
+        id: int
+        name: str = Field(regex="^[a-z]+$")
+
+    class Extended(Base):
+        score: float = Field(ge=0)
+
+    compiled = Extended.__vldt_compile__()
+    assert [s.name for s in compiled.fields] == ["id", "name", "score"]
+    res = ValidationEngine(Extended).run(
+        spark.createDataFrame(
+            [(1, "ok", 1.5), (2, "BAD", -1.0)], "id long, name string, score double"
+        ),
+        id_cols=["id"],
+    )
+    viol = {(r["id"], r["path"]) for r in res.violations().collect()}
+    assert (2, "name") in viol and (2, "score") in viol and not any(
+        i == 1 for i, _ in viol
+    )

@@ -131,6 +131,27 @@ class Model(metaclass=ModelMeta):
         cached = cls.__dict__.get("__vldt_schema_cache__")
         if cached is not None:
             return cached
+        # recursive model references (Optional["Node"] pointing back at an
+        # enclosing model) are representable as Python objects in the
+        # reference but NOT as a Spark StructType (schemas are finite
+        # trees). Detect the cycle at compile time and say what to do
+        # instead of overflowing the stack.
+        if cls.__dict__.get("__vldt_compiling__"):
+            raise TypeError(
+                f"Recursive model reference involving {cls.__name__}: a "
+                "self/cyclically-referential model has no finite Spark "
+                "StructType. Model trees relationally (an adjacency table "
+                "with (id, parent_id) and a join/iterate pass) or bound "
+                "the depth with explicitly nested distinct models."
+            )
+        cls.__vldt_compiling__ = True
+        try:
+            return cls.__vldt_compile_inner__()
+        finally:
+            cls.__vldt_compiling__ = False
+
+    @classmethod
+    def __vldt_compile_inner__(cls) -> CompiledSchema:
         hints = typing.get_type_hints(cls, include_extras=True)
         specs: list[FieldSpec] = []
         reserved = {"violations", "is_valid", "__v0"}
