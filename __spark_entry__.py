@@ -1603,6 +1603,43 @@ FROM tc GROUP BY source
 """
 
 
+def q_repetition_stats_documents(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): duplicate-
+    word fraction (row-local HOFs) and top-bigram fraction (wordcount-shape
+    aggregates) per document, value-checked exactly."""
+    from vldt_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+SQL_REPETITION_STATS_DOCUMENTS = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, ws, len(ws) AS n_words,
+         round(CASE WHEN len(ws) > 0
+                    THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                    ELSE 0.0 END, 6) AS dup_word_frac
+  FROM words
+), grams AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)]) AS bigram
+  FROM words WHERE len(ws) >= 2
+), c AS (
+  SELECT doc_id, bigram, count(*) AS c FROM grams GROUP BY 1, 2
+), a AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+  FROM c GROUP BY 1
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       b.dup_word_frac, COALESCE(a.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM base b LEFT JOIN a ON a.doc_id = b.doc_id
+"""
+
+
 def q_text_quality_documents(spark, sf_dir):
     from vldt_spark.functions.text import text_quality
 
@@ -2376,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "token_count_documents": q_token_count_documents,
         "text_quality_documents": q_text_quality_documents,
+        "repetition_stats_documents": q_repetition_stats_documents,
         "top_docs_by_quality": q_top_docs_by_quality,
         "language_score_documents": q_language_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -2442,6 +2480,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
         "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,
+        "repetition_stats_documents": SQL_REPETITION_STATS_DOCUMENTS,
         "top_docs_by_quality": SQL_TOP_DOCS_BY_QUALITY,
         "language_score_documents": SQL_LANGUAGE_SCORE_DOCUMENTS,
         "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,

@@ -273,3 +273,25 @@ def test_deterministic_sampling_is_partition_invariant(spark):
     c2 = {r["doc_id"] for r in
           stratified_cap(docs.repartition(13), "source", 10, "doc_id").collect()}
     assert c1 == c2 and len(c1) == 70  # 7 groups x 10
+
+
+def test_repetition_stats_known_values(spark):
+    """Gopher repetition filters on constructed docs with known stats."""
+    from vldt_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),      # 6 words, 5 distinct
+            (2, "spam spam spam spam"),         # fully repetitive
+            (3, "one"),                          # single word, no bigrams
+            (4, "a b a b a b"),                  # top bigram "a b" = 3/5
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_words"] == 6
+    assert abs(rows[1]["dup_word_frac"] - (1 - 5 / 6)) < 1e-6
+    assert rows[2]["dup_word_frac"] == 0.75  # 1 distinct of 4
+    assert rows[2]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
+    assert rows[3]["top_bigram_frac"] == 0.0 and rows[3]["n_words"] == 1
+    assert abs(rows[4]["top_bigram_frac"] - 3 / 5) < 1e-6

@@ -215,3 +215,83 @@ def tokenize_documents(
         F.size(tokens).cast("int").alias("n_tok"),
         F.col(source_col).alias("source"),
     )
+
+
+def _norm_words(text: Column) -> Column:
+    """Whitespace-normalized lowercase word array (shared normalization
+    with fingerprint/word_shingles so the repetition stats line up with
+    the dedup family)."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1: documents
+    dominated by repeated fragments are low-quality training data).
+
+    Returns (id, n_words, dup_word_frac, top_bigram_frac):
+
+      * ``dup_word_frac`` = 1 − |distinct words| / |words| — pure
+        higher-order functions, row-local, no shuffle;
+      * ``top_bigram_frac`` = occurrences of the most frequent word bigram
+        / total bigrams — the classic wordcount shape: explode →
+        count per (doc, bigram) → max/sum per doc. Two map-side-combined
+        aggregates keyed (id, bigram) then (id); output is one row per
+        document either way, never corpus-scale intermediate state.
+
+    Thresholding (e.g. drop top_bigram_frac > 0.18, the Gopher setting)
+    is the caller's policy — compose with Suite(expect.range(...)).
+    """
+    words = _norm_words(F.col(text_col))
+    n = F.size(words)
+    base = docs.select(
+        F.col(id_col),
+        words.alias("__w"),
+        n.alias("n_words"),
+        F.when(
+            n > 0, F.lit(1.0) - F.size(F.array_distinct(words)) / n
+        ).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+    )
+    grams = base.select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        F.explode(
+            F.when(
+                F.col("n_words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.col("n_words") - 1, F.lit(1))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__w"), i.cast("int")),
+                        F.element_at(F.col("__w"), (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    counts = grams.groupBy(id_col, "n_words", "dup_word_frac", "bigram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = counts.groupBy(id_col, "n_words", "dup_word_frac").agg(
+        F.max("__c").alias("__top"), F.sum("__c").alias("__tot")
+    )
+    out = agg.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round(F.col("__top") / F.col("__tot"), 6).alias("top_bigram_frac"),
+    )
+    # docs with < 2 words have no bigrams (explode dropped them): re-join
+    # with 0.0 so the report covers every document
+    empt = base.where(F.col("n_words") < 2).select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.lit(0.0).alias("top_bigram_frac"),
+    )
+    return out.unionByName(empt)
