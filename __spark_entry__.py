@@ -1603,6 +1603,44 @@ FROM tc GROUP BY source
 """
 
 
+def q_pii_report_documents(spark, sf_dir):
+    """Corpus safety screen: per-source counts of documents matching
+    email / IP / phone patterns. Deterministic PII strings are injected on
+    disjoint keys and BOTH engines evaluate their regex on the identical
+    constructed text (Java regex and RE2 agree on this pattern subset), so
+    the check is independent of the underlying corpus content."""
+    from vldt_spark.functions.text import pii_report
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    t = (
+        F.when(m == 3, F.concat("text", F.lit(" contact: a@b.co")))
+        .when(m == 7, F.concat("text", F.lit(" from 10.0.0.1")))
+        .when(m == 11, F.concat("text", F.lit(" call 555-123-4567")))
+        .otherwise(F.col("text"))
+    )
+    return pii_report(
+        docs.select("source", t.alias("text")), by="source"
+    ).orderBy("source")
+
+
+SQL_PII_REPORT_DOCUMENTS = r"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % 40 = 3 THEN text || ' contact: a@b.co'
+              WHEN doc_id % 40 = 7 THEN text || ' from 10.0.0.1'
+              WHEN doc_id % 40 = 11 THEN text || ' call 555-123-4567'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+       CAST(sum(CASE WHEN regexp_matches(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_ip,
+       CAST(sum(CASE WHEN regexp_matches(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone
+FROM d GROUP BY source
+"""
+
+
 def q_repetition_stats_documents(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): duplicate-
     word fraction (row-local HOFs) and top-bigram fraction (wordcount-shape
@@ -2414,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": q_token_count_documents,
         "text_quality_documents": q_text_quality_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
+        "pii_report_documents": q_pii_report_documents,
         "top_docs_by_quality": q_top_docs_by_quality,
         "language_score_documents": q_language_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -2481,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
         "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,
         "repetition_stats_documents": SQL_REPETITION_STATS_DOCUMENTS,
+        "pii_report_documents": SQL_PII_REPORT_DOCUMENTS,
         "top_docs_by_quality": SQL_TOP_DOCS_BY_QUALITY,
         "language_score_documents": SQL_LANGUAGE_SCORE_DOCUMENTS,
         "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,

@@ -295,3 +295,26 @@ def test_repetition_stats_known_values(spark):
     assert rows[2]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
     assert rows[3]["top_bigram_frac"] == 0.0 and rows[3]["n_words"] == 1
     assert abs(rows[4]["top_bigram_frac"] - 3 / 5) < 1e-6
+
+
+def test_pii_screen_flags_known_patterns(spark):
+    from vldt_spark.functions.text import pii_flags, pii_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk thanks"),
+            (2, "server at 192.168.1.100 responded"),
+            (3, "call 415-555-1234 anytime"),
+            (4, "perfectly clean prose with nothing sensitive"),
+            (5, "version 1.2.3 is not an ip and 12.34 not a phone"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r["doc_id"]: r["f"] for r in df.select("doc_id", pii_flags(F.col("text")).alias("f")).collect()}
+    assert flags[1]["has_email"] and not flags[1]["has_ip"]
+    assert flags[2]["has_ip"] and not flags[2]["has_email"]
+    assert flags[3]["has_phone"]
+    assert not any([flags[4]["has_email"], flags[4]["has_ip"], flags[4]["has_phone"]])
+    assert not flags[5]["has_ip"] and not flags[5]["has_phone"]
+    rep = pii_report(df).first()
+    assert (rep["n_docs"], rep["n_email"], rep["n_ip"], rep["n_phone"]) == (5, 1, 1, 1)

@@ -295,3 +295,33 @@ def repetition_stats(
         F.lit(0.0).alias("top_bigram_frac"),
     )
     return out.unionByName(empt)
+
+
+def pii_flags(text: Column) -> Column:
+    """Per-document PII indicators (training-corpus safety screen):
+    struct(has_email, has_ip, has_phone booleans). Patterns are kept to
+    the regex subset with identical semantics in Java regex and RE2 so
+    oracle checks hold; they are SCREENS (high recall on obvious
+    formats), not validators — route flagged docs to review/redaction,
+    don't assume the negative class is clean."""
+    return F.struct(
+        text.rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("has_email"),
+        text.rlike(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b").alias("has_ip"),
+        text.rlike(r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b").alias("has_phone"),
+    )
+
+
+def pii_report(
+    docs: DataFrame, *, text_col: str = "text", by: str | None = None
+) -> DataFrame:
+    """Corpus-level PII screen counts (one aggregate pass; per-``by``
+    group when given): (n_docs, n_email, n_ip, n_phone)."""
+    flags = pii_flags(F.col(text_col)).alias("__pii")
+    base = docs.select(*( [F.col(by)] if by else [] ), flags)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__pii.has_email").cast("long")).alias("n_email"),
+        F.sum(F.col("__pii.has_ip").cast("long")).alias("n_ip"),
+        F.sum(F.col("__pii.has_phone").cast("long")).alias("n_phone"),
+    ]
+    return base.groupBy(by).agg(*aggs) if by else base.agg(*aggs)
