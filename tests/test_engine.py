@@ -164,13 +164,15 @@ def test_annotate_projection_cache_same_results(spark):
     b = spark.createDataFrame([(3, -7)], "rid long, v long")
     r1 = eng.annotate(a)
     r2 = eng.annotate(b)
-    assert len(eng._proj_cache) == 1  # same schema -> one entry
+    # cache is weak-keyed by session, then by input schema
+    assert len(eng._proj_cache) == 1  # one live session
+    assert len(eng._proj_cache[spark]) == 1  # same schema -> one entry
     assert [r["rid"] for r in r2.where(~r2.is_valid).collect()] == [3]
     assert [r["rid"] for r in r1.where(~r1.is_valid).collect()] == [2]
     # a different schema (string v -> coercion path) gets its own entry
     c = spark.createDataFrame([(4, "8")], "rid long, v string")
     assert eng.annotate(c).first()["v"] == 8
-    assert len(eng._proj_cache) == 2
+    assert len(eng._proj_cache[spark]) == 2
 
 
 def test_unique_together_composite(spark):

@@ -1,0 +1,236 @@
+"""Round-3 parity + robustness fixes.
+
+Covers: A18 AFTER-validator re-validation (reference
+/root/reference/src/validation/validation_validators.cpp:172-218 re-setattrs
+the transformed value, re-running validation), the bounded
+``exact_duplicates`` aggregation buffer (WindowGroupLimit), LSH null /
+wrong-dim vector handling, ``Suite.from_model`` skipping not_null for
+defaulted fields, None-aggregate guards, the concurrent whole-table suite
+tier, and the weakref session caches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vldt_spark.engine import ValidationEngine
+from vldt_spark.fields import Field
+from vldt_spark.model import Model
+from vldt_spark.validators import Mode, field_validator
+
+
+# -- A18: AFTER-validator output re-enters validation ----------------------
+
+
+class TripledCap(Model):
+    rid: int
+    v: float = Field(ge=0.0, le=100.0)
+
+    @field_validator("v", mode=Mode.AFTER)
+    def triple(s):
+        return s * 3.0
+
+
+def test_after_validator_output_revalidated(spark):
+    """A validator returning an out-of-range value flags the row — the
+    reference re-runs validation on the transformed value and raises; here
+    is_valid=false + a violation row (not silently laundered past the
+    constraints that ran pre-UDF)."""
+    df = spark.createDataFrame([(1, 10.0), (2, 40.0)], "rid long, v double")
+    res = ValidationEngine(TripledCap).run(df, id_cols=["rid"])
+    out = {r["rid"]: r for r in res.annotated.collect()}
+    # transform applied in both rows
+    assert out[1]["v"] == 30.0 and out[2]["v"] == 120.0
+    # 40*3=120 > le=100 -> violation; 10*3=30 passes
+    assert out[1]["is_valid"] is True
+    assert out[2]["is_valid"] is False
+    v = res.violations().collect()
+    assert [(r["rid"], r["path"]) for r in v] == [(2, "v")]
+    assert "<= 100.0" in v[0]["msg"]
+
+
+def test_after_validator_no_duplicate_violations(spark):
+    """A value failing the SAME constraint before and after the transform
+    produces ONE violation (array_distinct), mirroring the reference's
+    raise-once-per-constraint behavior."""
+
+    class Identity(Model):
+        rid: int
+        v: float = Field(ge=0.0)
+
+        @field_validator("v", mode=Mode.AFTER)
+        def keep(s):
+            return s
+
+    df = spark.createDataFrame([(1, -5.0)], "rid long, v double")
+    res = ValidationEngine(Identity).run(df, id_cols=["rid"])
+    assert res.violations().count() == 1
+
+
+def test_after_validator_null_output_violates(spark):
+    """AFTER validator returning null for a required field -> NoneType
+    violation (the re-setattr would raise in the reference)."""
+
+    class Nuller(Model):
+        rid: int
+        v: float
+
+        @field_validator("v", mode=Mode.AFTER)
+        def nullify(s):
+            return pd.Series([None] * len(s), dtype="float64", index=s.index)
+
+    df = spark.createDataFrame([(1, 3.0)], "rid long, v double")
+    res = ValidationEngine(Nuller).run(df, id_cols=["rid"])
+    rows = res.violations().collect()
+    assert [(r["rid"], r["path"], r["msg"]) for r in rows] == [
+        (1, "v", "Expected type float, got NoneType")
+    ]
+
+
+# -- exact_duplicates: bounded buffer --------------------------------------
+
+
+def test_exact_duplicates_capped_and_plan_bounded(spark):
+    from vldt_spark.functions.dedup import exact_duplicates
+
+    rows = [(f"d{i:03d}", "same text") for i in range(50)] + [
+        ("x1", "unique one"),
+        ("x2", "other text"),
+        ("x3", "other text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    rep = exact_duplicates(df, max_ids=5)
+    got = {r["n_docs"]: r["doc_ids"] for r in rep.collect()}
+    assert got[50] == [f"d{i:03d}" for i in range(5)]  # 5 smallest ids
+    assert got[2] == ["x2", "x3"]
+    # the rank-limit must reach the physical plan (WindowGroupLimit bounds
+    # both the window buffer and, partial-side, the shuffle) and no
+    # unbounded collect_list over the raw group may remain
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    # uncapped debugging path still exact
+    full = exact_duplicates(df, max_ids=None)
+    got_full = {r["n_docs"]: len(r["doc_ids"]) for r in full.collect()}
+    assert got_full[50] == 50
+
+
+# -- LSH: null / wrong-dim vectors -----------------------------------------
+
+
+def test_lsh_null_and_wrong_dim_vectors_dropped(spark):
+    from vldt_spark.functions.similarity import (
+        embedding_near_duplicates,
+        lsh_bucketed_topk,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.04, 0.0, 0.0]
+    rows = [
+        ("a", base),
+        ("b", near),
+        ("n1", None),
+        ("n2", None),
+        ("short", [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    pairs = embedding_near_duplicates(
+        df, threshold=0.9, n_planes=4, n_tables=8, dim=4
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("a", "b") in ids
+    flat = {x for p in ids for x in p}
+    assert not flat & {"n1", "n2", "short"}  # dropped, not bucket-0 collided
+
+    topk = lsh_bucketed_topk(
+        df, df.where(F.col("vec_id") == "a"), k=3, n_planes=4, n_tables=8, dim=4
+    ).collect()
+    assert all(r["cosine"] is not None for r in topk)
+    assert not {r["vec_id"] for r in topk} & {"n1", "n2", "short"}
+
+
+# -- Suite fixes ------------------------------------------------------------
+
+
+def test_from_model_skips_not_null_for_defaulted_fields(spark):
+    from vldt_spark.checks.suite import Suite
+
+    class WithDefault(Model):
+        rid: int
+        tag: str = Field(default="web")
+        score: float
+
+    s = Suite.from_model(WithDefault)
+    not_null_cols = {e.column for e in s.expectations if e.kind == "not_null"}
+    # rid/score required; tag is filled during coercion -> no contract row
+    assert not_null_cols == {"rid", "score"}
+    # engine agrees: raw nulls in tag validate clean
+    df = spark.createDataFrame([(1, None, 0.5)], "rid long, tag string, score double")
+    res = ValidationEngine(WithDefault).run(df, id_cols=["rid"])
+    assert res.invalid.count() == 0
+    assert s.passed(df)
+
+
+def test_suite_quantile_and_psi_null_guards(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    empty_vals = spark.createDataFrame(
+        [(1, None), (2, None)], "rid long, v double"
+    )
+    rep = Suite(
+        [expect.quantile_between("v", 0.5, lo=0.0, hi=1.0)]
+    ).run(empty_vals).collect()
+    assert len(rep) == 1 and rep[0]["passed"] is False
+
+    rep2 = Suite(
+        [expect.psi_below("v", empty_vals, 0.2, bins=4)]
+    ).run(empty_vals).collect()
+    assert len(rep2) == 1 and rep2[0]["passed"] is False
+
+
+def test_zscore_outliers_all_null_column(spark):
+    import math
+
+    from vldt_spark.checks.column_stats import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (100.0, None)], "a double, b double"
+    )
+    rep = {r["column"]: r for r in zscore_outliers(df, ["a", "b"], z=1.0).collect()}
+    assert math.isnan(rep["b"]["mean"]) and rep["b"]["n_below"] == 0
+    assert rep["a"]["n_below"] + rep["a"]["n_above"] >= 1
+
+
+def test_suite_concurrent_equals_serial(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (2, "c", 3.0)], "k long, s string, v double"
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    suite = Suite(
+        [
+            expect.not_null("s"),
+            expect.unique("k"),
+            expect.ref("k", dim, "k"),
+            expect.row_count_between(1, 10),
+            expect.quantile_between("v", 0.5, lo=0.0, hi=5.0),
+        ]
+    )
+    serial = suite.run(df, concurrency=1).collect()
+    conc = suite.run(df, concurrency=4).collect()
+    assert [tuple(r) for r in serial] == [tuple(r) for r in conc]
+
+
+# -- weakref session caches -------------------------------------------------
+
+
+def test_empty_violations_cached_per_session(spark):
+    from vldt_spark import errors
+
+    c1 = errors.empty_violations()
+    c2 = errors.empty_violations()
+    assert c1 is c2  # cache hit for the live session
+    assert spark in errors._EMPTY_VIOLATIONS

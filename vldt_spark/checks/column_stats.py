@@ -160,12 +160,24 @@ def zscore_outliers(
     aggs = [F.count(F.lit(1)).alias("__n")]
     bounds = {}
     for c in cols:
-        mu = float(moments[f"__avg_{c}"])
-        sd = float(moments[f"__sd_{c}"])
+        mu_raw, sd_raw = moments[f"__avg_{c}"], moments[f"__sd_{c}"]
+        if mu_raw is None or sd_raw is None:
+            # all-null column / empty table: no thresholds exist — report
+            # NaN moments with zero crossings instead of crashing on
+            # float(None)
+            bounds[c] = (float("nan"), float("nan"), float("nan"), float("nan"))
+            aggs.append(F.lit(0).cast("long").alias(f"__below_{c}"))
+            aggs.append(F.lit(0).cast("long").alias(f"__above_{c}"))
+            continue
+        mu, sd = float(mu_raw), float(sd_raw)
         lo, hi = mu - z * sd, mu + z * sd
         bounds[c] = (mu, sd, lo, hi)
-        aggs.append(F.sum((F.col(c) < F.lit(lo)).cast("long")).alias(f"__below_{c}"))
-        aggs.append(F.sum((F.col(c) > F.lit(hi)).cast("long")).alias(f"__above_{c}"))
+        aggs.append(
+            F.coalesce(F.sum((F.col(c) < F.lit(lo)).cast("long")), F.lit(0)).alias(f"__below_{c}")
+        )
+        aggs.append(
+            F.coalesce(F.sum((F.col(c) > F.lit(hi)).cast("long")), F.lit(0)).alias(f"__above_{c}")
+        )
     wide = df.agg(*aggs)
     stacked = [
         F.struct(

@@ -225,7 +225,11 @@ class Suite:
         exps: list[Expectation] = []
         for spec in compiled.fields:
             f, name = spec.field, spec.name
-            if f.not_null or not spec.node.is_optional:
+            # a defaulted field is filled during coercion, so raw nulls are
+            # NOT a contract violation — emitting not_null here would fail
+            # tables the ValidationEngine itself passes (divergent verdicts
+            # for one model)
+            if (f.not_null or not spec.node.is_optional) and not f.has_default:
                 exps.append(expect.not_null(name))
             lo = f.ge if f.ge is not None else f.gt
             hi = f.le if f.le is not None else f.lt
@@ -395,23 +399,35 @@ class Suite:
                 if p["exact"]
                 else F.percentile_approx(F.col(e.column), prob, p["accuracy"])
             )
-            v = float(df.agg(q_agg.alias("q")).first()["q"])
+            q_raw = df.agg(q_agg.alias("q")).first()["q"]
             lo, hi = p["lo"], p["hi"]
-            metric = v
             thr = float(hi if hi is not None else lo)
-            passed = (lo is None or v >= lo) and (hi is None or v <= hi)
+            if q_raw is None:
+                # all-null column / empty table: report a failed expectation
+                # instead of crashing the whole suite on float(None)
+                metric, passed = float("nan"), False
+            else:
+                v = float(q_raw)
+                metric = v
+                passed = (lo is None or v >= lo) and (hi is None or v <= hi)
         elif e.kind == "psi_below":
             from vldt_spark.checks.drift import histogram, psi
 
             lo, hi = p["lo"], p["hi"]
+            thr = float(p["threshold"])
             if lo is None or hi is None:
                 row = p["ref"].agg(F.min(e.column), F.max(e.column)).first()
-                lo = float(row[0]) if lo is None else lo
-                hi = float(row[1]) if hi is None else hi
-            h_ref = histogram(p["ref"], e.column, bins=p["bins"], lo=lo, hi=hi)
-            h_cur = histogram(df, e.column, bins=p["bins"], lo=lo, hi=hi)
-            metric, thr = psi(h_ref, h_cur), float(p["threshold"])
-            passed = metric < thr
+                lo = (float(row[0]) if row[0] is not None else None) if lo is None else lo
+                hi = (float(row[1]) if row[1] is not None else None) if hi is None else hi
+            if lo is None or hi is None:
+                # reference column entirely null/empty: no bin range exists
+                # — report a failed expectation instead of float(None)
+                metric, passed = float("nan"), False
+            else:
+                h_ref = histogram(p["ref"], e.column, bins=p["bins"], lo=lo, hi=hi)
+                h_cur = histogram(df, e.column, bins=p["bins"], lo=lo, hi=hi)
+                metric = psi(h_ref, h_cur)
+                passed = metric < thr
         else:  # pragma: no cover
             raise ValueError(f"unknown expectation kind {e.kind}")
         return spark.createDataFrame(
@@ -419,18 +435,37 @@ class Suite:
             "check string, column string, metric double, threshold double, passed boolean",
         )
 
-    def run(self, df: DataFrame) -> DataFrame:
+    def run(self, df: DataFrame, *, concurrency: int = 4) -> DataFrame:
         """Evaluate every expectation; returns the report DataFrame
         (check, column, metric, threshold, passed) in declaration order
         grouping: row-local rows first (one fused pass), then whole-table
-        rows."""
+        rows.
+
+        Whole-table expectations each trigger a blocking Spark action; they
+        are submitted from a thread pool (Spark's scheduler runs jobs from
+        separate threads concurrently) so a contract with several
+        unique/ref/psi expectations overlaps their scans instead of running
+        them back-to-back — each job is bounded-output and key-column-
+        pruned, so this buys wall-clock without changing resource shape.
+        ``concurrency=1`` restores strictly serial execution; report rows
+        come back in declaration order either way."""
         row_local = [e for e in self.expectations if e.kind in _ROW_LOCAL]
         whole = [e for e in self.expectations if e.kind not in _ROW_LOCAL]
         parts = []
         rl = self._row_local_report(df, row_local)
         if rl is not None:
             parts.append(rl)
-        parts.extend(self._whole_table_report(df, e) for e in whole)
+        if len(whole) > 1 and concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(concurrency, len(whole))
+            ) as pool:
+                parts.extend(
+                    pool.map(lambda e: self._whole_table_report(df, e), whole)
+                )
+        else:
+            parts.extend(self._whole_table_report(df, e) for e in whole)
         if not parts:
             return df.sparkSession.createDataFrame(
                 [], "check string, column string, metric double, threshold double, passed boolean"

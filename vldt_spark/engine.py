@@ -140,13 +140,19 @@ class ValidationEngine:
     def __init__(self, model: type[Model]):
         self.model = model
         self.compiled: CompiledSchema = model.__vldt_compile__()
-        # fused-projection expression cache keyed by input schema: Columns
-        # are immutable expression trees, so re-validating same-shaped
-        # batches reuses them — the expression-level analogue of the
-        # reference's compile-once SchemaCache (schema.cpp:657-680).
+        # fused-projection expression cache keyed by (session → input
+        # schema): Columns are immutable expression trees, so re-validating
+        # same-shaped batches reuses them — the expression-level analogue of
+        # the reference's compile-once SchemaCache (schema.cpp:657-680).
         # Building a wide model's checks costs seconds of driver-side py4j
-        # round-trips; the second batch costs zero.
-        self._proj_cache: dict[tuple, tuple] = {}
+        # round-trips; the second batch costs zero. The outer key is a WEAK
+        # session reference: cached Columns hold py4j refs into the gateway
+        # that built them, and id()-keying could both serve a stale Column
+        # after CPython reuses a dead session's id and grow unboundedly
+        # across session restarts.
+        import weakref
+
+        self._proj_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
     # -- row-local fused pass -------------------------------------------------
 
@@ -156,21 +162,63 @@ class ValidationEngine:
         df = self._apply_model_validators(df, "model_before")
         df = self._apply_field_udfs(df, "field_before")
 
-        # keyed on the owning session too: cached Columns hold py4j refs
-        # into the gateway that built them, so a restarted SparkContext
-        # must not see stale expression trees
-        key = (id(df.sparkSession), df.schema.json(), keep_extra)
-        if key not in self._proj_cache:
-            self._proj_cache[key] = self._build_projection(df, keep_extra)
-        select_cols, violations_col = self._proj_cache[key]
+        per_session = self._proj_cache.get(df.sparkSession)
+        if per_session is None:
+            per_session = {}
+            self._proj_cache[df.sparkSession] = per_session
+        key = (df.schema.json(), keep_extra)
+        if key not in per_session:
+            per_session[key] = self._build_projection(df, keep_extra)
+        select_cols, violations_col = per_session[key]
 
         out = df.select(*select_cols).withColumn("violations", violations_col).drop(
             "__v0"
         )
         out = self._apply_field_udfs(out, "field_after")
+        out = self._revalidate_after(out)
         out = out.withColumn("is_valid", F.size("violations") == 0)
         out = self._apply_model_validators(out, "model_after")
         return out
+
+    def _revalidate_after(self, df: DataFrame) -> DataFrame:
+        """A18 parity: an AFTER validator's output re-enters validation.
+
+        The reference re-setattrs the transformed value, which re-runs the
+        field's type + constraint checks
+        (/root/reference/src/validation/validation_validators.cpp:172-218)
+        — a validator returning an out-of-range value must flag the row,
+        not launder it past the constraints that ran on the pre-UDF value.
+        Type conformance is already enforced by the pandas UDF's Arrow
+        return type; this re-applies the declarative ``scalar_constraints``
+        and the required-null check to every UDF-updated column and merges
+        the new violations (one extra projection, no new scan).
+        ``array_distinct`` collapses the duplicate a value failing the SAME
+        constraint before and after the transform would otherwise produce —
+        the reference raises once per constraint, never twice."""
+        after_fields = {
+            fn.__vldt_field__ for fn in self.compiled.validators["field_after"]
+        }
+        if not after_fields:
+            return df
+        reval: list[Column] = []
+        for spec in self.compiled.fields:
+            if spec.name not in after_fields or spec.name not in df.columns:
+                continue
+            col = F.col(spec.name)
+            vs = scalar_constraints(col, spec.field, spec.name, spec.dtype)
+            if not spec.node.is_optional and not spec.field.has_default:
+                vs.append(
+                    violation_if(
+                        col.isNull(),
+                        spec.name,
+                        f"Expected type {spec.node.py_name}, got NoneType",
+                    )
+                )
+            reval.extend(vs)
+        if not reval:
+            return df
+        merged = merge_violations(F.col("violations"), *reval)
+        return df.withColumn("violations", F.array_distinct(merged))
 
     def _build_projection(
         self, df: DataFrame, keep_extra: bool

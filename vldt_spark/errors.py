@@ -20,6 +20,8 @@ Paths use dotted lineage with numeric list indices / dict keys:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,24 +51,24 @@ def violation_if(cond: Column, path: Column | str, msg: Column | str) -> Column:
 #: conversion each time, which dominates driver-side plan construction for
 #: wide models (measured: ~40% of a 120-field annotate build). In classic
 #: py4j mode a Column holds a reference through the gateway that created
-#: it, so the cache is keyed on the active SparkSession: a fully restarted
-#: gateway/SparkContext gets a fresh Column instead of a stale one.
-_EMPTY_VIOLATIONS: tuple[int, Column] | None = None
-
-
-def _session_key() -> int:
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    return id(s) if s is not None else 0
+#: it, so the cache is keyed on the owning SparkSession — via a WEAK
+#: reference: id()-keying could serve a stale Column when CPython reuses a
+#: dead session's id, and would pin dead gateways alive. A garbage-collected
+#: session evicts its entry for free.
+_EMPTY_VIOLATIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def empty_violations() -> Column:
-    global _EMPTY_VIOLATIONS
-    key = _session_key()
-    if _EMPTY_VIOLATIONS is None or _EMPTY_VIOLATIONS[0] != key:
-        _EMPTY_VIOLATIONS = (key, F.array().cast(VIOLATIONS_TYPE))
-    return _EMPTY_VIOLATIONS[1]
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return F.array().cast(VIOLATIONS_TYPE)
+    col = _EMPTY_VIOLATIONS.get(s)
+    if col is None:
+        col = F.array().cast(VIOLATIONS_TYPE)
+        _EMPTY_VIOLATIONS[s] = col
+    return col
 
 
 def merge_violations(*arrays: Column) -> Column:

@@ -39,18 +39,36 @@ def exact_duplicates(
 
     ``n_docs`` is exact; ``doc_ids`` is capped at the ``max_ids`` smallest
     ids — a pathological hot fingerprint (e.g. the empty document repeated
-    10^9 times) must not materialize an unbounded id array in the report
-    row. Pass ``max_ids=None`` to keep every id (small-data debugging)."""
+    10^9 times) must not materialize an unbounded id array ANYWHERE, not
+    just in the report row: the id list is rank-limited per fingerprint
+    *before* any collect_list, so both the aggregation buffer and (via the
+    partial WindowGroupLimit Spark plans for ``row_number() <= k``) the
+    shuffle carry at most ``max_ids`` ids per fingerprint. ``n_docs`` comes
+    from a separate count aggregate (map-side combined, scalar partials);
+    the count/ids join shares the fingerprint hash partitioning, so no
+    extra exchange is added. Pass ``max_ids=None`` to keep every id
+    (small-data debugging only)."""
+    from pyspark.sql import Window
+
     fp = fingerprint(F.col(text_col))
-    ids = F.sort_array(F.collect_list(id_col))
-    if max_ids is not None:
-        ids = F.slice(ids, 1, max_ids)
-    return (
-        docs.select(fp.alias("fp"), F.col(id_col))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"), ids.alias("doc_ids"))
+    base = docs.select(fp.alias("fp"), F.col(id_col))
+    counts = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") > 1)
     )
+    ranked = base
+    if max_ids is not None:
+        w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+        ranked = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_ids)
+            .drop("__rn")
+        )
+    ids = ranked.groupBy("fp").agg(
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids")
+    )
+    return counts.join(ids, "fp").select("fp", "n_docs", "doc_ids")
 
 
 def dedup_exact(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -94,7 +94,12 @@ def _bucket_tables_batch(vec: Column, *, n_planes: int, dim: int, seeds: list[in
     Arrow batch computes every table's signature at once; sign agreement
     with the SQL oracle holds because a dot product's BLAS-vs-sequential
     difference (~1e-16) flips a sign only for dots within rounding error
-    of zero. The plane matrix stays a deterministic driver-side literal."""
+    of zero. The plane matrix stays a deterministic driver-side literal.
+
+    Null or wrong-dimensionality vectors map to a NULL bucket array —
+    ``posexplode`` then drops those rows from the candidate join instead of
+    colliding every null vector into bucket 0 (the degenerate hot bucket)
+    or crashing ``np.stack`` with a raw executor error."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -106,17 +111,26 @@ def _bucket_tables_batch(vec: Column, *, n_planes: int, dim: int, seeds: list[in
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(s):
-        vals = [
-            np.asarray(v, dtype=np.float64) if v is not None else np.zeros(mat.shape[1])
-            for v in s
-        ]
+        out = pd.Series([None] * len(s), dtype=object)
+        idx_ok: list[int] = []
+        vals: list[np.ndarray] = []
+        for i, v in enumerate(s):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape != (mat.shape[1],):
+                continue  # wrong dim → null bucket, dropped by posexplode
+            idx_ok.append(i)
+            vals.append(a)
         if not vals:
-            return pd.Series([], dtype=object)
-        x = np.stack(vals)  # (n, dim)
-        bits = (x @ mat.T) > 0  # (n, T*P)
+            return out
+        x = np.stack(vals)  # (n_ok, dim)
+        bits = (x @ mat.T) > 0  # (n_ok, T*P)
         bits = bits.reshape(len(vals), n_tables, n_planes)
-        out = (bits * weights).sum(axis=2)  # (n, T) int64
-        return pd.Series(list(out))
+        bks = (bits * weights).sum(axis=2)  # (n_ok, T) int64
+        for j, i in enumerate(idx_ok):
+            out.iloc[i] = list(bks[j])
+        return out
 
     return _buckets(vec)
 

@@ -19,8 +19,15 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, key: str, *, buckets: int = 32, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic salt derived from the row's partition + key hash (no
-    rand(): reproducible across retries, which checkpoint/resume needs)."""
+    """Salt column spreading equal-key rows over ``buckets`` reducers.
+
+    The salt hashes the partition id + row position, so individual salt
+    VALUES depend on the physical partition layout and are NOT stable
+    across retries — what IS stable is every downstream RESULT: stage 2 of
+    ``salted`` merges per key regardless of how rows were salted, so any
+    layout yields the same final aggregate. (A truly layout-independent
+    salt would need per-row content, which a generic key-only API doesn't
+    have; rand() would be both layout- and schedule-dependent.)"""
     return df.withColumn(
         salt_col,
         F.pmod(F.xxhash64(F.col(key), F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(buckets)),
