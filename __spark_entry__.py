@@ -900,6 +900,125 @@ FROM documents
 """
 
 
+@functools.lru_cache(maxsize=None)
+def _after_tripled_event_model():
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+    from vldt_spark.validators import Mode, field_validator
+
+    class TripledEvent(Model):
+        event_id: int
+        value: float = Field(ge=0.0, le=300.0)
+
+        @field_validator("value", mode=Mode.AFTER)
+        def triple(s):
+            return s * 3.0
+
+    globals()["TripledEvent"] = TripledEvent
+    return TripledEvent
+
+
+def q_after_validator_events(spark, sf_dir):
+    """A18 AFTER-validator re-validation, oracle-checked: the field
+    validator triples ``value`` AFTER the fused constraint pass; the
+    reference re-setattrs the transformed value and re-runs validation
+    (/root/reference/src/validation/validation_validators.cpp:172-218), so
+    a row whose ORIGINAL value passed ``le=300`` but whose tripled value
+    exceeds it must be invalid. Without re-validation, every row with
+    value in (100, 300] would be laundered to is_valid=true — the oracle's
+    ``value * 3 <= 300`` predicate witnesses exactly that gap."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    from vldt_spark.engine import ValidationEngine
+
+    res = ValidationEngine(_after_tripled_event_model()).run(ev, id_cols=["event_id"])
+    return res.annotated.select(
+        "event_id",
+        F.round(F.col("value"), 6).alias("value"),
+        "is_valid",
+    )
+
+
+SQL_AFTER_VALIDATOR_EVENTS = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       round(value * 3, 6) AS value,
+       (value * 3 <= 300.0) AS is_valid
+FROM events
+"""
+
+
+@functools.lru_cache(maxsize=None)
+def _union_models_doc_model():
+    from vldt_spark.model import Model
+
+    class Article(Model):
+        title: str
+        n_words: int
+
+    class Comment(Model):
+        title: str
+        likes: float
+
+    globals()["Article"] = Article
+    globals()["Comment"] = Comment
+
+    class DocUnion(Model):
+        doc_id: int
+        item: Union[Article, Comment]
+
+    globals()["DocUnion"] = DocUnion
+    return DocUnion
+
+
+def q_union_models_documents(spark, sf_dir):
+    """A14 union-of-MODELS with the TYPED variant-struct output,
+    oracle-checked: candidates probed in declared order (Article before
+    Comment), winner fields selected COLUMNAR off ``item.as_<Model>`` with
+    no re-parsing. Three branches: only-Article rows, only-Comment rows,
+    and both-match rows where declared order makes Article win — so
+    ``likes`` comes back NULL even though the input carried it (the
+    order-sensitivity fingerprint, reference tests/test_vldt.py:786-818).
+    doc_id % 10 == 7 rows satisfy neither model → variant NULL, invalid."""
+    docs = _t(spark, sf_dir, "documents")
+    m3 = F.col("doc_id") % 3
+    neither = F.col("doc_id") % 10 == 7
+    n_words_src = F.when(~neither & ((m3 == 0) | (m3 == 2)), F.col("n_chars").cast("long"))
+    likes_src = F.when(~neither & ((m3 == 1) | (m3 == 2)), F.col("n_chars") + F.lit(0.5))
+    src = docs.select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("title"),
+            n_words_src.alias("n_words"),
+            likes_src.alias("likes"),
+        ).alias("item"),
+    )
+    from vldt_spark.engine import ValidationEngine
+
+    res = ValidationEngine(_union_models_doc_model()).run(src, id_cols=["doc_id"])
+    return res.annotated.select(
+        "doc_id",
+        F.col("item.__variant").alias("variant"),
+        F.col("item.as_Article.title").alias("title"),
+        F.col("item.as_Article.n_words").alias("n_words"),
+        F.round(F.col("item.as_Comment.likes"), 3).alias("likes"),
+        "is_valid",
+    )
+
+
+SQL_UNION_MODELS_DOCUMENTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 10 = 7 THEN NULL
+            WHEN doc_id % 3 IN (0, 2) THEN 'Article'
+            ELSE 'Comment' END AS variant,
+       CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 IN (0, 2) THEN lang END AS title,
+       CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 IN (0, 2)
+            THEN CAST(n_chars AS BIGINT) END AS n_words,
+       CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 = 1
+            THEN CAST(round(n_chars + 0.5, 3) AS DOUBLE) END AS likes,
+       (doc_id % 10 <> 7) AS is_valid
+FROM documents
+"""
+
+
 def q_errors_json_dirty(spark, sf_dir):
     """A16's exact error payload, oracle-checked: errors_json() emits the
     reference ``TypeError`` JSON — ``{path: msg}``, 2-space pretty-printed
@@ -2406,6 +2525,8 @@ FROM documents WHERE doc_id < 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "after_validator_events": q_after_validator_events,
+        "union_models_documents": q_union_models_documents,
         "colstats_lineitem": q_colstats_lineitem,
         "profile_lineitem": q_profile_lineitem,
         "colstats_by_event_type": q_colstats_by_event_type,
@@ -2476,6 +2597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "after_validator_events": SQL_AFTER_VALIDATOR_EVENTS,
+        "union_models_documents": SQL_UNION_MODELS_DOCUMENTS,
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,

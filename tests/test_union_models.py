@@ -1,9 +1,10 @@
 """Union-of-models ordered resolution (A14 hard part — reference
 tests/test_vldt.py:786-818: candidates probed in declared order, first
 success wins, so declaration order changes which model claims an input
-that satisfies both)."""
+that satisfies both). Output is the TYPED variant struct
+``struct<__variant, as_<Model>...>`` — winner fields selectable without
+re-parsing."""
 
-import json
 from typing import Union
 
 from pyspark.sql import types as T
@@ -47,7 +48,7 @@ def _variants(spark, model, rows):
     out = ValidationEngine(model).annotate(df).orderBy("hid").collect()
     res = []
     for r in out:
-        v = json.loads(r["pet"])["__variant"] if r["pet"] else None
+        v = r["pet"]["__variant"] if r["pet"] is not None else None
         res.append((v, r["is_valid"]))
     return res
 
@@ -77,3 +78,33 @@ def test_union_of_models_violation_message(spark):
     v = res.violations().first()
     assert v["path"] == "pet"
     assert v["msg"] == "Expected type Cat | Dog, got dict"
+
+
+def test_union_of_models_typed_struct_output(spark):
+    """The variant struct is TYPED: exactly one as_<Model> branch is
+    populated with the winner's coerced fields; the loser branch is null;
+    winner fields are selected columnar (no JSON re-parse)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, {"name": "a", "meows": 3, "barks": None}),
+        (2, {"name": "b", "meows": None, "barks": 2}),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    ann = ValidationEngine(PetHolderCatFirst).annotate(df)
+    # output dtype is the declared struct, not a string
+    dt = dict(zip(ann.schema.names, [f.dataType for f in ann.schema.fields]))["pet"]
+    assert [f.name for f in dt.fields] == ["__variant", "as_Cat", "as_Dog"]
+    got = {
+        r["hid"]: r
+        for r in ann.select(
+            "hid",
+            F.col("pet.__variant").alias("v"),
+            F.col("pet.as_Cat.meows").alias("meows"),
+            F.col("pet.as_Dog.barks").alias("barks"),
+            F.col("pet.as_Cat").alias("cat"),
+            F.col("pet.as_Dog").alias("dog"),
+        ).collect()
+    }
+    assert got[1]["v"] == "Cat" and got[1]["meows"] == 3 and got[1]["dog"] is None
+    assert got[2]["v"] == "Dog" and got[2]["barks"] == 2 and got[2]["cat"] is None

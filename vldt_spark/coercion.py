@@ -463,17 +463,15 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
     declared order, first success wins (validation_containers.cpp:297-326,
     order-sensitivity tests/test_vldt.py:786-818) → ordered coalesce."""
     target = spark_type(node)
-    for sub in node.args:
-        if src_dtype == spark_type(sub):
-            # isinstance fast-path: exact type match wins immediately
-            return (src if target == src_dtype else src.cast(target)), empty_violations()
 
     model_cands = [s for s in node.args if s.is_model]
     if model_cands and isinstance(src_dtype, T.StructType):
         # union-of-models: candidates probed in DECLARED order; the first
         # model whose required fields are all present and non-null wins
-        # (order-sensitivity: tests/test_vldt.py:786-818). Matched variant
-        # stored as canonical JSON + variant tag.
+        # (order-sensitivity: tests/test_vldt.py:786-818). Output is the
+        # TYPED variant struct ``struct<__variant, as_<Model>...>`` —
+        # exactly one as_* branch is populated, with the winner's fields
+        # coerced to the model's column types, so callers stay columnar.
         matches = []
         for sub in model_cands:
             compiled = sub.model_cls.__vldt_compile__()
@@ -489,13 +487,34 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
             cond = F.lit(True)
             for c in conds:
                 cond = cond & c
-            matches.append((sub.model_cls.__name__, cond))
+            matches.append((sub, cond))
         variant = F.lit(None).cast("string")
-        for name, cond in reversed(matches):
-            variant = F.when(cond, F.lit(name)).otherwise(variant)
-        coerced = F.when(
-            src.isNull(), F.lit(None).cast("string")
-        ).otherwise(F.to_json(F.struct(F.coalesce(variant, F.lit("?")).alias("__variant"), src.alias("value"))))
+        for sub, cond in reversed(matches):
+            variant = F.when(cond, F.lit(sub.model_cls.__name__)).otherwise(variant)
+        parts = [variant.alias("__variant")]
+        for sub, cond in matches:
+            compiled = sub.model_cls.__vldt_compile__()
+            struct_t = sub.model_cls.__vldt_struct__()
+            sub_parts = []
+            for spec in compiled.fields:
+                names = spec.field.aliases + [spec.name]
+                present = [n for n in names if n in src_dtype.names]
+                val = (
+                    src[present[0]].try_cast(spec.dtype)
+                    if present
+                    else F.lit(None).cast(spec.dtype)
+                )
+                sub_parts.append(val.alias(spec.name))
+            parts.append(
+                F.when(
+                    variant == sub.model_cls.__name__, F.struct(*sub_parts)
+                )
+                .otherwise(F.lit(None).cast(struct_t))
+                .alias(f"as_{sub.model_cls.__name__}")
+            )
+        coerced = F.when(src.isNull(), F.lit(None).cast(target)).otherwise(
+            F.struct(*parts)
+        )
         names_str = " | ".join(a.py_name for a in node.args)
         viols = violation_if(
             src.isNotNull() & variant.isNull(),
@@ -503,6 +522,11 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
             expected_type_msg(names_str, "dict"),
         )
         return coerced, viols
+
+    for sub in node.args:
+        if src_dtype == spark_type(sub):
+            # isinstance fast-path: exact type match wins immediately
+            return (src if target == src_dtype else src.cast(target)), empty_violations()
 
     candidates = []
     any_ok = None

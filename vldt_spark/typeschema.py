@@ -187,8 +187,25 @@ def spark_type(node: TypeNode) -> T.DataType:
             ]
         )
     if node.kind is ContainerKind.UNION:
-        # union stored as the first candidate's type when homogeneous after
-        # coercion; heterogeneous unions stored as string with ordered
+        # union-of-models stored as a TYPED variant struct (declared-order
+        # resolution, A14): ``__variant`` carries the winning model's name
+        # and exactly one ``as_<Model>`` struct is non-null — callers select
+        # the winner's fields columnar, no re-parsing (the round-2 JSON-tag
+        # representation required json_tuple on every access)
+        if any(a.is_model for a in node.args):
+            fields = [T.StructField("__variant", T.StringType(), True)]
+            for a in node.args:
+                if a.is_model:
+                    fields.append(
+                        T.StructField(
+                            f"as_{a.model_cls.__name__}",
+                            a.model_cls.__vldt_struct__(),
+                            True,
+                        )
+                    )
+            return T.StructType(fields)
+        # scalar union stored as the first candidate's type when homogeneous
+        # after coercion; heterogeneous unions stored as string with ordered
         # try_cast resolution at check time (SURVEY.md A14)
         first = spark_type(node.args[0])
         if all(spark_type(a) == first for a in node.args[1:]):
