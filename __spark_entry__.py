@@ -1984,6 +1984,48 @@ FROM nation ORDER BY js
 """
 
 
+def q_dict_serializer_nested_documents(spark, sf_dir):
+    """A23 full parity, oracle-checked: the TYPE-keyed dict_serializer is
+    consulted at every node of to_dict — floats inside a nested struct and
+    inside an array serialize through the same hook as the top-level float
+    (reference convert_to_dict recursion,
+    /root/reference/src/conversion/dict_utils.cpp:244-282;
+    tests/test_dict.py:172-177). The serialized nested values are then
+    selected back out columnar, so every hook application is value-checked
+    in SQL."""
+    from vldt_spark.sources.readers import to_dict_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    nested = docs.select(
+        "doc_id",
+        (F.col("n_chars") + F.lit(0.25)).alias("price"),
+        F.struct(
+            (F.col("n_chars") * 2 + F.lit(0.5)).alias("score"),
+            F.col("lang").alias("tag"),
+        ).alias("meta"),
+        F.array((F.col("n_chars") + F.lit(0.75))).alias("vals"),
+    )
+    fmt = lambda c: F.concat(F.lit("$"), F.round(c, 2).cast("string"))
+    out = to_dict_rows(nested, type_serializers={float: fmt})
+    return out.select(
+        "doc_id",
+        "price",
+        F.col("meta.score").alias("score"),
+        F.col("meta.tag").alias("tag"),
+        F.element_at("vals", 1).alias("val0"),
+    )
+
+
+SQL_DICT_SERIALIZER_NESTED_DOCUMENTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       '$' || CAST(round(CAST(n_chars AS DOUBLE) + 0.25, 2) AS VARCHAR) AS price,
+       '$' || CAST(round(CAST(n_chars AS DOUBLE) * 2 + 0.5, 2) AS VARCHAR) AS score,
+       lang AS tag,
+       '$' || CAST(round(CAST(n_chars AS DOUBLE) + 0.75, 2) AS VARCHAR) AS val0
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -2527,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "after_validator_events": q_after_validator_events,
         "union_models_documents": q_union_models_documents,
+        "dict_serializer_nested_documents": q_dict_serializer_nested_documents,
         "colstats_lineitem": q_colstats_lineitem,
         "profile_lineitem": q_profile_lineitem,
         "colstats_by_event_type": q_colstats_by_event_type,
@@ -2599,6 +2642,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "after_validator_events": SQL_AFTER_VALIDATOR_EVENTS,
         "union_models_documents": SQL_UNION_MODELS_DOCUMENTS,
+        "dict_serializer_nested_documents": SQL_DICT_SERIALIZER_NESTED_DOCUMENTS,
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,

@@ -234,3 +234,58 @@ def test_empty_violations_cached_per_session(spark):
     c2 = errors.empty_violations()
     assert c1 is c2  # cache hit for the live session
     assert spark in errors._EMPTY_VIOLATIONS
+
+
+# -- A23: nested type-keyed dict serializers --------------------------------
+
+
+def test_nested_dict_serializer_hooks(spark):
+    """Type-keyed serializer consulted at EVERY node (reference
+    convert_to_dict, /root/reference/src/conversion/dict_utils.cpp:244-282;
+    tests/test_dict.py:172-177 float -> '3.14'): floats inside nested
+    structs, arrays, and map values all serialize; untouched types pass
+    through; a matching hook claims the node without recursing below."""
+    from pyspark.sql import types as T
+
+    from vldt_spark.sources.readers import to_dict_rows, to_json_rows
+
+    schema = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("score", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ])),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("m", T.MapType(T.StringType(), T.DoubleType())),
+    ])
+    df = spark.createDataFrame(
+        [(1, 3.14159, {"score": 2.5, "tag": "x"}, [1.25, 2.75], {"a": 0.5})],
+        schema,
+    )
+    fmt = lambda c: F.concat(F.lit("$"), F.round(c, 2).cast("string"))
+    out = to_dict_rows(df, type_serializers={float: fmt}).first()
+    assert out["price"] == "$3.14"
+    assert out["meta"]["score"] == "$2.5" and out["meta"]["tag"] == "x"
+    assert out["vals"] == ["$1.25", "$2.75"]
+    assert out["m"] == {"a": "$0.5"}
+    assert out["rid"] == 1  # int column untouched
+
+    j = to_json_rows(df, type_serializers={float: fmt}).first()["json"]
+    assert '"score":"$2.5"' in j
+
+
+def test_nested_dict_serializer_null_struct(spark):
+    from pyspark.sql import types as T
+
+    from vldt_spark.sources.readers import to_dict_rows
+
+    schema = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("meta", T.StructType([T.StructField("score", T.DoubleType())])),
+    ])
+    df = spark.createDataFrame([(1, None)], schema)
+    out = to_dict_rows(
+        df, type_serializers={float: lambda c: F.round(c, 1).cast("string")}
+    ).first()
+    assert out["meta"] is None  # null struct stays null, not struct-of-nulls

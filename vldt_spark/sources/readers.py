@@ -128,24 +128,114 @@ def corrupt_record_offsets(
     )
 
 
+#: python type → predicate over Spark DataTypes, for type-keyed serializer
+#: lookup (reference ``Config(dict_serializer={type: fn})`` keys on the
+#: runtime Python type; columns key on their Spark type here).
+def _type_matches(py_type, dtype) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(py_type, T.DataType):
+        return dtype == py_type
+    table = {
+        float: (T.DoubleType, T.FloatType),
+        int: (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        str: (T.StringType,),
+        bool: (T.BooleanType,),
+        bytes: (T.BinaryType,),
+    }
+    import datetime as _dt
+
+    table[_dt.datetime] = (T.TimestampType,)
+    table[_dt.date] = (T.DateType,)
+    kinds = table.get(py_type)
+    return kinds is not None and isinstance(dtype, kinds)
+
+
+def _serialize_node(col, dtype, hooks):
+    """Recursive node-wise serializer application (reference
+    ``convert_to_dict`` consults the type-keyed serializer FIRST at every
+    node, then recurses into models/lists/dicts/tuples,
+    /root/reference/src/conversion/dict_utils.cpp:244-282). A matching
+    hook claims the node — no recursion below it, exactly like the
+    reference's early return."""
+    from pyspark.sql import types as T
+
+    for py_type, fn in hooks.items():
+        if _type_matches(py_type, dtype):
+            return fn(col)
+    if isinstance(dtype, T.StructType):
+        rebuilt = F.struct(
+            *[
+                _serialize_node(col[f.name], f.dataType, hooks).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        return F.when(col.isNotNull(), rebuilt)
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(
+            col, lambda x: _serialize_node(x, dtype.elementType, hooks)
+        )
+    if isinstance(dtype, T.MapType):
+        return F.transform_values(
+            col, lambda _k, v: _serialize_node(v, dtype.valueType, hooks)
+        )
+    return col
+
+
+def _needs_recursion(dtype, hooks) -> bool:
+    """Skip the rebuild entirely for columns no hook can touch — the
+    serializer pass must not rewrite untouched columns (extra expressions
+    for nothing, and a struct rebuild drops nothing but costs projection
+    width)."""
+    from pyspark.sql import types as T
+
+    for py_type in hooks:
+        if _type_matches(py_type, dtype):
+            return True
+    if isinstance(dtype, T.StructType):
+        return any(_needs_recursion(f.dataType, hooks) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _needs_recursion(dtype.elementType, hooks)
+    if isinstance(dtype, T.MapType):
+        return _needs_recursion(dtype.valueType, hooks)
+    return False
+
+
 def to_dict_rows(
     df: DataFrame,
     *,
     exclude: tuple[str, ...] = ("violations", "is_valid"),
     serializers: dict | None = None,
+    type_serializers: dict | None = None,
 ) -> DataFrame:
     """Dict-output sink (reference to_dict, A23): canonical schema-ordered
-    columns with per-column serializer hooks — the Spark analogue of the
-    reference consulting ``Config(dict_serializer={type: fn})`` at every
-    node of to_dict (/root/reference/src/conversion/dict_utils.cpp:203-282).
-    Unlike ``to_json_rows`` the output stays columnar (one column per
-    field), ready for ``.toPandas()`` / ``collect`` → dicts."""
+    columns with serializer hooks. Two hook flavors, mirroring the
+    reference's ``Config(dict_serializer={type: fn})`` consulted at every
+    node of to_dict (/root/reference/src/conversion/dict_utils.cpp:203-282):
+
+      * ``serializers``: column-NAME-keyed, applied to top-level columns;
+      * ``type_serializers``: TYPE-keyed (python type or Spark DataType →
+        Column fn), applied RECURSIVELY at every node — values inside
+        nested structs/arrays/maps included, reference parity for
+        tests/test_dict.py:172-177.
+
+    Everything stays a Catalyst projection (struct rebuild / transform /
+    transform_values) — no Python in the row path. Unlike ``to_json_rows``
+    the output stays columnar (one column per field), ready for
+    ``.toPandas()`` / ``collect`` → dicts."""
     serializers = serializers or {}
+    type_serializers = type_serializers or {}
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for c in df.columns:
         if c in exclude:
             continue
-        expr = serializers[c](F.col(c)).alias(c) if c in serializers else F.col(c)
+        if c in serializers:
+            expr = serializers[c](F.col(c)).alias(c)
+        elif type_serializers and _needs_recursion(dtypes[c], type_serializers):
+            expr = _serialize_node(F.col(c), dtypes[c], type_serializers).alias(c)
+        else:
+            expr = F.col(c)
         cols.append(expr)
     return df.select(*cols)
 
@@ -155,6 +245,7 @@ def to_json_rows(
     *,
     exclude: tuple[str, ...] = ("violations", "is_valid"),
     serializers: dict | None = None,
+    type_serializers: dict | None = None,
 ) -> DataFrame:
     """Serialization sink (reference to_json, A25): canonical field order is
     the schema order, matching to_dict's schema-ordered output
@@ -164,12 +255,21 @@ def to_json_rows(
     analogue of the reference's ``Config(json_serializer={type: fn})`` hook
     (json_utils.cpp:53-148): the custom expression is consulted before the
     default encoding, e.g. ``{"registered_at": lambda c: F.date_format(c,
-    "yyyy-MM-dd")}``."""
+    "yyyy-MM-dd")}``. ``type_serializers`` applies TYPE-keyed hooks
+    recursively through nested structs/arrays/maps, same contract as
+    ``to_dict_rows``."""
     serializers = serializers or {}
+    type_serializers = type_serializers or {}
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for c in df.columns:
         if c in exclude:
             continue
-        expr = serializers[c](F.col(c)).alias(c) if c in serializers else F.col(c)
+        if c in serializers:
+            expr = serializers[c](F.col(c)).alias(c)
+        elif type_serializers and _needs_recursion(dtypes[c], type_serializers):
+            expr = _serialize_node(F.col(c), dtypes[c], type_serializers).alias(c)
+        else:
+            expr = F.col(c)
         cols.append(expr)
     return df.select(F.to_json(F.struct(*cols)).alias("json"))
