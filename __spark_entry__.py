@@ -2086,6 +2086,47 @@ FROM halves
 """
 
 
+def q_media_headers_documents(spark, sf_dir):
+    """REAL multimodal header decode, oracle-checked (no codec libs
+    needed): deterministic PNG/JPEG/WAV container bytes are synthesized
+    from doc_id (struct.pack writer), then ``parse_media_headers``
+    independently re-reads the actual byte formats — PNG IHDR big-endian
+    dims, JPEG SOF0 marker-scan dims, WAV fmt/data chunks → duration.
+    The oracle predicts every parsed value as a closed-form function of
+    doc_id, and ``width_mismatch`` exercises the validation use: rows
+    whose CLAIMED width disagrees with the parsed header are flagged."""
+    from vldt_spark.functions.multimodal import (
+        parse_media_headers,
+        synthesize_header_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    parsed = parse_media_headers(synthesize_header_payloads(docs))
+    doc_id = F.col("media_id").cast("long")
+    claimed_w = (F.lit(16) + doc_id % 317 + F.when(doc_id % 10 == 3, 7).otherwise(0)).cast("int")
+    return parsed.select(
+        doc_id.alias("doc_id"),
+        "fmt",
+        F.col("parsed_width").alias("width"),
+        F.col("parsed_height").alias("height"),
+        F.col("parsed_duration_ms").alias("duration_ms"),
+        F.when(
+            F.col("parsed_width").isNotNull(), F.col("parsed_width") != claimed_w
+        ).alias("width_mismatch"),
+    )
+
+
+SQL_MEDIA_HEADERS_DOCUMENTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+       CASE WHEN doc_id % 3 < 2 THEN CAST(16 + doc_id % 317 AS INT) END AS width,
+       CASE WHEN doc_id % 3 < 2 THEN CAST(16 + doc_id % 211 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(1000 + doc_id % 4000 AS BIGINT) END AS duration_ms,
+       CASE WHEN doc_id % 3 < 2 THEN (doc_id % 10 = 3) END AS width_mismatch
+FROM documents
+"""
+
+
 def q_knn_cosine_embeddings(spark, sf_dir):
     from vldt_spark.functions.similarity import cosine_topk_bruteforce
 
@@ -2570,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "after_validator_events": q_after_validator_events,
         "union_models_documents": q_union_models_documents,
         "dict_serializer_nested_documents": q_dict_serializer_nested_documents,
+        "media_headers_documents": q_media_headers_documents,
         "colstats_lineitem": q_colstats_lineitem,
         "profile_lineitem": q_profile_lineitem,
         "colstats_by_event_type": q_colstats_by_event_type,
@@ -2643,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
         "after_validator_events": SQL_AFTER_VALIDATOR_EVENTS,
         "union_models_documents": SQL_UNION_MODELS_DOCUMENTS,
         "dict_serializer_nested_documents": SQL_DICT_SERIALIZER_NESTED_DOCUMENTS,
+        "media_headers_documents": SQL_MEDIA_HEADERS_DOCUMENTS,
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,

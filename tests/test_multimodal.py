@@ -61,3 +61,47 @@ def test_resize_stub_shapes(spark):
     # deterministic: same input -> identical resized payloads
     again = {r["media_id"]: r["payload"] for r in resize_stub(media, width=8, height=8).collect()}
     assert again[rows[0]["media_id"]] == rows[0]["payload"]
+
+
+def test_parse_media_headers_real_formats(spark):
+    """REAL header decode: PNG IHDR / JPEG SOF0 / WAV fmt+data parsed with
+    int.from_bytes against payloads written by the independent struct.pack
+    synthesizer; malformed payloads degrade to nulls, never crash."""
+    from pyspark.sql import functions as F
+
+    from vldt_spark.functions.multimodal import (
+        parse_media_headers,
+        synthesize_header_payloads,
+    )
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    parsed = parse_media_headers(synthesize_header_payloads(ids))
+    rows = {int(r["media_id"]): r for r in parsed.collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        if i % 3 == 0:
+            assert r["fmt"] == "png"
+            assert r["parsed_width"] == 16 + i % 317
+            assert r["parsed_height"] == 16 + i % 211
+        elif i % 3 == 1:
+            assert r["fmt"] == "jpeg"
+            assert r["parsed_width"] == 16 + i % 317
+            assert r["parsed_height"] == 16 + i % 211
+        else:
+            assert r["fmt"] == "wav"
+            assert r["parsed_duration_ms"] == 1000 + i % 4000
+
+    # malformed payloads: junk, truncated PNG, empty, null
+    bad = spark.createDataFrame(
+        [
+            ("j1", bytearray(b"not a media file at all")),
+            ("j2", bytearray(b"\x89PNG\r\n\x1a\nXX")),
+            ("j3", bytearray(b"")),
+            ("j4", None),
+        ],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: r for r in parse_media_headers(bad).collect()}
+    assert got["j1"]["fmt"] is None
+    assert got["j2"]["fmt"] == "png" and got["j2"]["parsed_width"] is None
+    assert got["j3"]["fmt"] is None and got["j4"]["fmt"] is None

@@ -147,6 +147,192 @@ def frame_sample_stub(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
 
 
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("parsed_width", T.IntegerType(), True),
+        T.StructField("parsed_height", T.IntegerType(), True),
+        T.StructField("parsed_duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def _parse_one_header(b: bytes | None):
+    """REAL container-header parse, zero deps (numpy/int.from_bytes only):
+
+      PNG  — 8-byte signature, IHDR width/height as big-endian u32 at
+             byte offsets 16/20 (PNG spec §5.2/§11.2.2)
+      JPEG — marker scan to SOF0/SOF1/SOF2; height/width big-endian u16
+             at +5/+7 inside the frame header (ITU T.81 §B.2.2)
+      WAV  — RIFF/WAVE 'fmt ' chunk byte_rate (LE u32) + 'data' chunk
+             size → duration_ms = data_size * 1000 // byte_rate
+
+    Returns (fmt, width, height, duration_ms) with Nones for anything
+    unparseable — malformed payloads are a validation OUTCOME (header_ok
+    false), never an executor crash."""
+    if b is None or len(b) < 2:
+        return (None, None, None, None)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            return ("png", w, h, None)
+        return ("png", None, None, None)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        n = len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                if i + 9 <= n:
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    return ("jpeg", w, h, None)
+                break
+            if marker == 0xD9:  # EOI
+                break
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # standalone
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:
+                break
+            i += 2 + seglen
+        return ("jpeg", None, None, None)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        n = len(b)
+        byte_rate = None
+        data_size = None
+        while i + 8 <= n:
+            cid = b[i : i + 4]
+            csize = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= n:
+                byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            elif cid == b"data":
+                # declared size, not bytes-present: a truncated payload
+                # still reports the encoded duration (and a separate
+                # size check can flag the truncation)
+                data_size = csize
+            if byte_rate is not None and data_size is not None:
+                break
+            i += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+        if byte_rate and data_size is not None:
+            return ("wav", None, None, data_size * 1000 // byte_rate)
+        return ("wav", None, None, None)
+    return (None, None, None, None)
+
+
+def parse_media_headers(
+    media: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Binary payloads → REAL parsed container metadata (fmt, width,
+    height, duration) via mapInPandas — the non-stub core of the
+    multimodal validation surface: parsed dims can be checked against the
+    table's CLAIMED metadata columns, the multimodal analogue of the
+    token-array equality invariant. Embarrassingly parallel, no shuffle;
+    only (id, 5 small fields) leave the executor per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, ds = [], [], [], []
+            for b in pdf[payload_col]:
+                fmt, w, h, d = _parse_one_header(
+                    bytes(b) if b is not None else None
+                )
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                ds.append(d)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype(str),
+                    "fmt": pd.Series(fmts, dtype=object),
+                    "parsed_width": pd.array(ws, dtype="Int32"),
+                    "parsed_height": pd.array(hs, dtype="Int32"),
+                    "parsed_duration_ms": pd.array(ds, dtype="Int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col), F.col(payload_col)
+    ).mapInPandas(run, schema=HEADER_SCHEMA)
+
+
+def synthesize_header_payloads(
+    ids: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL container headers from an id column (test/bench
+    source — no external data): id % 3 picks png/jpeg/wav; dimensions and
+    duration are exact functions of the id, so an oracle can predict what
+    ``parse_media_headers`` must recover. Writer uses struct-pack-style
+    byte composition; the parser reads with int.from_bytes — two
+    independent code paths over the actual byte formats."""
+    import struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w = 16 + i % 317
+                h = 16 + i % 211
+                dur_ms = 1000 + i % 4000
+                kind = i % 3
+                if kind == 0:  # PNG: signature + IHDR
+                    b = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I", 13)
+                        + b"IHDR"
+                        + struct.pack(">II", w, h)
+                        + bytes([8, 6, 0, 0, 0])
+                        + b"\x00\x00\x00\x00"  # CRC placeholder
+                    )
+                elif kind == 1:  # JPEG: SOI + APP0 + SOF0 + EOI
+                    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+                    sof0 = (
+                        b"\xff\xc0"
+                        + struct.pack(">H", 17)
+                        + b"\x08"
+                        + struct.pack(">HH", h, w)
+                        + b"\x03"
+                        + bytes(9)
+                    )
+                    b = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+                else:  # WAV: RIFF/WAVE + fmt + data (byte_rate 8000 -> ms exact)
+                    byte_rate = 8000
+                    data_size = dur_ms * byte_rate // 1000
+                    fmt_chunk = b"fmt " + struct.pack(
+                        "<IHHIIHH", 16, 1, 1, 8000, byte_rate, 1, 8
+                    )
+                    b = (
+                        b"RIFF"
+                        + struct.pack("<I", 36 + data_size)
+                        + b"WAVE"
+                        + fmt_chunk
+                        + b"data"
+                        + struct.pack("<I", data_size)
+                        # payload bytes intentionally absent: parser must
+                        # use the DECLARED size
+                    )
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype(str), "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=out_schema)
+
+
 def synthetic_media(spark, n: int = 100, *, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests (binary payloads derived
     from hashes — no external data)."""
