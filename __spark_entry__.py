@@ -1342,6 +1342,79 @@ FROM t GROUP BY event_type
 """
 
 
+def q_ks_by_event_type(spark, sf_dir):
+    """Per-partition binned KS (B7 round-out): each event_type's value CDF
+    vs the whole table's, max |ΔCDF| over ordered bins — the same
+    (group, bin) aggregate shape as psi_by_group, window partitioned BY
+    GROUP so no partition ever exceeds `bins` rows."""
+    from vldt_spark.checks.drift import ks_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_by_group(ev, "value", "event_type", bins=20, lo=0.0, hi=450.0)
+
+
+SQL_KS_BY_EVENT_TYPE = """
+WITH h AS (
+  SELECT event_type, CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), rh AS (
+  SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n_ref
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT g.event_type, rh.bin, rh.n_ref FROM (SELECT DISTINCT event_type FROM h) g CROSS JOIN rh
+), j AS (
+  SELECT grid.event_type, grid.bin, grid.n_ref, COALESCE(h.n, 0) AS n
+  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.bin = grid.bin
+), t AS (
+  SELECT j.*, sum(n) OVER (PARTITION BY event_type) AS tg,
+         (SELECT sum(n_ref) FROM rh) AS tr
+  FROM j
+), c AS (
+  SELECT event_type,
+         sum(n_ref) OVER (PARTITION BY event_type ORDER BY bin) / tr AS cr,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) / tg AS cc
+  FROM t
+)
+SELECT event_type, round(max(abs(cr - cc)), 6) AS ks FROM c GROUP BY event_type
+"""
+
+
+def q_psi_lang_by_source(spark, sf_dir):
+    """Per-partition CATEGORICAL PSI: each source's language mix vs the
+    corpus-wide mix — category values are the bins, same bounded
+    (group, category) aggregate as psi_by_group."""
+    from vldt_spark.checks.drift import categorical_psi_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return categorical_psi_by_group(docs, "lang", "source")
+
+
+SQL_PSI_LANG_BY_SOURCE = """
+WITH h AS (
+  SELECT source, lang AS bin, count(*) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+), rh AS (
+  SELECT lang AS bin, count(*) AS n_ref
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT g.source, rh.bin, rh.n_ref FROM (SELECT DISTINCT source FROM h) g CROSS JOIN rh
+), j AS (
+  SELECT grid.source, grid.bin, grid.n_ref, COALESCE(h.n, 0) AS n
+  FROM grid LEFT JOIN h ON h.source = grid.source AND h.bin = grid.bin
+), t AS (
+  SELECT j.*, sum(n) OVER (PARTITION BY source) AS tg,
+         (SELECT sum(n_ref) FROM rh) AS tr
+  FROM j
+)
+SELECT source,
+       round(sum(((n_ref / tr + 1e-9) - (n / tg + 1e-9))
+                 * ln((n_ref / tr + 1e-9) / (n / tg + 1e-9))), 6) AS psi
+FROM t GROUP BY source
+"""
+
+
 def q_dedup_exact_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from vldt_spark.functions.text import fingerprint
@@ -2612,6 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_models_documents": q_union_models_documents,
         "dict_serializer_nested_documents": q_dict_serializer_nested_documents,
         "media_headers_documents": q_media_headers_documents,
+        "ks_by_event_type": q_ks_by_event_type,
+        "psi_lang_by_source": q_psi_lang_by_source,
         "colstats_lineitem": q_colstats_lineitem,
         "profile_lineitem": q_profile_lineitem,
         "colstats_by_event_type": q_colstats_by_event_type,
@@ -2686,6 +2761,8 @@ def oracle_sql() -> dict[str, str]:
         "union_models_documents": SQL_UNION_MODELS_DOCUMENTS,
         "dict_serializer_nested_documents": SQL_DICT_SERIALIZER_NESTED_DOCUMENTS,
         "media_headers_documents": SQL_MEDIA_HEADERS_DOCUMENTS,
+        "ks_by_event_type": SQL_KS_BY_EVENT_TYPE,
+        "psi_lang_by_source": SQL_PSI_LANG_BY_SOURCE,
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,

@@ -188,3 +188,32 @@ def test_frequent_values_topk_plan_and_ties(spark):
     # top-k plans as TakeOrderedAndProject, not a global sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ks_and_categorical_psi_by_group(spark):
+    """Per-group KS and categorical PSI: a shifted group scores higher than
+    an in-distribution one; identical-to-reference groups score ~0."""
+    from pyspark.sql import functions as F
+
+    from vldt_spark.checks.drift import categorical_psi_by_group, ks_by_group
+
+    rows = []
+    for i in range(400):
+        rows.append(("same", float(i % 100), "en" if i % 5 else "fr"))
+    for i in range(400):
+        # heavily shifted numeric + inverted language mix
+        rows.append(("shifted", float(50 + i % 50), "fr" if i % 5 else "en"))
+    df = spark.createDataFrame(rows, "grp string, v double, lang string")
+    ref = df.where(F.col("grp") == "same")
+
+    ks = {r["grp"]: r["ks"] for r in ks_by_group(
+        df, "v", "grp", bins=10, lo=0.0, hi=100.0, ref=ref
+    ).collect()}
+    assert ks["same"] < 0.01
+    assert ks["shifted"] > 0.3
+
+    psi = {r["grp"]: r["psi"] for r in categorical_psi_by_group(
+        df, "lang", "grp", ref=ref
+    ).collect()}
+    assert abs(psi["same"]) < 1e-6
+    assert psi["shifted"] > 0.5

@@ -142,11 +142,17 @@ def psi_by_group(
         .groupBy(bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n_ref"))
     )
-    # grid = every (group, bin) pair over the UNION of group and ref bins —
-    # mirrors _paired_probs' full-outer semantics. Building it from ref bins
-    # alone drops group mass outside the ref support: a fully-shifted group
-    # would get tg=0 (division by zero) and a partially-shifted one a
-    # silently understated PSI — failing exactly when drift is strongest.
+    return _group_psi_from_hists(h, rh, by, eps)
+
+
+def _group_grid(h: DataFrame, rh: DataFrame, by: str) -> DataFrame:
+    """(group, bin) grid over the UNION of group and ref bins, with zero
+    fill — mirrors _paired_probs' full-outer semantics. Building it from
+    ref bins alone drops group mass outside the ref support: a
+    fully-shifted group would get tg=0 (division by zero) and a
+    partially-shifted one a silently understated statistic — failing
+    exactly when drift is strongest. All inputs are histogram-cardinality
+    tables (|groups| × bins), so every join here is broadcast-small."""
     all_bins = rh.select("bin").union(h.select("bin")).distinct()
     grid = h.select(by).distinct().crossJoin(all_bins)
     j = (
@@ -157,12 +163,95 @@ def psi_by_group(
     # group totals from the FULL group histogram, not the grid join
     tg = h.groupBy(by).agg(F.sum("n").alias("tg"))
     tr = rh.agg(F.sum("n_ref").alias("tr"))
-    j = j.join(F.broadcast(tg), by).crossJoin(F.broadcast(tr))
+    return j.join(F.broadcast(tg), by).crossJoin(F.broadcast(tr))
+
+
+def _group_psi_from_hists(h: DataFrame, rh: DataFrame, by: str, eps: float) -> DataFrame:
+    j = _group_grid(h, rh, by)
     p = F.col("n_ref") / F.col("tr") + F.lit(eps)
     q = F.col("n") / F.col("tg") + F.lit(eps)
     return (
         j.groupBy(by)
         .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+    )
+
+
+def categorical_psi_by_group(
+    df: DataFrame,
+    col: str,
+    by: str,
+    *,
+    ref: DataFrame | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-partition PSI of a CATEGORICAL column (e.g. each source's
+    language mix vs the corpus-wide mix): category values are the bins,
+    same (group, bin) aggregate shape as ``psi_by_group`` — output
+    cardinality |groups| × |categories| regardless of row count. For
+    unbounded-cardinality columns, pre-bucket the long tail into an
+    'other' category upstream. Returns (by, psi)."""
+    h = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(by), F.col(col).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rh = (
+        (ref if ref is not None else df)
+        .where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    return _group_psi_from_hists(h, rh, by, eps)
+
+
+def ks_by_group(
+    df: DataFrame,
+    col: str,
+    by: str,
+    *,
+    bins: int = 20,
+    lo: float,
+    hi: float,
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """Per-partition binned KS statistic: each ``by`` group's CDF of
+    ``col`` vs the reference CDF (default: the whole table), max |ΔCDF|
+    over ordered bins. Same scale shape as ``psi_by_group`` — one
+    (group, bin) histogram aggregate over the data, then window cumulative
+    sums over the |groups| × bins grid (partitioned BY GROUP, so the
+    window never sees more than ``bins`` rows per partition).
+    Returns (by, ks)."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / bins
+    bin_col = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    h = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(by), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rh = (
+        (ref if ref is not None else df)
+        .where(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    j = _group_grid(h, rh, by)
+    win = (
+        Window.partitionBy(by)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = j.select(
+        F.col(by),
+        (F.sum("n_ref").over(win) / F.col("tr")).alias("cr"),
+        (F.sum("n").over(win) / F.col("tg")).alias("cc"),
+    )
+    return cdf.groupBy(by).agg(
+        F.round(F.max(F.abs(F.col("cr") - F.col("cc"))), 6).alias("ks")
     )
 
 
