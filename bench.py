@@ -21,8 +21,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TOKEN_ROWS = int(os.environ.get("VLDT_BENCH_TOKEN_ROWS", "1000000"))
 # this VM's wall-clock varies 3-8× run-to-run under external interference;
-# best-of-N estimates steady-state (same policy as BENCH/BASELINE.md reps)
+# best-of-N estimates steady-state (same policy as BENCH/BASELINE.md reps).
+# The per-rep arrays are persisted in the output JSON and the median is
+# reported alongside best, so a single congestion wave cannot silently
+# write the round's headline (round-2 lesson: driver recorded 44.9 s for a
+# query whose quiet-window steady state is ~6.5 s).
 REPS = int(os.environ.get("VLDT_BENCH_REPS", "3"))
+# the flagship is the headline metric — give it more reps so at least one
+# lands outside any congestion wave
+FLAGSHIP_REPS = int(os.environ.get("VLDT_BENCH_FLAGSHIP_REPS", "5"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
@@ -69,17 +76,19 @@ def run_benchmarks(spark) -> dict[str, float]:
     from vldt_spark.sources.token_table import sources_dim
 
     timings: dict[str, float] = {}
+    rep_arrays: dict[str, list[float]] = {}
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, reps: int = REPS):
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        best = None
-        for _ in range(REPS):
+        els: list[float] = []
+        out = None
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = fn()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+            els.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(els)
+        rep_arrays[name] = els
+        print(f"[bench] {name}: best {timings[name]}s reps {els}", file=sys.stderr, flush=True)
         return out
 
     # flagship: full validation of the token table.
@@ -100,7 +109,7 @@ def run_benchmarks(spark) -> dict[str, float]:
         return res.verdicts(["source"]).collect()
 
     flagship()  # JIT/codegen warm-up — measure steady state
-    timed("flagship_validate_tokens", flagship)
+    timed("flagship_validate_tokens", flagship, reps=FLAGSHIP_REPS)
 
     # heavy standalone checks on sf tables (each: one action)
     qs = entry_mod.queries()
@@ -156,7 +165,7 @@ def run_benchmarks(spark) -> dict[str, float]:
 
     timed("suite_rowlocal_lineitem", suite_rowlocal)
 
-    return timings
+    return timings, rep_arrays
 
 
 def main():
@@ -165,8 +174,15 @@ def main():
     # warm the JVM/codegen once so timings measure steady-state
     spark.range(1000).agg({"id": "sum"}).collect()
 
-    timings = run_benchmarks(spark)
+    timings, rep_arrays = run_benchmarks(spark)
     total = round(sum(timings.values()), 3)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    fl_reps = rep_arrays["flagship_validate_tokens"]
     seqs_per_sec = round(TOKEN_ROWS / timings["flagship_validate_tokens"], 1)
     print(
         json.dumps(
@@ -178,6 +194,9 @@ def main():
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "token_rows": TOKEN_ROWS,
                 "validated_seqs_per_sec": seqs_per_sec,
+                "validated_seqs_per_sec_median": round(TOKEN_ROWS / median(fl_reps), 1),
+                "reps": rep_arrays,
+                "queries_median": {k: round(median(v), 3) for k, v in rep_arrays.items()},
                 "cpus": CPUS,
             }
         )
