@@ -289,3 +289,18 @@ def test_nested_dict_serializer_null_struct(spark):
         df, type_serializers={float: lambda c: F.round(c, 1).cast("string")}
     ).first()
     assert out["meta"] is None  # null struct stays null, not struct-of-nulls
+
+
+def test_suite_ks_below_expectation(spark):
+    """ks_below: identical distributions pass, a shifted one fails; all-null
+    reference degrades to a failed row (same guard path as psi_below)."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(300)], "v double")
+    same = spark.createDataFrame([(float(i % 50),) for i in range(200)], "v double")
+    shifted = spark.createDataFrame([(40.0 + i % 10,) for i in range(200)], "v double")
+
+    ok = Suite([expect.ks_below("v", ref, 0.1, bins=10)]).run(same).first()
+    assert ok["passed"] is True and ok["metric"] < 0.05
+    bad = Suite([expect.ks_below("v", ref, 0.1, bins=10)]).run(shifted).first()
+    assert bad["passed"] is False and bad["metric"] > 0.5

@@ -188,6 +188,25 @@ class expect:
             {"ref": ref_df, "threshold": threshold, "bins": bins, "lo": lo, "hi": hi},
         )
 
+    @staticmethod
+    def ks_below(
+        column: str,
+        ref_df: DataFrame,
+        threshold: float,
+        *,
+        bins: int = 20,
+        lo: float | None = None,
+        hi: float | None = None,
+    ) -> Expectation:
+        """Binned KS drift guard vs a reference frame — same bounded
+        histogram budget as psi_below, max |ΔCDF| metric (more sensitive
+        to localized shifts than PSI's sum)."""
+        return Expectation(
+            "ks_below",
+            column,
+            {"ref": ref_df, "threshold": threshold, "bins": bins, "lo": lo, "hi": hi},
+        )
+
 
 _ROW_LOCAL = {
     "not_null",
@@ -410,8 +429,8 @@ class Suite:
                 v = float(q_raw)
                 metric = v
                 passed = (lo is None or v >= lo) and (hi is None or v <= hi)
-        elif e.kind == "psi_below":
-            from vldt_spark.checks.drift import histogram, psi
+        elif e.kind in ("psi_below", "ks_below"):
+            from vldt_spark.checks.drift import histogram, ks_from_histograms, psi
 
             lo, hi = p["lo"], p["hi"]
             thr = float(p["threshold"])
@@ -426,7 +445,10 @@ class Suite:
             else:
                 h_ref = histogram(p["ref"], e.column, bins=p["bins"], lo=lo, hi=hi)
                 h_cur = histogram(df, e.column, bins=p["bins"], lo=lo, hi=hi)
-                metric = psi(h_ref, h_cur)
+                if e.kind == "psi_below":
+                    metric = psi(h_ref, h_cur)
+                else:
+                    metric = float(ks_from_histograms(h_ref, h_cur).first()["ks"])
                 passed = metric < thr
         else:  # pragma: no cover
             raise ValueError(f"unknown expectation kind {e.kind}")
