@@ -14,6 +14,8 @@ from vldt_spark.checks.drift import (
     psi,
     psi_by_group,
     ks_from_histograms,
+    ks_by_group,
+    categorical_psi_by_group,
     drift_report,
 )
 from vldt_spark.checks.rowinvariant import token_equality_violations
@@ -36,6 +38,8 @@ __all__ = [
     "psi",
     "psi_by_group",
     "ks_from_histograms",
+    "ks_by_group",
+    "categorical_psi_by_group",
     "drift_report",
     "token_equality_violations",
     "schema_conformance",

@@ -35,6 +35,11 @@ from vldt_spark.functions.similarity import (
     embedding_near_duplicates,
 )
 from vldt_spark.functions.sampling import deterministic_sample, stratified_cap
+from vldt_spark.functions.multimodal import (
+    extract_features,
+    parse_media_headers,
+    synthesize_header_payloads,
+)
 
 __all__ = [
     "tokenize_documents",
@@ -62,4 +67,7 @@ __all__ = [
     "dedup_near",
     "deterministic_sample",
     "stratified_cap",
+    "extract_features",
+    "parse_media_headers",
+    "synthesize_header_payloads",
 ]
