@@ -105,3 +105,29 @@ def test_parse_media_headers_real_formats(spark):
     assert got["j1"]["fmt"] is None
     assert got["j2"]["fmt"] == "png" and got["j2"]["parsed_width"] is None
     assert got["j3"]["fmt"] is None and got["j4"]["fmt"] is None
+
+
+def test_parse_one_header_never_raises_on_arbitrary_bytes():
+    """Fuzz the byte parser driver-side: arbitrary (including adversarially
+    prefixed) payloads must degrade to nulls, never raise — at 100 TB every
+    malformed file that exists will be seen."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vldt_spark.functions.multimodal import _parse_one_header
+
+    prefixes = st.sampled_from(
+        [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF1234WAVE", b"RIFFxxxx"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(st.none(), st.tuples(prefixes, st.binary(max_size=64))))
+    def run(payload):
+        b = None if payload is None else payload[0] + payload[1]
+        fmt, w, h, d = _parse_one_header(b)
+        assert fmt in (None, "png", "jpeg", "wav")
+        for v in (w, h):
+            assert v is None or (isinstance(v, int) and v >= 0)
+        assert d is None or isinstance(d, int)
+
+    run()
