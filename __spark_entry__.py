@@ -2638,6 +2638,87 @@ FROM j GROUP BY wepoch, n_rows
 """
 
 
+def q_streaming_psi_by_type(spark, sf_dir):
+    """Per-GROUP streaming drift (the continuous twin of psi_by_group):
+    each (day window, event_type) pair's value distribution vs the static
+    whole-table reference histogram, computed by the chained windowed
+    aggregation with the group key carried through both stateful stages.
+    Same sentinel-row watermark-advance pattern as streaming_drift_psi;
+    the oracle recomputes every (day, type) PSI with the identical
+    fixed-bin formula."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.checks.drift import histogram
+    from vldt_spark.streaming.drift_stream import stream_psi_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    ref = histogram(ev, "value", bins=20, lo=0.0, hi=450.0)
+    root = tempfile.mkdtemp(prefix="vldt_stream_psi_grp_")
+    data = ev.select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    data.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    sentinel = ev.limit(1).select(
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_psi_by_group(
+        stream, ref, "value", "ts", "event_type",
+        bins=20, lo=0.0, hi=450.0, window="1 day", watermark="1 hour",
+    )
+    name = f"vldt_stream_psi_grp_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n_rows",
+        "psi",
+    )
+
+
+SQL_STREAMING_PSI_BY_TYPE = """
+WITH ref AS (
+  SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin, count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), rt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM ref),
+wins AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS wepoch, event_type,
+         CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin, count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+), wt AS (
+  SELECT wepoch, event_type, CAST(sum(n) AS BIGINT) AS n_rows
+  FROM wins GROUP BY 1, 2
+), grid AS (
+  SELECT wt.wepoch, wt.event_type, wt.n_rows, gs.b AS bin
+  FROM wt CROSS JOIN (SELECT unnest(range(0, 20)) AS b) gs
+), j AS (
+  SELECT grid.wepoch, grid.event_type, grid.n_rows,
+         COALESCE(ref.n / rt.t, 0) + 1e-9 AS p,
+         CAST(COALESCE(wins.n, 0) AS DOUBLE) / grid.n_rows + 1e-9 AS q
+  FROM grid CROSS JOIN rt
+  LEFT JOIN ref ON ref.bin = grid.bin
+  LEFT JOIN wins ON wins.wepoch = grid.wepoch
+                AND wins.event_type = grid.event_type AND wins.bin = grid.bin
+)
+SELECT wepoch AS window_epoch, event_type, n_rows,
+       round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM j GROUP BY wepoch, event_type, n_rows
+"""
+
+
 def q_streaming_dup_doc_ids(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState): batch 1
     ingests every document, batch 2 re-ingests doc_id < 50; the duplicate
@@ -2695,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ledger_metrics_events": q_ledger_metrics_events,
         "streaming_suite_events": q_streaming_suite_events,
         "streaming_drift_psi": q_streaming_drift_psi,
+        "streaming_psi_by_type": q_streaming_psi_by_type,
         "streaming_dup_doc_ids": q_streaming_dup_doc_ids,
         "knn_cosine_embeddings": q_knn_cosine_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -2742,9 +2824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_report_documents": q_pii_report_documents,
         "top_docs_by_quality": q_top_docs_by_quality,
         "language_score_documents": q_language_score_documents,
-        "fingerprint_documents": q_fingerprint_documents,
         # ---- position 50 ends here --------------------------------------
         # -- tail: driver-green in rounds 1 AND 2, code untouched ---------
+        "fingerprint_documents": q_fingerprint_documents,
         "frequent_event_types": q_frequent_event_types,
         "colstats_lineitem": q_colstats_lineitem,
         "profile_lineitem": q_profile_lineitem,
@@ -2841,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
         "ledger_metrics_events": SQL_LEDGER_METRICS_EVENTS,
         "streaming_suite_events": SQL_STREAMING_SUITE_EVENTS,
         "streaming_drift_psi": SQL_STREAMING_DRIFT_PSI,
+        "streaming_psi_by_type": SQL_STREAMING_PSI_BY_TYPE,
         "streaming_dup_doc_ids": SQL_STREAMING_DUP_DOC_IDS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
     }

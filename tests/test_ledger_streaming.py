@@ -223,3 +223,56 @@ def test_submit_validation_job_resumes(spark, tmp_path, capsys):
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["partitions_run"] == []  # everything committed -> no work
     assert sorted(rep2["partitions_skipped"]) == sorted(rep1["partitions_run"])
+
+
+def test_streaming_psi_by_group(spark, tmp_path):
+    """Per-(window, group) streaming PSI: within one day-window, the clean
+    group scores ~0 and the shifted group high — matching the batch
+    psi_by_group semantics with the group key carried through both
+    stateful aggregation stages."""
+    import uuid
+
+    from vldt_spark.checks.drift import histogram, psi
+    from vldt_spark.streaming.drift_stream import stream_psi_by_group
+
+    src = str(tmp_path / "drift_grp_src")
+    clean = spark.range(4000).select(
+        F.lit("2026-02-01 10:00:00").cast("timestamp").alias("ts"),
+        F.lit("clean").alias("grp"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    shifted = spark.range(4000).select(
+        F.lit("2026-02-01 11:00:00").cast("timestamp").alias("ts"),
+        F.lit("shifted").alias("grp"),
+        ((F.col("id") % 100) * 0.5 + 50).cast("double").alias("v"),
+    )
+    clean.unionByName(shifted).coalesce(1).write.parquet(src + "/b=1")
+    spark.range(1).select(
+        F.lit("2026-02-05 10:00:00").cast("timestamp").alias("ts"),
+        F.lit("sentinel").alias("grp"),
+        F.lit(1.0).alias("v"),
+    ).coalesce(1).write.parquet(src + "/b=2")
+
+    ref = spark.range(20000).select((F.col("id") % 100).cast("double").alias("v"))
+    ref_hist = histogram(ref, "v", bins=10, lo=0.0, hi=100.0)
+
+    stream = (
+        spark.readStream.schema(clean.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    out = stream_psi_by_group(
+        stream, ref_hist, "v", "ts", "grp",
+        bins=10, lo=0.0, hi=100.0, window="1 day", watermark="1 hour",
+    )
+    name = f"t_drift_grp_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["grp"]: r for r in spark.table(name).collect()}
+    assert set(rows) == {"clean", "shifted"}  # sentinel window never closes
+    assert rows["clean"]["psi"] < 1e-6
+    assert rows["shifted"]["psi"] > 0.1
+    # equals the batch PSI on the same slice
+    batch = psi(ref_hist, histogram(shifted, "v", bins=10, lo=0.0, hi=100.0))
+    assert abs(rows["shifted"]["psi"] - round(batch, 6)) < 1e-4

@@ -94,6 +94,74 @@ def stream_psi(
     )
 
 
+def stream_psi_by_group(
+    stream_df: DataFrame,
+    ref_hist: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by: str,
+    *,
+    bins: int,
+    lo: float,
+    hi: float,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-(window, group) PSI — the streaming twin of
+    ``checks.drift.psi_by_group``: each ``by`` group's per-window
+    distribution vs the static reference histogram. Same chained
+    aggregation design as ``stream_psi`` with the group key carried
+    through both stateful aggregations, so state stays bounded at
+    |windows in flight| × |groups| × bins for stage 1 and
+    |windows| × |groups| for stage 2. Returns (window_start, window_end,
+    <by>, n_rows, psi); append mode — rows emit when the watermark closes
+    a window. At 10^12 rows the group column must be bounded-cardinality
+    (source/partition keys, not doc ids) — the same requirement the batch
+    check has."""
+    ref_rows = ref_hist.groupBy("bin").agg(F.sum("n").alias("n_ref")).collect()
+    ref_tot = float(sum(r["n_ref"] for r in ref_rows)) or 1.0
+    ref_p = {int(r["bin"]): r["n_ref"] / ref_tot for r in ref_rows}
+
+    binned = (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(ts_col),
+            F.col(by),
+            bin_col(F.col(value_col), bins=bins, lo=lo, hi=hi).alias("bin"),
+        )
+    )
+    win_hist = binned.groupBy(
+        F.window(F.col(ts_col), window), F.col(by), F.col("bin")
+    ).agg(F.count(F.lit(1)).alias("n_cur"))
+    per_win = win_hist.groupBy(
+        F.window(F.window_time(F.col("window")), window).alias("window"),
+        F.col(by),
+    ).agg(
+        F.sum("n_cur").alias("n_rows"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bin"), F.col("n_cur")))
+        ).alias("m"),
+    )
+    tc = F.col("n_rows").cast("double")
+    terms = []
+    for b in range(bins):
+        p = ref_p.get(b, 0.0) + eps
+        q = F.coalesce(F.col("m").getItem(b), F.lit(0)).cast("double") / tc + eps
+        terms.append((F.lit(p) - q) * F.log(F.lit(p) / q))
+    psi_expr = terms[0]
+    for t in terms[1:]:
+        psi_expr = psi_expr + t
+    return per_win.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col(by),
+        "n_rows",
+        F.round(psi_expr, 6).alias("psi"),
+    )
+
+
 def run_drift_monitor(
     spark,
     source_dir: str,
