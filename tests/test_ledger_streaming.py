@@ -276,3 +276,31 @@ def test_streaming_psi_by_group(spark, tmp_path):
     # equals the batch PSI on the same slice
     batch = psi(ref_hist, histogram(shifted, "v", bins=10, lo=0.0, hi=100.0))
     assert abs(rows["shifted"]["psi"] - round(batch, 6)) < 1e-4
+
+
+def test_ledger_concurrent_equals_serial(spark, tmp_path):
+    """concurrency>1 yields the same metrics + resume state as serial; a
+    pre-completed partition is still skipped."""
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+    from vldt_spark.plans.ledger import ValidationLedger
+
+    class Row(Model):
+        rid: int
+        grp: str
+        v: float = Field(ge=0.0)
+
+    globals()["RowL"] = Row
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i % 7) - (1.0 if i % 11 == 0 else 0.0))
+         for i in range(60)],
+        "rid long, grp string, v double",
+    )
+    l1 = ValidationLedger(str(tmp_path / "serial"), "grp")
+    m_serial = l1.run(df, Row, id_cols=["rid"])
+    l2 = ValidationLedger(str(tmp_path / "conc"), "grp")
+    m_conc = l2.run(df, Row, id_cols=["rid"], concurrency=3)
+    key = lambda m: {k: (v["n_rows"], v["n_invalid"], v["passed"]) for k, v in m.items()}
+    assert key(m_serial) == key(m_conc)
+    # resume: nothing left to do on a second concurrent run
+    assert l2.run(df, Row, id_cols=["rid"], concurrency=3) == {}

@@ -59,13 +59,21 @@ class ValidationLedger:
         id_cols: list[str],
         dims: dict[str, DataFrame] | None = None,
         partitions: Iterable[str] | None = None,
+        concurrency: int = 1,
     ) -> dict[str, dict]:
         """Validate partition-by-partition, skipping completed ones.
 
         Each partition is one filtered job (partition pruning applies when
         the source is partitioned by the same column); its verdict + exploded
         violations are overwritten-by-partition, then the commit marker lands.
-        Returns {partition: metrics} for partitions run in this call."""
+        Returns {partition: metrics} for partitions run in this call.
+
+        ``concurrency > 1`` submits that many partition jobs at once from a
+        thread pool — useful when individual partitions are small relative
+        to the cluster (a single big partition already saturates it, so the
+        default stays serial). Commit markers, metrics and violations are
+        all per-partition paths, so concurrent partitions never touch the
+        same files; the resume contract is unchanged."""
         engine = ValidationEngine(model)
         pcol = self.partition_col
         if partitions is None:
@@ -75,11 +83,10 @@ class ValidationLedger:
                 if r[pcol] is not None
             ]
         done = self.completed_partitions()
-        out: dict[str, dict] = {}
-        for value in partitions:
+        todo = [v for v in partitions if str(v) not in done]  # idempotent skip
+
+        def _one(value) -> tuple[str, dict]:
             sval = str(value)
-            if sval in done:
-                continue  # idempotent skip
             part_df = df.where(F.col(pcol) == value)
             t0 = time.perf_counter()
             res = engine.run(part_df, id_cols=id_cols, dims=dims)
@@ -109,7 +116,15 @@ class ValidationLedger:
             with open(tmp, "w") as f:
                 json.dump(metrics, f)
             os.replace(tmp, self._marker(sval))
-            out[sval] = metrics
+            return sval, metrics
+
+        if concurrency > 1 and len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(concurrency, len(todo))) as pool:
+                out = dict(pool.map(_one, todo))
+        else:
+            out = dict(_one(v) for v in todo)
         return out
 
     # -- read back -------------------------------------------------------------
