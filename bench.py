@@ -68,7 +68,7 @@ def ensure_token_table(spark, n_rows: int) -> str:
     return path
 
 
-def run_benchmarks(spark) -> dict[str, float]:
+def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry_mod

@@ -131,3 +131,16 @@ def test_parse_one_header_never_raises_on_arbitrary_bytes():
         assert d is None or isinstance(d, int)
 
     run()
+
+
+def test_jpeg_fill_bytes_before_marker_parse():
+    """ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+    a padded SOF0 must still yield dimensions."""
+    import struct
+
+    from vldt_spark.functions.multimodal import _parse_one_header
+
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 99, 123) + b"\x03" + bytes(9)
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof0[1:] + b"\xff\xd9"
+    fmt, w, h, d = _parse_one_header(padded)
+    assert (fmt, w, h) == ("jpeg", 123, 99)

@@ -304,3 +304,17 @@ def test_suite_ks_below_expectation(spark):
     assert ok["passed"] is True and ok["metric"] < 0.05
     bad = Suite([expect.ks_below("v", ref, 0.1, bins=10)]).run(shifted).first()
     assert bad["passed"] is False and bad["metric"] > 0.5
+
+
+def test_suite_ks_and_psi_below_all_null_current(spark):
+    """All-null CURRENT column: ks_below/psi_below report a failed row
+    instead of crashing on float(None) from the 0/0 CDF division."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    cur = spark.createDataFrame([(None,), (None,)], "v double")
+    rep = Suite([
+        expect.ks_below("v", ref, 0.1, bins=5),
+        expect.psi_below("v", ref, 0.1, bins=5),
+    ]).run(cur).collect()
+    assert len(rep) == 2 and all(r["passed"] is False for r in rep)

@@ -16,6 +16,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bin_expr(col, *, bins: int, lo: float, hi: float):
+    """THE fixed-width binning expression — one formula shared by every
+    batch histogram/PSI/KS check and the streaming monitors, so their bin
+    values stay comparable by construction. Bin i covers
+    [lo + i*w, lo + (i+1)*w); values == hi land in the last bin."""
+    w = (hi - lo) / bins
+    return F.least(
+        F.greatest(F.floor((col - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+
+
 def histogram(
     df: DataFrame,
     col: str,
@@ -28,8 +40,7 @@ def histogram(
     """Fixed-width histogram of a numeric column → (bin, [by,] n).
 
     lo/hi default to the column min/max computed in a first cheap pass
-    (pass them explicitly to fuse into one pass). Bin i covers
-    [lo + i*w, lo + (i+1)*w); values == hi land in the last bin.
+    (pass them explicitly to fuse into one pass).
     """
     if lo is None or hi is None:
         row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
@@ -37,11 +48,7 @@ def histogram(
         hi = float(row["hi"]) if hi is None else hi
     if hi <= lo:
         hi = lo + 1.0
-    w = (hi - lo) / bins
-    bin_col = F.least(
-        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
-        F.lit(bins - 1),
-    ).cast("int")
+    bin_col = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
     keys = [bin_col.alias("bin")] + ([F.col(by)] if by else [])
     return (
         df.where(F.col(col).isNotNull())
@@ -64,10 +71,14 @@ def _paired_probs(
     j = r.join(c, "bin", "full_outer").fillna(0, subset=["n_ref", "n_cur"])
     tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
     j = j.crossJoin(F.broadcast(tot))
+    # try_divide: an empty/all-null side has total 0, and under ANSI mode
+    # (Spark 4 default) a plain 0/0 raises mid-job — a degenerate side
+    # should instead read as probability 0 everywhere (maximal divergence,
+    # the principled verdict for "nothing vs something")
     return j.select(
         "bin",
-        (F.col("n_ref") / F.col("tr") + F.lit(eps)).alias("p"),
-        (F.col("n_cur") / F.col("tc") + F.lit(eps)).alias("q"),
+        (F.coalesce(F.try_divide(F.col("n_ref"), F.col("tr")), F.lit(0.0)) + F.lit(eps)).alias("p"),
+        (F.coalesce(F.try_divide(F.col("n_cur"), F.col("tc")), F.lit(0.0)) + F.lit(eps)).alias("q"),
     )
 
 
@@ -102,9 +113,11 @@ def ks_from_histograms(h_ref: DataFrame, h_cur: DataFrame) -> DataFrame:
     tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
     j = j.crossJoin(F.broadcast(tot))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # try_divide + coalesce(0): an empty side's CDF reads as 0 everywhere
+    # (KS = 1.0 vs anything non-empty) instead of an ANSI 0/0 crash
     cdf = j.select(
-        (F.sum("n_ref").over(w) / F.col("tr")).alias("cr"),
-        (F.sum("n_cur").over(w) / F.col("tc")).alias("cc"),
+        F.coalesce(F.try_divide(F.sum("n_ref").over(w), F.col("tr")), F.lit(0.0)).alias("cr"),
+        F.coalesce(F.try_divide(F.sum("n_cur").over(w), F.col("tc")), F.lit(0.0)).alias("cc"),
     )
     return cdf.agg(F.round(F.max(F.abs(F.col("cr") - F.col("cc"))), 6).alias("ks"))
 
@@ -125,11 +138,7 @@ def psi_by_group(
     (default: the whole table). One histogram aggregate keyed (group, bin)
     — output cardinality |groups| × bins regardless of row count; the PSI
     reduction is a second tiny aggregate. Returns (by, psi)."""
-    w = (hi - lo) / bins
-    bin_col = F.least(
-        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
-        F.lit(bins - 1),
-    ).cast("int")
+    bin_col = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
 
     h = (
         df.where(F.col(col).isNotNull())
@@ -223,11 +232,7 @@ def ks_by_group(
     Returns (by, ks)."""
     from pyspark.sql import Window
 
-    w = (hi - lo) / bins
-    bin_col = F.least(
-        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
-        F.lit(bins - 1),
-    ).cast("int")
+    bin_col = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
     h = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(by), bin_col.alias("bin"))

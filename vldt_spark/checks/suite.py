@@ -445,11 +445,18 @@ class Suite:
             else:
                 h_ref = histogram(p["ref"], e.column, bins=p["bins"], lo=lo, hi=hi)
                 h_cur = histogram(df, e.column, bins=p["bins"], lo=lo, hi=hi)
-                if e.kind == "psi_below":
-                    metric = psi(h_ref, h_cur)
-                else:
-                    metric = float(ks_from_histograms(h_ref, h_cur).first()["ks"])
-                passed = metric < thr
+                try:
+                    if e.kind == "psi_below":
+                        metric = psi(h_ref, h_cur)
+                    else:
+                        metric = float(ks_from_histograms(h_ref, h_cur).first()["ks"])
+                except TypeError:
+                    # CURRENT column entirely null/empty: the divergence
+                    # aggregates come back NULL (0/0 division) and float(None)
+                    # would kill the suite — report a failed expectation,
+                    # same convention as the quantile/ref-range guards above
+                    metric = float("nan")
+                passed = metric == metric and metric < thr  # NaN-safe
         else:  # pragma: no cover
             raise ValueError(f"unknown expectation kind {e.kind}")
         return spark.createDataFrame(

@@ -182,25 +182,33 @@ def _parse_one_header(b: bytes | None):
     if b[:2] == b"\xff\xd8":
         i = 2
         n = len(b)
-        while i + 4 <= n:
+        while i < n - 1:
             if b[i] != 0xFF:
                 break
-            marker = b[i + 1]
+            j = i + 1
+            while j < n and b[j] == 0xFF:
+                j += 1  # 0xFF fill bytes before a marker are legal padding
+                # (ITU T.81 §B.1.1.2) — skip them or a padded SOF misparses
+            if j >= n:
+                break
+            marker = b[j]
             if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
-                if i + 9 <= n:
-                    h = int.from_bytes(b[i + 5 : i + 7], "big")
-                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                if j + 8 <= n:
+                    h = int.from_bytes(b[j + 4 : j + 6], "big")
+                    w = int.from_bytes(b[j + 6 : j + 8], "big")
                     return ("jpeg", w, h, None)
                 break
             if marker == 0xD9:  # EOI
                 break
-            if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # standalone
-                i += 2
+            if 0xD0 <= marker <= 0xD8 or marker in (0x00, 0x01):  # standalone
+                i = j + 1
                 continue
-            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if j + 3 > n:
+                break
+            seglen = int.from_bytes(b[j + 1 : j + 3], "big")
             if seglen < 2:
                 break
-            i += 2 + seglen
+            i = j + 1 + seglen
         return ("jpeg", None, None, None)
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         i = 12

@@ -128,26 +128,35 @@ def corrupt_record_offsets(
     )
 
 
-#: python type → predicate over Spark DataTypes, for type-keyed serializer
-#: lookup (reference ``Config(dict_serializer={type: fn})`` keys on the
-#: runtime Python type; columns key on their Spark type here).
-def _type_matches(py_type, dtype) -> bool:
+#: python type → Spark DataType classes, for type-keyed serializer lookup
+#: (reference ``Config(dict_serializer={type: fn})`` keys on the runtime
+#: Python type; columns key on their Spark type here). Module-level: the
+#: lookup runs once per schema node per hook on every sink call.
+def _build_py_type_table():
+    import datetime as _dt
+
     from pyspark.sql import types as T
 
-    if isinstance(py_type, T.DataType):
-        return dtype == py_type
-    table = {
+    return {
         float: (T.DoubleType, T.FloatType),
         int: (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
         str: (T.StringType,),
         bool: (T.BooleanType,),
         bytes: (T.BinaryType,),
+        _dt.datetime: (T.TimestampType,),
+        _dt.date: (T.DateType,),
     }
-    import datetime as _dt
 
-    table[_dt.datetime] = (T.TimestampType,)
-    table[_dt.date] = (T.DateType,)
-    kinds = table.get(py_type)
+
+_PY_TYPE_TABLE = _build_py_type_table()
+
+
+def _type_matches(py_type, dtype) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(py_type, T.DataType):
+        return dtype == py_type
+    kinds = _PY_TYPE_TABLE.get(py_type)
     return kinds is not None and isinstance(dtype, kinds)
 
 
@@ -201,6 +210,30 @@ def _needs_recursion(dtype, hooks) -> bool:
     return False
 
 
+def _hooked_cols(
+    df: DataFrame,
+    exclude: tuple[str, ...],
+    serializers: dict,
+    type_serializers: dict,
+) -> list:
+    """Shared hook-dispatch for the dict and json sinks: name-keyed hooks
+    win over type-keyed ones; columns no hook can reach pass through
+    untouched (one resolution here so the two sinks can never disagree)."""
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for c in df.columns:
+        if c in exclude:
+            continue
+        if c in serializers:
+            expr = serializers[c](F.col(c)).alias(c)
+        elif type_serializers and _needs_recursion(dtypes[c], type_serializers):
+            expr = _serialize_node(F.col(c), dtypes[c], type_serializers).alias(c)
+        else:
+            expr = F.col(c)
+        cols.append(expr)
+    return cols
+
+
 def to_dict_rows(
     df: DataFrame,
     *,
@@ -223,20 +256,7 @@ def to_dict_rows(
     transform_values) — no Python in the row path. Unlike ``to_json_rows``
     the output stays columnar (one column per field), ready for
     ``.toPandas()`` / ``collect`` → dicts."""
-    serializers = serializers or {}
-    type_serializers = type_serializers or {}
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
-    cols = []
-    for c in df.columns:
-        if c in exclude:
-            continue
-        if c in serializers:
-            expr = serializers[c](F.col(c)).alias(c)
-        elif type_serializers and _needs_recursion(dtypes[c], type_serializers):
-            expr = _serialize_node(F.col(c), dtypes[c], type_serializers).alias(c)
-        else:
-            expr = F.col(c)
-        cols.append(expr)
+    cols = _hooked_cols(df, exclude, serializers or {}, type_serializers or {})
     return df.select(*cols)
 
 
@@ -258,18 +278,5 @@ def to_json_rows(
     "yyyy-MM-dd")}``. ``type_serializers`` applies TYPE-keyed hooks
     recursively through nested structs/arrays/maps, same contract as
     ``to_dict_rows``."""
-    serializers = serializers or {}
-    type_serializers = type_serializers or {}
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
-    cols = []
-    for c in df.columns:
-        if c in exclude:
-            continue
-        if c in serializers:
-            expr = serializers[c](F.col(c)).alias(c)
-        elif type_serializers and _needs_recursion(dtypes[c], type_serializers):
-            expr = _serialize_node(F.col(c), dtypes[c], type_serializers).alias(c)
-        else:
-            expr = F.col(c)
-        cols.append(expr)
+    cols = _hooked_cols(df, exclude, serializers or {}, type_serializers or {})
     return df.select(F.to_json(F.struct(*cols)).alias("json"))

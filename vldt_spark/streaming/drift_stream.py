@@ -19,13 +19,38 @@ from pyspark.sql import functions as F
 
 
 def bin_col(col: Column, *, bins: int, lo: float, hi: float) -> Column:
-    """Same fixed-width binning as checks/drift.histogram — one formula for
-    batch and stream keeps the PSI numbers comparable."""
-    w = (hi - lo) / bins
-    return F.least(
-        F.greatest(F.floor((col - F.lit(lo)) / F.lit(w)), F.lit(0)),
-        F.lit(bins - 1),
-    ).cast("int")
+    """Same fixed-width binning as checks/drift — delegates to the ONE
+    shared ``bin_expr`` so batch and stream bin values stay comparable by
+    construction."""
+    from vldt_spark.checks.drift import bin_expr
+
+    return bin_expr(col, bins=bins, lo=lo, hi=hi)
+
+
+def _ref_probs(ref_hist: DataFrame) -> dict[int, float]:
+    """Static reference histogram → per-bin probabilities embedded as
+    driver-side literals (the reference never changes mid-stream, and a
+    stream-stream join after aggregation is forbidden anyway)."""
+    rows = ref_hist.groupBy("bin").agg(F.sum("n").alias("n_ref")).collect()
+    tot = float(sum(r["n_ref"] for r in rows)) or 1.0
+    return {int(r["bin"]): r["n_ref"] / tot for r in rows}
+
+
+def _psi_literal_expr(
+    ref_p: dict[int, float], bins: int, eps: float, m_col: Column, tc: Column
+) -> Column:
+    """PSI of a per-window bin→count map column vs literal ref
+    probabilities — the single formula both the global and the per-group
+    stream monitors (and therefore both oracles) share."""
+    terms = []
+    for b in range(bins):
+        p = ref_p.get(b, 0.0) + eps
+        q = F.coalesce(m_col.getItem(b), F.lit(0)).cast("double") / tc + eps
+        terms.append((F.lit(p) - q) * F.log(F.lit(p) / q))
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = expr + t
+    return expr
 
 
 def stream_psi(
@@ -52,9 +77,7 @@ def stream_psi(
     aggregation (window×bin counts → per-window map → literal-vs-map PSI
     expression), avoiding the stream-stream join Spark forbids after
     aggregation."""
-    ref_rows = ref_hist.groupBy("bin").agg(F.sum("n").alias("n_ref")).collect()
-    ref_tot = float(sum(r["n_ref"] for r in ref_rows)) or 1.0
-    ref_p = {int(r["bin"]): r["n_ref"] / ref_tot for r in ref_rows}
+    ref_p = _ref_probs(ref_hist)
 
     binned = (
         stream_df.withWatermark(ts_col, watermark)
@@ -77,15 +100,9 @@ def stream_psi(
             F.collect_list(F.struct(F.col("bin"), F.col("n_cur")))
         ).alias("m"),
     )
-    tc = F.col("n_rows").cast("double")
-    terms = []
-    for b in range(bins):
-        p = ref_p.get(b, 0.0) + eps
-        q = F.coalesce(F.col("m").getItem(b), F.lit(0)).cast("double") / tc + eps
-        terms.append((F.lit(p) - q) * F.log(F.lit(p) / q))
-    psi_expr = terms[0]
-    for t in terms[1:]:
-        psi_expr = psi_expr + t
+    psi_expr = _psi_literal_expr(
+        ref_p, bins, eps, F.col("m"), F.col("n_rows").cast("double")
+    )
     return per_win.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -119,9 +136,7 @@ def stream_psi_by_group(
     a window. At 10^12 rows the group column must be bounded-cardinality
     (source/partition keys, not doc ids) — the same requirement the batch
     check has."""
-    ref_rows = ref_hist.groupBy("bin").agg(F.sum("n").alias("n_ref")).collect()
-    ref_tot = float(sum(r["n_ref"] for r in ref_rows)) or 1.0
-    ref_p = {int(r["bin"]): r["n_ref"] / ref_tot for r in ref_rows}
+    ref_p = _ref_probs(ref_hist)
 
     binned = (
         stream_df.withWatermark(ts_col, watermark)
@@ -144,15 +159,9 @@ def stream_psi_by_group(
             F.collect_list(F.struct(F.col("bin"), F.col("n_cur")))
         ).alias("m"),
     )
-    tc = F.col("n_rows").cast("double")
-    terms = []
-    for b in range(bins):
-        p = ref_p.get(b, 0.0) + eps
-        q = F.coalesce(F.col("m").getItem(b), F.lit(0)).cast("double") / tc + eps
-        terms.append((F.lit(p) - q) * F.log(F.lit(p) / q))
-    psi_expr = terms[0]
-    for t in terms[1:]:
-        psi_expr = psi_expr + t
+    psi_expr = _psi_literal_expr(
+        ref_p, bins, eps, F.col("m"), F.col("n_rows").cast("double")
+    )
     return per_win.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
