@@ -217,3 +217,46 @@ def test_ks_and_categorical_psi_by_group(spark):
     ).collect()}
     assert abs(psi["same"]) < 1e-6
     assert psi["shifted"] > 0.5
+
+
+def test_js_chi2_wasserstein_detect_shift(spark):
+    """The three round-3 drift statistics share the KS test's fixture:
+    same-distribution pairs stay near 0 / below significance, the shifted
+    pair clearly alerts, identity is exact 0."""
+    import math
+
+    from vldt_spark.checks.drift import (
+        chi2_from_histograms,
+        histogram,
+        js_divergence,
+        wasserstein_from_histograms,
+    )
+    from vldt_spark.sources.token_table import token_sequences, token_sequences_shifted
+
+    a = token_sequences(spark, 4000, seed=42, clean=True)
+    b = token_sequences(spark, 4000, seed=77, clean=True)
+    shifted = token_sequences_shifted(spark, 4000)
+    lo, hi = 0.0, 2048.0
+    ha = histogram(a, "n_tok", bins=20, lo=lo, hi=hi)
+    hb = histogram(b, "n_tok", bins=20, lo=lo, hi=hi)
+    hs = histogram(shifted, "n_tok", bins=20, lo=lo, hi=hi)
+
+    js_same = js_divergence(ha, hb).first()["js"]
+    js_drift = js_divergence(ha, hs).first()["js"]
+    assert 0.0 <= js_same < 0.01
+    assert js_drift > 0.015 and js_drift > 10 * js_same
+    assert js_drift <= math.log(2) + 1e-9  # JS bound
+    assert js_divergence(ha, ha).first()["js"] == 0.0
+
+    chi2_same = chi2_from_histograms(ha, hb).first()["chi2"]
+    chi2_drift = chi2_from_histograms(ha, hs).first()["chi2"]
+    # 20 bins → df ≈ 19; chi2 > 200 is far past any significance level
+    assert chi2_drift > 200.0 and chi2_drift > 10 * chi2_same
+    assert chi2_from_histograms(ha, ha).first()["chi2"] == 0.0
+
+    w_same = wasserstein_from_histograms(ha, hb, bin_width=102.4).first()["w1"]
+    w_drift = wasserstein_from_histograms(ha, hs, bin_width=102.4).first()["w1"]
+    # shifted fixture moves the n_tok distribution by a known offset;
+    # W1 reports it in token units
+    assert w_drift > 20.0 and w_drift > 3 * w_same
+    assert wasserstein_from_histograms(ha, ha, bin_width=102.4).first()["w1"] == 0.0

@@ -16,6 +16,9 @@ from vldt_spark.checks.drift import (
     ks_from_histograms,
     ks_by_group,
     categorical_psi_by_group,
+    js_divergence,
+    chi2_from_histograms,
+    wasserstein_from_histograms,
     drift_report,
 )
 from vldt_spark.checks.rowinvariant import token_equality_violations
@@ -40,6 +43,9 @@ __all__ = [
     "ks_from_histograms",
     "ks_by_group",
     "categorical_psi_by_group",
+    "js_divergence",
+    "chi2_from_histograms",
+    "wasserstein_from_histograms",
     "drift_report",
     "token_equality_violations",
     "schema_conformance",

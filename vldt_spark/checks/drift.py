@@ -122,6 +122,64 @@ def ks_from_histograms(h_ref: DataFrame, h_cur: DataFrame) -> DataFrame:
     return cdf.agg(F.round(F.max(F.abs(F.col("cr") - F.col("cc"))), 6).alias("ks"))
 
 
+def js_divergence(h_ref: DataFrame, h_cur: DataFrame, *, eps: float = 1e-9) -> DataFrame:
+    """Jensen-Shannon divergence on two histogram tables (bin, n):
+    JS(p, q) = KL(p||m)/2 + KL(q||m)/2 with m = (p+q)/2. Symmetric and
+    bounded [0, ln 2] — unlike KL, a safe alert threshold can be set
+    once for every monitored column. Same tiny-input shape as
+    ``ks_from_histograms``; returns a 1-row DataFrame (js: double)."""
+    pq = _paired_probs(h_ref, h_cur, eps=eps)
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    term = (
+        F.col("p") * F.log(F.col("p") / m) + F.col("q") * F.log(F.col("q") / m)
+    ) / F.lit(2.0)
+    return pq.agg(F.round(F.sum(term), 6).alias("js"))
+
+
+def chi2_from_histograms(h_ref: DataFrame, h_cur: DataFrame) -> DataFrame:
+    """Pearson chi-squared statistic of the current histogram against
+    expected counts scaled from the reference proportions:
+    sum((n_cur - E)^2 / E) with E = total_cur * n_ref / total_ref.
+    Bins with n_ref = 0 are excluded (their expectation is undefined —
+    standard practice; pair with PSI, whose eps smoothing covers
+    out-of-support mass). Tiny-input op; 1-row DataFrame (chi2: double)."""
+    r = h_ref.groupBy("bin").agg(F.sum("n").alias("n_ref"))
+    c = h_cur.groupBy("bin").agg(F.sum("n").alias("n_cur"))
+    j = r.join(c, "bin", "full_outer").fillna(0, subset=["n_ref", "n_cur"])
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    j = j.crossJoin(F.broadcast(tot)).where(F.col("n_ref") > 0)
+    e = F.col("tc") * F.col("n_ref") / F.col("tr")
+    return j.agg(
+        F.round(F.sum((F.col("n_cur") - e) * (F.col("n_cur") - e) / e), 6).alias("chi2")
+    )
+
+
+def wasserstein_from_histograms(
+    h_ref: DataFrame, h_cur: DataFrame, *, bin_width: float
+) -> DataFrame:
+    """Binned 1-Wasserstein (earth-mover) distance: sum over ordered bins
+    of |CDF_ref - CDF_cur| × bin_width. Reported in the COLUMN'S OWN UNITS
+    (e.g. "the token-length distribution moved ~14 tokens"), which PSI/KL
+    cannot express. Same shape as ``ks_from_histograms`` — the window
+    cumulative sum runs over bin-cardinality rows only.
+    Returns a 1-row DataFrame (w1: double)."""
+    from pyspark.sql import Window
+
+    r = h_ref.groupBy("bin").agg(F.sum("n").alias("n_ref"))
+    c = h_cur.groupBy("bin").agg(F.sum("n").alias("n_cur"))
+    j = r.join(c, "bin", "full_outer").fillna(0, subset=["n_ref", "n_cur"])
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    j = j.crossJoin(F.broadcast(tot))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = j.select(
+        F.coalesce(F.try_divide(F.sum("n_ref").over(w), F.col("tr")), F.lit(0.0)).alias("cr"),
+        F.coalesce(F.try_divide(F.sum("n_cur").over(w), F.col("tc")), F.lit(0.0)).alias("cc"),
+    )
+    return cdf.agg(
+        F.round(F.sum(F.abs(F.col("cr") - F.col("cc")) * F.lit(bin_width)), 6).alias("w1")
+    )
+
+
 def psi_by_group(
     df: DataFrame,
     col: str,
