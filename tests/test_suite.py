@@ -266,3 +266,38 @@ def test_suite_size_and_length_expectations(spark):
 
     kinds = {(e.kind, e.column) for e in Suite.from_model(TokenSequence).expectations}
     assert ("size_between", "tokens") in kinds
+
+
+def test_suite_js_and_wasserstein_expectations(spark):
+    """js_below / wasserstein_below: identical distributions pass, a
+    shifted one fails with the metric in the expected range (JS bounded by
+    ln 2; W1 in column units ≈ the injected offset); empty current data
+    reads as maximal drift, not a pass."""
+    import math
+
+    ref = spark.range(5000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(5000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(5000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("v")
+    )
+    s = Suite(
+        [
+            expect.js_below("v", ref, 0.1, bins=10, lo=0.0, hi=100.0),
+            expect.wasserstein_below("v", ref, 15.0, bins=10, lo=0.0, hi=100.0),
+        ]
+    )
+    assert s.passed(same)
+    rep = {r["check"]: r for r in s.run(shifted).collect()}
+    js = rep["js_below"]
+    assert js["passed"] is False and 0.1 < js["metric"] <= math.log(2) + 1e-9
+    w1 = rep["wasserstein_below"]
+    # 60-unit shift clipped into [0,100] bins → W1 well past the 15-unit bar
+    assert w1["passed"] is False and w1["metric"] > 30.0
+    # empty current frame: both guards must FAIL (prob-0 side reads as
+    # maximal drift: JS → ln(2)/2 ≈ 0.347 against the eps-smoothed zero
+    # vector, W1 → the ref distribution's full mean distance)
+    empty = ref.where(F.lit(False))
+    assert not Suite([expect.js_below("v", ref, 0.3, bins=10, lo=0.0, hi=100.0)]).passed(empty)
+    assert not Suite(
+        [expect.wasserstein_below("v", ref, 40.0, bins=10, lo=0.0, hi=100.0)]
+    ).passed(empty)

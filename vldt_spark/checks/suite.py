@@ -207,6 +207,44 @@ class expect:
             {"ref": ref_df, "threshold": threshold, "bins": bins, "lo": lo, "hi": hi},
         )
 
+    @staticmethod
+    def js_below(
+        column: str,
+        ref_df: DataFrame,
+        threshold: float,
+        *,
+        bins: int = 20,
+        lo: float | None = None,
+        hi: float | None = None,
+    ) -> Expectation:
+        """Jensen-Shannon drift guard — symmetric and bounded [0, ln 2],
+        so the same threshold is meaningful across columns (unlike KL,
+        which is unbounded, or PSI, whose scale depends on eps)."""
+        return Expectation(
+            "js_below",
+            column,
+            {"ref": ref_df, "threshold": threshold, "bins": bins, "lo": lo, "hi": hi},
+        )
+
+    @staticmethod
+    def wasserstein_below(
+        column: str,
+        ref_df: DataFrame,
+        threshold: float,
+        *,
+        bins: int = 20,
+        lo: float | None = None,
+        hi: float | None = None,
+    ) -> Expectation:
+        """Binned 1-Wasserstein drift guard — threshold is in the COLUMN'S
+        OWN UNITS ("alert if the token-length distribution moved more than
+        15 tokens"), the most interpretable of the drift guards."""
+        return Expectation(
+            "wasserstein_below",
+            column,
+            {"ref": ref_df, "threshold": threshold, "bins": bins, "lo": lo, "hi": hi},
+        )
+
 
 _ROW_LOCAL = {
     "not_null",
@@ -429,8 +467,14 @@ class Suite:
                 v = float(q_raw)
                 metric = v
                 passed = (lo is None or v >= lo) and (hi is None or v <= hi)
-        elif e.kind in ("psi_below", "ks_below"):
-            from vldt_spark.checks.drift import histogram, ks_from_histograms, psi
+        elif e.kind in ("psi_below", "ks_below", "js_below", "wasserstein_below"):
+            from vldt_spark.checks.drift import (
+                histogram,
+                js_divergence,
+                ks_from_histograms,
+                psi,
+                wasserstein_from_histograms,
+            )
 
             lo, hi = p["lo"], p["hi"]
             thr = float(p["threshold"])
@@ -448,6 +492,13 @@ class Suite:
                 try:
                     if e.kind == "psi_below":
                         metric = psi(h_ref, h_cur)
+                    elif e.kind == "js_below":
+                        metric = float(js_divergence(h_ref, h_cur).first()["js"])
+                    elif e.kind == "wasserstein_below":
+                        bw = (hi - lo) / p["bins"]
+                        metric = float(
+                            wasserstein_from_histograms(h_ref, h_cur, bin_width=bw).first()["w1"]
+                        )
                     else:
                         metric = float(ks_from_histograms(h_ref, h_cur).first()["ks"])
                 except TypeError:
