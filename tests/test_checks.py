@@ -260,3 +260,25 @@ def test_js_chi2_wasserstein_detect_shift(spark):
     # W1 reports it in token units
     assert w_drift > 20.0 and w_drift > 3 * w_same
     assert wasserstein_from_histograms(ha, ha, bin_width=102.4).first()["w1"] == 0.0
+
+
+def test_wasserstein_by_group_magnitude(spark):
+    """Per-group W1 reports drift magnitude in column units: the unshifted
+    group reads ~0, the group offset by a known amount reads near that
+    offset (binned resolution)."""
+    from vldt_spark.checks.drift import wasserstein_by_group
+
+    ref = spark.range(20000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(20000).select(
+        F.lit("same").alias("g"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    shifted = spark.range(20000).select(
+        F.lit("shifted").alias("g"),
+        ((F.col("id") % 100) + 30).cast("double").alias("v"),
+    )
+    out = {r["g"]: r["w1"] for r in
+           wasserstein_by_group(same.unionByName(shifted), "v", "g",
+                                bins=20, lo=0.0, hi=130.0, ref=ref).collect()}
+    assert out["same"] < 1e-6
+    # +30 offset → W1 ≈ 30 (within one 6.5-unit bin of resolution)
+    assert 23.0 < out["shifted"] < 37.0

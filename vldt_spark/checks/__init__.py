@@ -19,6 +19,7 @@ from vldt_spark.checks.drift import (
     js_divergence,
     chi2_from_histograms,
     wasserstein_from_histograms,
+    wasserstein_by_group,
     drift_report,
 )
 from vldt_spark.checks.rowinvariant import token_equality_violations
@@ -46,6 +47,7 @@ __all__ = [
     "js_divergence",
     "chi2_from_histograms",
     "wasserstein_from_histograms",
+    "wasserstein_by_group",
     "drift_report",
     "token_equality_violations",
     "schema_conformance",

@@ -318,6 +318,54 @@ def ks_by_group(
     )
 
 
+def wasserstein_by_group(
+    df: DataFrame,
+    col: str,
+    by: str,
+    *,
+    bins: int = 20,
+    lo: float,
+    hi: float,
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """Per-partition binned 1-Wasserstein distance: how far each ``by``
+    group's distribution of ``col`` moved from the reference (default: the
+    whole table), IN THE COLUMN'S OWN UNITS — completes the per-group
+    drift matrix (psi_by_group / ks_by_group / categorical_psi_by_group)
+    with the magnitude-interpretable member. Same scale shape: one
+    (group, bin) histogram aggregate, window cumulative sums over the
+    |groups| × bins grid partitioned by group. Returns (by, w1)."""
+    from pyspark.sql import Window
+
+    bin_width = (hi - lo) / bins
+    bin_col = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
+    h = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(by), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rh = (
+        (ref if ref is not None else df)
+        .where(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    j = _group_grid(h, rh, by)
+    win = (
+        Window.partitionBy(by)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = j.select(
+        F.col(by),
+        (F.sum("n_ref").over(win) / F.col("tr")).alias("cr"),
+        (F.sum("n").over(win) / F.col("tg")).alias("cc"),
+    )
+    return cdf.groupBy(by).agg(
+        F.round(F.sum(F.abs(F.col("cr") - F.col("cc")) * F.lit(bin_width)), 6).alias("w1")
+    )
+
+
 def drift_report(
     ref: DataFrame,
     cur: DataFrame,
