@@ -1606,6 +1606,29 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+def q_contamination_report_documents(spark, sf_dir):
+    """Train/test contamination screen at the GPT-3 13-gram setting: the
+    'benchmark' is the deterministic doc_id % 41 slice of the corpus, so
+    flagged rows are exactly the benchmark docs plus their exact/near
+    duplicates (the corpus's injected dup pairs) — both counts and the
+    contaminated fraction value-checked."""
+    from vldt_spark.functions.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where((F.col("doc_id") % 41) == 0)
+    return contamination_report(docs, bench, shingle_k=13)
+
+
+def q_decontaminated_documents(spark, sf_dir):
+    """Survivors of decontaminate(): broadcast anti-join of the corpus
+    against the flagged-id set (any 13-gram overlap removes the doc)."""
+    from vldt_spark.functions.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where((F.col("doc_id") % 41) == 0)
+    return decontaminate(docs, bench, shingle_k=13).select("doc_id", "n_chars")
+
+
 def q_rolling_fp_documents(spark, sf_dir):
     """Winnowing fingerprints (rolling polynomial hash over char k-grams,
     window minima): per-doc set summary, integer-exact in both engines."""
@@ -1804,6 +1827,45 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.3
+"""
+
+
+# 13-gram shingles (GPT-3 decontamination setting): ws[i:i+12] is the
+# inclusive 13-element DuckDB slice, mirroring F.slice(words, i, 13).
+_CONTAMINATION_CTE = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+12], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 12, 1) + 1)]) AS shingles
+  FROM words
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 41 = 0
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), hits AS (
+  SELECT ex.doc_id, count(*) AS n_hits
+  FROM ex JOIN bench USING (shingle)
+  WHERE length(ex.shingle) > 0
+  GROUP BY ex.doc_id
+)
+"""
+
+SQL_CONTAMINATION_REPORT_DOCUMENTS = _CONTAMINATION_CTE + """
+SELECT s.doc_id AS doc_id,
+       CAST(len(s.shingles) AS INT) AS n_grams,
+       h.n_hits AS n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / len(s.shingles), 6) AS frac
+FROM sh s JOIN hits h USING (doc_id)
+"""
+
+SQL_DECONTAMINATED_DOCUMENTS = _CONTAMINATION_CTE + """
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
@@ -2905,10 +2967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries, so positions 1-50 carry (a) the 15 queries the
     round-2 report never witnessed (streaming, ANN, json/timestamp,
     rolling_fp, multimodal — judge-replica-verified but driver-unseen),
-    (b) this round's 11 new queries, and (c) every query whose underlying
+    (b) this round's 13 new queries, and (c) every query whose underlying
     code changed this round (engine annotate/union coercion, suite,
-    dedup, drift helpers). The tail holds the 26 scalar aggregates that
-    have been driver-green in previous rounds with untouched code;
+    dedup, drift helpers). The tail holds the 28 queries that have been
+    driver-green in previous rounds with untouched code;
     tools/check_oracle.py still verifies the full set locally."""
     return {
         # -- tier 1: driver-unwitnessed in round 2 (report covered 1-50) --
@@ -2939,6 +3001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_events_value": q_chi2_events_value,
         "wasserstein_events_value": q_wasserstein_events_value,
         "wasserstein_by_event_type": q_wasserstein_by_event_type,
+        "contamination_report_documents": q_contamination_report_documents,
+        "decontaminated_documents": q_decontaminated_documents,
         # -- tier 3: code under them changed this round --------------------
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "validate_lineitem_violations": q_validate_lineitem_violations,
@@ -2962,10 +3026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_portable_documents": q_simhash_portable_documents,
         "simhash_portable_pairs": q_simhash_portable_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "repetition_stats_documents": q_repetition_stats_documents,
         # ---- position 50 ends here --------------------------------------
         # -- tail: driver-green before, code untouched this round ---------
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "repetition_stats_documents": q_repetition_stats_documents,
         "text_quality_documents": q_text_quality_documents,
         "pii_report_documents": q_pii_report_documents,
         "top_docs_by_quality": q_top_docs_by_quality,
@@ -3048,6 +3112,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_portable_documents": SQL_SIMHASH_PORTABLE_DOCUMENTS,
         "simhash_portable_pairs": _sql_simhash_portable_pairs(),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "contamination_report_documents": SQL_CONTAMINATION_REPORT_DOCUMENTS,
+        "decontaminated_documents": SQL_DECONTAMINATED_DOCUMENTS,
         "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
         "text_quality_documents": SQL_TEXT_QUALITY_DOCUMENTS,
         "repetition_stats_documents": SQL_REPETITION_STATS_DOCUMENTS,

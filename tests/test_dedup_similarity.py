@@ -318,3 +318,27 @@ def test_pii_screen_flags_known_patterns(spark):
     assert not flags[5]["has_ip"] and not flags[5]["has_phone"]
     rep = pii_report(df).first()
     assert (rep["n_docs"], rep["n_email"], rep["n_ip"], rep["n_phone"]) == (5, 1, 1, 1)
+
+
+def test_contamination_report_and_decontaminate(spark, corpus):
+    from vldt_spark.functions.dedup import contamination_report, decontaminate
+
+    # benchmark = d0's text verbatim: d0 and d1 (whitespace twin) are fully
+    # contaminated, d2 (one word changed) partially — the 13-grams spanning
+    # the edited word are clean — and d3.. share nothing.
+    bench = corpus.where(F.col("doc_id") == "d0").select("text")
+    rep = {r["doc_id"]: r for r in
+           contamination_report(corpus, bench, shingle_k=13).collect()}
+    assert set(rep) == {"d0", "d1", "d2"}
+    assert rep["d0"]["frac"] == 1.0 and rep["d1"]["frac"] == 1.0
+    assert 0.0 < rep["d2"]["frac"] < 1.0
+    assert rep["d2"]["n_hits"] < rep["d2"]["n_grams"]
+
+    survivors = {r["doc_id"] for r in
+                 decontaminate(corpus, bench, shingle_k=13).collect()}
+    assert survivors == {f"d{i}" for i in range(3, 12)}
+    # a loose threshold keeps the partial overlap, drops only exact twins
+    loose = {r["doc_id"] for r in
+             decontaminate(corpus, bench, shingle_k=13,
+                           max_frac=rep["d2"]["frac"]).collect()}
+    assert loose == {"d2"} | {f"d{i}" for i in range(3, 12)}

@@ -26,6 +26,8 @@ from vldt_spark.functions.dedup import (
     ngram_jaccard_pairs,
     near_dup_clusters,
     dedup_near,
+    contamination_report,
+    decontaminate,
 )
 from vldt_spark.functions.similarity import (
     cosine_topk_bruteforce,
@@ -53,6 +55,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "contamination_report",
+    "decontaminate",
     "cosine_topk_bruteforce",
     "lsh_bucketed_topk",
     "ivf_topk",

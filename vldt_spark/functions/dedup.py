@@ -453,3 +453,84 @@ def ngram_jaccard_pairs(
         )
     )
     return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# -- benchmark decontamination ------------------------------------------------
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    shingle_k: int = 13,
+) -> DataFrame:
+    """Train/test contamination screen (the GPT-3-appendix / standard
+    LLM-pipeline decontamination op): flag corpus documents sharing word
+    ``shingle_k``-grams with a benchmark/eval set.
+
+    Scale shape: the benchmark side (eval sets are MBs, not TBs) reduces
+    to DISTINCT shingles and is BROADCAST — the corpus side is one
+    shingle-explode + broadcast-hash-join + per-doc partial-combined
+    count, so the 100 TB scan shuffles only (doc, n_hits) pairs, never
+    shingle rows. For a benchmark too big to broadcast, drop the
+    broadcast hint and the same plan becomes a shuffle join keyed on the
+    shingle. 13-gram overlap (the GPT-3 choice) is near-certain
+    contamination; lower k for shorter benchmark items.
+
+    Returns (id, n_grams, n_hits, frac) for contaminated docs only
+    (n_hits ≥ 1); frac = contaminated fraction of the doc's distinct
+    shingles.
+    """
+    bt = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(F.col(bt), shingle_k)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    sizes = sh.select(id_col, F.size("shingles").alias("n_grams"))
+    ex = sh.select(id_col, F.explode("shingles").alias("shingle")).where(
+        F.length("shingle") > 0
+    )
+    hits = (
+        ex.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return sizes.join(hits, id_col).select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    shingle_k: int = 13,
+    max_frac: float = 0.0,
+) -> DataFrame:
+    """Drop contaminated documents: anti-join of ``docs`` against the
+    contamination report's ids with frac > ``max_frac`` (default: any
+    overlap removes the doc, the conservative eval-hygiene setting).
+    The flagged-id set is report-cardinality (small), so the anti-join
+    broadcasts — same pattern as dedup_near."""
+    flagged = contamination_report(
+        docs,
+        benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        bench_text_col=bench_text_col,
+        shingle_k=shingle_k,
+    ).where(F.col("frac") > max_frac).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")
