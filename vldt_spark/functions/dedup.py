@@ -472,13 +472,15 @@ def contamination_report(
     ``shingle_k``-grams with a benchmark/eval set.
 
     Scale shape: the benchmark side (eval sets are MBs, not TBs) reduces
-    to DISTINCT shingles and is BROADCAST — the corpus side is one
-    shingle-explode + broadcast-hash-join + per-doc partial-combined
-    count, so the 100 TB scan shuffles only (doc, n_hits) pairs, never
-    shingle rows. For a benchmark too big to broadcast, drop the
-    broadcast hint and the same plan becomes a shuffle join keyed on the
-    shingle. 13-gram overlap (the GPT-3 choice) is near-certain
-    contamination; lower k for shorter benchmark items.
+    to DISTINCT shingles and is BROADCAST — the corpus side is ONE scan:
+    the per-doc shingle count rides along through the explode so no
+    second scan / final re-join on the id is needed, and after the
+    broadcast-hash-join the only shuffle is the per-doc partial-combined
+    count — (doc, n_grams, n_hits) triples, never shingle rows. For a
+    benchmark too big to broadcast, drop the broadcast hint and the same
+    plan becomes a shuffle join keyed on the shingle. 13-gram overlap
+    (the GPT-3 choice) is near-certain contamination; lower k for
+    shorter benchmark items.
 
     Returns (id, n_grams, n_hits, frac) for contaminated docs only
     (n_hits ≥ 1); frac = contaminated fraction of the doc's distinct
@@ -490,23 +492,27 @@ def contamination_report(
         .where(F.length("shingle") > 0)
         .distinct()
     )
-    sh = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    ex = (
+        docs.select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+        )
+        .select(
+            id_col,
+            F.size("shingles").alias("n_grams"),
+            F.explode("shingles").alias("shingle"),
+        )
+        .where(F.length("shingle") > 0)
     )
-    sizes = sh.select(id_col, F.size("shingles").alias("n_grams"))
-    ex = sh.select(id_col, F.explode("shingles").alias("shingle")).where(
-        F.length("shingle") > 0
-    )
-    hits = (
+    return (
         ex.join(F.broadcast(bench_grams), "shingle")
-        .groupBy(id_col)
+        .groupBy(id_col, "n_grams")
         .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return sizes.join(hits, id_col).select(
-        id_col,
-        "n_grams",
-        "n_hits",
-        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("frac"),
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("frac"),
+        )
     )
 
 
