@@ -282,3 +282,38 @@ def test_wasserstein_by_group_magnitude(spark):
     assert out["same"] < 1e-6
     # +30 offset → W1 ≈ 30 (within one 6.5-unit bin of resolution)
     assert 23.0 < out["shifted"] < 37.0
+
+
+def test_embedding_drift_known_values(spark):
+    import math
+
+    from vldt_spark.checks.drift import embedding_drift
+
+    ref = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "id long, embedding array<float>"
+    )  # ref centroid = (1, 0)
+    cur = spark.createDataFrame(
+        [
+            ("aligned", [1.0, 0.0]),
+            ("aligned", [1.0, 0.0]),
+            ("orthogonal", [0.0, 1.0]),
+            ("opposed", [-1.0, 0.0]),
+            ("zero", [1.0, 1.0]),
+            ("zero", [-1.0, -1.0]),  # centroid (0,0) -> cosine undefined
+            ("withnull", [1.0, 0.0]),
+            ("withnull", None),  # null vec drops; n counts the non-null one
+        ],
+        "grp string, embedding array<float>",
+    )
+    rows = {r["grp"]: r for r in embedding_drift(cur, ref, by="grp").collect()}
+    assert rows["aligned"]["n"] == 2
+    assert abs(rows["aligned"]["centroid_cosine"] - 1.0) < 1e-12
+    assert rows["aligned"]["centroid_l2"] == 0.0
+    assert abs(rows["orthogonal"]["centroid_cosine"]) < 1e-12
+    assert abs(rows["orthogonal"]["centroid_l2"] - math.sqrt(2)) < 1e-12
+    assert abs(rows["opposed"]["centroid_cosine"] + 1.0) < 1e-12
+    assert rows["zero"]["centroid_cosine"] is None  # try_divide, no crash
+    assert rows["withnull"]["n"] == 1
+    # ungrouped form: one global row
+    glob = embedding_drift(cur.where(F.col("grp") == "aligned"), ref).collect()
+    assert len(glob) == 1 and abs(glob[0]["centroid_cosine"] - 1.0) < 1e-12

@@ -20,6 +20,7 @@ from vldt_spark.checks.drift import (
     chi2_from_histograms,
     wasserstein_from_histograms,
     wasserstein_by_group,
+    embedding_drift,
     drift_report,
 )
 from vldt_spark.checks.rowinvariant import token_equality_violations
@@ -49,6 +50,7 @@ __all__ = [
     "wasserstein_from_histograms",
     "wasserstein_by_group",
     "drift_report",
+    "embedding_drift",
     "token_equality_violations",
     "schema_conformance",
     "conforms",

@@ -392,3 +392,61 @@ def drift_report(
             {"column": c, "kind": "categorical", "psi": psi(hr, hc), "kl": kl_divergence(hr, hc)}
         )
     return out
+
+
+def embedding_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    by: str | None = None,
+) -> DataFrame:
+    """Embedding-space drift: per-group centroid of ``cur`` vs the global
+    centroid of ``ref`` — cosine similarity and L2 distance between the
+    mean vectors, the standard cheap monitor for "did this source's /
+    this week's embedding distribution move?".
+
+    Scale shape (the point at 10^9+ vectors): posexplode turns each
+    vector into dim (pos, v) rows that are immediately partial-averaged
+    MAP-SIDE, so the only row-scale work is the scan — the first shuffle
+    carries |groups| x dim partial (sum, count) pairs, the reference
+    side reduces to dim rows and broadcasts, and the final per-group
+    combine is another |groups| x dim aggregate. No vector payload is
+    ever shuffled and nothing is driver-side. Null vectors drop at
+    posexplode (reported n counts non-null vectors); mixed-length
+    vectors are the caller's schema bug — positions beyond a short
+    vector simply don't contribute.
+
+    Returns (group?, n, centroid_cosine, centroid_l2); cosine is null
+    for a zero centroid (try_divide semantics).
+    """
+    gcols = [by] if by else []
+    cur_c = (
+        cur.select(*gcols, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(*gcols, "pos")
+        .agg(F.avg("v").alias("c"), F.count("v").alias("n"))
+    )
+    ref_c = (
+        ref.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("r"))
+    )
+    joined = cur_c.join(F.broadcast(ref_c), "pos")
+    return (
+        joined.groupBy(*gcols)
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("c") * F.col("r")).alias("_dot"),
+            F.sum(F.col("c") * F.col("c")).alias("_cc"),
+            F.sum(F.col("r") * F.col("r")).alias("_rr"),
+            F.sum(F.pow(F.col("c") - F.col("r"), F.lit(2))).alias("_sq"),
+        )
+        .select(
+            *gcols,
+            "n",
+            F.try_divide(
+                F.col("_dot"), F.sqrt(F.col("_cc") * F.col("_rr"))
+            ).alias("centroid_cosine"),
+            F.sqrt("_sq").alias("centroid_l2"),
+        )
+    )
