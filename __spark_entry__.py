@@ -1542,14 +1542,15 @@ def q_embedding_drift_by_label(spark, sf_dir):
 # embeddings are fixed dim 64 → static range(1,65) positional unnest
 SQL_EMBEDDING_DRIFT_BY_LABEL = """
 WITH cur AS (
-  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c, count(*) AS n
+  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c,
+         count(embedding[i]) AS n
   FROM embeddings, range(1, 65) t(i)
-  WHERE vec_id % 2 = 1
+  WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
   GROUP BY 1, 2
 ), refc AS (
   SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS r
   FROM embeddings, range(1, 65) t(i)
-  WHERE vec_id % 2 = 0
+  WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
   GROUP BY 1
 )
 SELECT label,
