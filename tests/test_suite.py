@@ -301,3 +301,29 @@ def test_suite_js_and_wasserstein_expectations(spark):
     assert not Suite(
         [expect.wasserstein_below("v", ref, 40.0, bins=10, lo=0.0, hi=100.0)]
     ).passed(empty)
+
+
+def test_suite_centroid_cosine_expectation(spark):
+    """centroid_cosine_above: an aligned batch passes, an orthogonal batch
+    fails with cosine ~0, and empty/zero-centroid inputs fail (NaN) instead
+    of crashing the suite."""
+    ref = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "id long, emb array<float>"
+    )
+    aligned = spark.createDataFrame(
+        [(1, [0.9, 0.0]), (2, [1.1, 0.0])], "id long, emb array<float>"
+    )
+    orthogonal = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, 1.0])], "id long, emb array<float>"
+    )
+    s = Suite([expect.centroid_cosine_above("emb", ref, 0.8)])
+    assert s.passed(aligned)
+    rep = s.run(orthogonal).first()
+    assert rep["passed"] is False and abs(rep["metric"]) < 1e-9
+    # zero centroid → cosine undefined → NaN metric, failed row, no crash
+    zero = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [-1.0, -1.0])], "id long, emb array<float>"
+    )
+    zrep = s.run(zero).first()
+    assert zrep["passed"] is False and zrep["metric"] != zrep["metric"]
+    assert not s.passed(ref.where(F.lit(False)))

@@ -245,6 +245,20 @@ class expect:
             {"ref": ref_df, "threshold": threshold, "bins": bins, "lo": lo, "hi": hi},
         )
 
+    @staticmethod
+    def centroid_cosine_above(
+        column: str, ref_df: DataFrame, threshold: float
+    ) -> Expectation:
+        """Embedding-space drift guard: cosine between the table's mean
+        vector (``column`` is an array<float> embedding) and the
+        reference frame's must stay ABOVE the threshold (1.0 = no
+        movement). Runs as ``embedding_drift``'s dim-cardinality
+        aggregates — no vector ever shuffles. Fails (metric NaN) on an
+        empty table or a zero centroid, where cosine is undefined."""
+        return Expectation(
+            "centroid_cosine_above", column, {"ref": ref_df, "threshold": threshold}
+        )
+
 
 _ROW_LOCAL = {
     "not_null",
@@ -508,6 +522,19 @@ class Suite:
                     # same convention as the quantile/ref-range guards above
                     metric = float("nan")
                 passed = metric == metric and metric < thr  # NaN-safe
+        elif e.kind == "centroid_cosine_above":
+            from vldt_spark.checks.drift import embedding_drift
+
+            thr = float(p["threshold"])
+            row = embedding_drift(df, p["ref"], vec_col=e.column).first()
+            cos = row["centroid_cosine"] if row is not None else None
+            if cos is None:
+                # empty table / all-null vectors / zero centroid: cosine is
+                # undefined — report a failed expectation, never float(None)
+                metric, passed = float("nan"), False
+            else:
+                metric = float(cos)
+                passed = metric > thr
         else:  # pragma: no cover
             raise ValueError(f"unknown expectation kind {e.kind}")
         return spark.createDataFrame(
