@@ -84,7 +84,11 @@ def main(argv: list[str] | None = None) -> int:
             ).partitionBy(args.partition_col).parquet(inp)
         df = spark.read.parquet(inp)
     else:
-        df = spark.read.parquet(args.input)
+        # path → parquet; dotted name → catalog table (Iceberg on clusters
+        # with the runtime jars, metastore/temp view otherwise)
+        from vldt_spark.sources.catalog import resolve_table
+
+        df = resolve_table(spark, args.input)
     dims = {
         "sources": spark.read.parquet(args.sources) if args.sources else sources_dim(spark)
     }

@@ -8,6 +8,11 @@ from vldt_spark.sources.token_table import (
     sources_dim,
 )
 from vldt_spark.sources.readers import read_table, read_json_validated
+from vldt_spark.sources.catalog import (
+    iceberg_conf,
+    iceberg_available,
+    resolve_table,
+)
 
 __all__ = [
     "token_sequences",
@@ -16,4 +21,7 @@ __all__ = [
     "sources_dim",
     "read_table",
     "read_json_validated",
+    "iceberg_conf",
+    "iceberg_available",
+    "resolve_table",
 ]
