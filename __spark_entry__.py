@@ -2932,6 +2932,78 @@ def q_streaming_psi_by_type(spark, sf_dir):
     )
 
 
+def q_streaming_centroid_drift(spark, sf_dir):
+    """Per-window embedding-centroid drift (streaming twin of
+    embedding_drift): vectors stream with a vec_id-derived event time
+    (30 daily windows), the chained windowed aggregation folds each
+    window's posexploded (sum, count) state against the even-vec_id
+    half's literal reference centroid. Sentinel row advances the
+    watermark past every real window; the oracle recomputes each day's
+    cosine/L2 from the same sums in SQL."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.streaming.drift_stream import stream_centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = 1767225600  # 2026-01-01 UTC
+    data = emb.select(
+        F.timestamp_seconds(F.lit(base) + (F.col("vec_id") % 30) * 86400).alias("ts"),
+        "embedding",
+    )
+    root = tempfile.mkdtemp(prefix="vldt_stream_cent_")
+    data.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    sentinel = emb.limit(1).select(
+        F.timestamp_seconds(F.lit(base + 120 * 86400)).alias("ts"), "embedding"
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    out = stream_centroid_drift(
+        stream, ref, "embedding", "ts", window="1 day", watermark="1 hour"
+    )
+    name = f"vldt_stream_cent_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "n_rows",
+        F.round("centroid_cosine", 6).alias("centroid_cosine"),
+        F.round("centroid_l2", 6).alias("centroid_l2"),
+    )
+
+
+SQL_STREAMING_CENTROID_DRIFT = """
+WITH refc AS (
+  SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS r
+  FROM embeddings, range(1, 65) t(i)
+  WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+  GROUP BY 1
+), cur AS (
+  SELECT 1767225600 + (vec_id % 30) * 86400 AS window_epoch, i,
+         sum(CAST(embedding[i] AS DOUBLE)) AS s,
+         count(embedding[i]) AS c
+  FROM embeddings, range(1, 65) t(i)
+  WHERE embedding IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT window_epoch,
+       CAST(max(c) AS BIGINT) AS n_rows,
+       round(sum(s * r) / sqrt(sum(s * s) * sum(r * r)), 6) AS centroid_cosine,
+       round(sqrt(sum(pow(s / c - r, 2))), 6) AS centroid_l2
+FROM cur JOIN refc USING (i)
+GROUP BY window_epoch
+"""
+
+
 SQL_STREAMING_PSI_BY_TYPE = """
 WITH ref AS (
   SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin, count(*) AS n
@@ -3008,7 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries, so positions 1-50 carry (a) the 15 queries the
     round-2 report never witnessed (streaming, ANN, json/timestamp,
     rolling_fp, multimodal — judge-replica-verified but driver-unseen),
-    (b) this round's 14 new queries, and (c) every query whose underlying
+    (b) this round's 15 new queries, and (c) every query whose underlying
     code changed this round (engine annotate/union coercion, suite,
     dedup, drift helpers). The tail holds the 29 queries that have been
     driver-green in previous rounds with untouched code (plus the two
@@ -3047,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report_documents": q_contamination_report_documents,
         "decontaminated_documents": q_decontaminated_documents,
         "embedding_drift_by_label": q_embedding_drift_by_label,
+        "streaming_centroid_drift": q_streaming_centroid_drift,
         # -- tier 3: code under them changed this round --------------------
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "validate_lineitem_violations": q_validate_lineitem_violations,
@@ -3185,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_suite_events": SQL_STREAMING_SUITE_EVENTS,
         "streaming_drift_psi": SQL_STREAMING_DRIFT_PSI,
         "streaming_psi_by_type": SQL_STREAMING_PSI_BY_TYPE,
+        "streaming_centroid_drift": SQL_STREAMING_CENTROID_DRIFT,
         "streaming_dup_doc_ids": SQL_STREAMING_DUP_DOC_IDS,
         # minhash/simhash/LSH rely on xxhash64 (absent in DuckDB) → rows-only
     }

@@ -304,3 +304,55 @@ def test_ledger_concurrent_equals_serial(spark, tmp_path):
     assert key(m_serial) == key(m_conc)
     # resume: nothing left to do on a second concurrent run
     assert l2.run(df, Row, id_cols=["rid"], concurrency=3) == {}
+
+
+def test_stream_centroid_drift_matches_batch(spark, tmp_path):
+    """Per-window streaming centroid drift: an aligned day matches the
+    reference (cosine 1, L2 0), a rotated day reads orthogonal — and both
+    windows' numbers equal the batch embedding_drift on the same slice."""
+    from vldt_spark.checks.drift import embedding_drift
+    from vldt_spark.streaming.drift_stream import stream_centroid_drift
+
+    src = str(tmp_path / "cent_src")
+    day1 = spark.range(40).select(
+        F.lit("2026-01-01 10:00:00").cast("timestamp").alias("ts"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("emb"),
+    )
+    day2 = spark.range(40).select(
+        F.lit("2026-01-02 10:00:00").cast("timestamp").alias("ts"),
+        F.array(F.lit(0.0), F.lit(2.0), F.lit(0.0)).cast("array<float>").alias("emb"),
+    )
+    day1.unionByName(day2).coalesce(2).write.parquet(src)
+    ref = spark.range(10).select(
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("emb")
+    )
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = stream_centroid_drift(stream, ref, "emb", "ts", window="1 day")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_cent_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.range(1).select(
+        F.lit("2026-01-06 10:00:00").cast("timestamp").alias("ts"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("emb"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        str(r["window_start"])[:10]: r
+        for r in spark.table("t_cent_stream").collect()
+    }
+    assert rows["2026-01-01"]["n_rows"] == 40
+    assert abs(rows["2026-01-01"]["centroid_cosine"] - 1.0) < 1e-9
+    assert rows["2026-01-01"]["centroid_l2"] < 1e-9
+    assert abs(rows["2026-01-02"]["centroid_cosine"]) < 1e-9
+    # batch twin agrees on the drifted slice: centroid (0,2,0) vs ref (1,0,0)
+    b = embedding_drift(day2.select("emb"), ref, vec_col="emb").first()
+    assert abs(rows["2026-01-02"]["centroid_l2"] - b["centroid_l2"]) < 1e-9
+    assert abs(b["centroid_l2"] - (5.0 ** 0.5)) < 1e-6

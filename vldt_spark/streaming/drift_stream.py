@@ -205,3 +205,98 @@ def run_drift_monitor(
     )
     q.processAllAvailable()
     return q
+
+
+def _ref_centroid(ref: DataFrame, vec_col: str) -> dict[int, float]:
+    """Static reference frame → per-position centroid means embedded as
+    driver-side literals (dim-bounded, same rationale as ``_ref_probs``:
+    the reference never changes mid-stream and a stream-static join after
+    the chained aggregation is forbidden anyway)."""
+    rows = (
+        ref.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("r"))
+        .collect()
+    )
+    return {int(r["pos"]): float(r["r"]) for r in rows}
+
+
+def stream_centroid_drift(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    vec_col: str,
+    ts_col: str,
+    *,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-window embedding-centroid drift — the streaming twin of
+    ``checks.drift.embedding_drift``: cosine + L2 between each event-time
+    window's mean vector and the static reference frame's centroid.
+
+    Same chained-aggregation design as ``stream_psi``: posexplode fans
+    each vector into dim (pos, v) rows that the first stateful agg
+    partial-combines into per-(window, pos) (sum, count) — state
+    |windows in flight| x dim — and the second chained agg folds each
+    window's dim entries into one row. The cosine uses the SUM vector
+    (the count scales out of cosine algebraically); L2 divides per
+    position by that position's own count, so vectors with null elements
+    stay consistent with the batch check. Returns a streaming frame
+    (window_start, window_end, n_rows, centroid_cosine, centroid_l2);
+    append mode — rows emit when the watermark closes a window. Cosine
+    is null for a zero window-centroid (try_divide semantics).
+    """
+    rc = _ref_centroid(ref, vec_col)
+    dim = (max(rc) + 1) if rc else 0
+    rr = sum(v * v for v in rc.values())
+
+    exploded = (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(vec_col).isNotNull())
+        .select(F.col(ts_col), F.posexplode(vec_col).alias("pos", "v"))
+    )
+    win_sums = exploded.groupBy(F.window(F.col(ts_col), window), F.col("pos")).agg(
+        F.sum("v").alias("s"), F.count("v").alias("c")
+    )
+    per_win = win_sums.groupBy(
+        F.window(F.window_time(F.col("window")), window).alias("window")
+    ).agg(
+        F.max("c").alias("n_rows"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("pos"), F.struct(F.col("s"), F.col("c"))))
+        ).alias("m"),
+    )
+
+    def s_at(i: int) -> Column:
+        return F.coalesce(F.col("m").getItem(i).getField("s"), F.lit(0.0))
+
+    def mean_at(i: int) -> Column:
+        # per-position count: consistent with embedding_drift under null
+        # vector elements; try_divide keeps a missing position null-safe
+        return F.coalesce(
+            F.try_divide(
+                F.col("m").getItem(i).getField("s"),
+                F.col("m").getItem(i).getField("c").cast("double"),
+            ),
+            F.lit(0.0),
+        )
+
+    def fold(terms: list[Column]) -> Column:
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        return expr
+
+    dot = fold([s_at(i) * F.lit(rc.get(i, 0.0)) for i in range(dim)])
+    ss = fold([s_at(i) * s_at(i) for i in range(dim)])
+    sq = fold(
+        [F.pow(mean_at(i) - F.lit(rc.get(i, 0.0)), F.lit(2)) for i in range(dim)]
+    )
+    return per_win.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_rows",
+        F.try_divide(dot, F.sqrt(ss * F.lit(rr))).alias("centroid_cosine"),
+        F.sqrt(sq).alias("centroid_l2"),
+    )
