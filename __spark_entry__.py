@@ -1670,6 +1670,66 @@ def q_decontaminated_documents(spark, sf_dir):
     return decontaminate(docs, bench, shingle_k=13).select("doc_id", "n_chars")
 
 
+def q_split_counts_documents(spark, sf_dir):
+    """Deterministic train/val/test split sizes (portable md5 hash so the
+    per-row threshold decision is reproduced exactly in SQL)."""
+    from vldt_spark.functions.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="md5"
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_SPLIT_COUNTS_DOCUMENTS = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+         % 1000000 AS hv
+  FROM documents
+)
+SELECT CASE WHEN hv < 800000 THEN 'train'
+            WHEN hv < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n
+FROM h GROUP BY 1
+"""
+
+
+def q_chunk_layout_documents(spark, sf_dir):
+    """Concat-then-chunk packing placement over the corpus (n_chars as the
+    length): every doc's bucket, stream offset and pack span, value-checked
+    against the identical window cumsum in SQL (portable md5 bucket/order
+    hash)."""
+    from vldt_spark.functions.packing import chunk_layout
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_layout(
+        docs, len_col="n_chars", max_tokens=1000, buckets=8, hash_fn="md5"
+    )
+
+
+SQL_CHUNK_LAYOUT_DOCUMENTS = """
+WITH h AS (
+  SELECT doc_id, n_chars AS len,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT) AS hv
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), c AS (
+  SELECT doc_id, CAST(hv % 8 AS INT) AS bucket,
+         CAST(sum(len) OVER (PARTITION BY hv % 8 ORDER BY hv % 1000000007, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - len AS BIGINT) AS stream_offset,
+         len
+  FROM h
+)
+SELECT doc_id, bucket, stream_offset,
+       CAST(floor(stream_offset / 1000.0) AS BIGINT) AS pack_first,
+       CAST(floor((stream_offset + len - 1) / 1000.0) AS BIGINT) AS pack_last,
+       stream_offset % 1000 AS offset_in_pack
+FROM c
+"""
+
+
 def q_rolling_fp_documents(spark, sf_dir):
     """Winnowing fingerprints (rolling polynomial hash over char k-grams,
     window minima): per-doc set summary, integer-exact in both engines."""
@@ -3080,7 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries, so positions 1-50 carry (a) the 15 queries the
     round-2 report never witnessed (streaming, ANN, json/timestamp,
     rolling_fp, multimodal — judge-replica-verified but driver-unseen),
-    (b) this round's 15 new queries, and (c) every query whose underlying
+    (b) this round's 17 new queries, and (c) every query whose underlying
     code changed this round (engine annotate/union coercion, suite,
     dedup, drift helpers). The tail holds the 29 queries that have been
     driver-green in previous rounds with untouched code (plus the two
@@ -3120,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_documents": q_decontaminated_documents,
         "embedding_drift_by_label": q_embedding_drift_by_label,
         "streaming_centroid_drift": q_streaming_centroid_drift,
+        "split_counts_documents": q_split_counts_documents,
+        "chunk_layout_documents": q_chunk_layout_documents,
         # -- tier 3: code under them changed this round --------------------
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "validate_lineitem_violations": q_validate_lineitem_violations,
@@ -3191,6 +3253,8 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_events_value": SQL_WASSERSTEIN_EVENTS_VALUE,
         "wasserstein_by_event_type": SQL_WASSERSTEIN_BY_EVENT_TYPE,
         "embedding_drift_by_label": SQL_EMBEDDING_DRIFT_BY_LABEL,
+        "split_counts_documents": SQL_SPLIT_COUNTS_DOCUMENTS,
+        "chunk_layout_documents": SQL_CHUNK_LAYOUT_DOCUMENTS,
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,

@@ -342,3 +342,62 @@ def test_contamination_report_and_decontaminate(spark, corpus):
              decontaminate(corpus, bench, shingle_k=13,
                            max_frac=rep["d2"]["frac"]).collect()}
     assert loose == {"d2"} | {f"d{i}" for i in range(3, 12)}
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from vldt_spark.functions.sampling import split_assign
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    out = split_assign(df, "k", {"train": 0.5, "val": 0.25, "test": 0.25})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000  # every row assigned
+    assert abs(counts["train"] - 2000) < 150
+    assert abs(counts["val"] - 1000) < 120 and abs(counts["test"] - 1000) < 120
+    # partition-invariant: identical assignment after a repartition
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in split_assign(df.repartition(13), "k", {"train": 0.5, "val": 0.25, "test": 0.25}).collect()
+    }
+    assert a == b
+    # degenerate single-split contract
+    one = split_assign(df, "k", {"all": 1.0})
+    assert one.where(F.col("split") != "all").count() == 0
+
+
+def test_chunk_layout_invariants(spark):
+    from vldt_spark.functions.packing import chunk_layout
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"), ((F.col("id") % 37) + 1).alias("n_tok")
+    )
+    lay = chunk_layout(
+        docs, max_tokens=100, buckets=4, hash_fn="md5"
+    ).collect()
+    assert len(lay) == 300
+    by_bucket = {}
+    for r in lay:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    lens = {r["doc_id"]: (r["doc_id"] % 37) + 1 for r in lay}
+    for bucket, rows in by_bucket.items():
+        rows = sorted(rows, key=lambda r: r["stream_offset"])
+        # offsets form an exact gapless concatenation of the bucket stream
+        cum = 0
+        for r in rows:
+            assert r["stream_offset"] == cum
+            assert r["offset_in_pack"] == cum % 100
+            assert r["pack_first"] == cum // 100
+            assert r["pack_last"] == (cum + lens[r["doc_id"]] - 1) // 100
+            assert r["pack_first"] <= r["pack_last"]
+            cum += lens[r["doc_id"]]
+    # deterministic under repartitioning (retry/cluster-size invariance)
+    again = chunk_layout(
+        docs.repartition(17), max_tokens=100, buckets=4, hash_fn="md5"
+    ).collect()
+    assert sorted(map(tuple, lay)) == sorted(map(tuple, again))
+    # zero/null lengths are excluded, not misplaced
+    bad = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 5)], "doc_id long, n_tok int"
+    )
+    kept = chunk_layout(bad, max_tokens=10, buckets=1).collect()
+    assert [r["doc_id"] for r in kept] == [3]

@@ -36,7 +36,12 @@ from vldt_spark.functions.similarity import (
     kmeans_centroids,
     embedding_near_duplicates,
 )
-from vldt_spark.functions.sampling import deterministic_sample, stratified_cap
+from vldt_spark.functions.sampling import (
+    deterministic_sample,
+    stratified_cap,
+    split_assign,
+)
+from vldt_spark.functions.packing import chunk_layout
 from vldt_spark.functions.multimodal import (
     extract_features,
     parse_media_headers,
@@ -55,6 +60,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "chunk_layout",
+    "split_assign",
     "contamination_report",
     "decontaminate",
     "cosine_topk_bruteforce",

@@ -61,3 +61,31 @@ def stratified_cap(
         .where(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column chosen
+    by the row's key hash against cumulative weight thresholds, so every
+    row lands in the same split on any cluster, any retry, any
+    partitioning — and membership is reproducible from the key alone (no
+    stored split table needed). One projection, no shuffle; weights are
+    normalized, declaration order fixes the threshold order."""
+    m = 1_000_000
+    tot = float(sum(weights.values()))
+    h = F.pmod(_hash64(F.col(key_col).cast("string"), seed, hash_fn), F.lit(m))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / tot
+        cond = h < int(round(cum * m))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))
