@@ -126,6 +126,9 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "text_quality_documents",
         "knn_cosine_embeddings",
         "embedding_near_dups",
+        "contamination_report_documents",
+        "chunk_layout_documents",
+        "embedding_drift_by_label",
     ]
     for name in headline:
         fn = qs[name]
