@@ -8,12 +8,19 @@ runs them:
   3. near dedup    — MinHash-LSH candidate pairs → connected components →
                      keep one representative per cluster
   4. quality gate  — drop documents under the quality threshold
-  5. domain cap    — deterministic per-source cap (hash-ranked)
-  6. write         — surviving corpus + a one-row funnel report
+  5. decontaminate — drop documents sharing 13-grams with an eval set
+                     (only when --benchmark is given)
+  6. domain cap    — deterministic per-source cap (hash-ranked)
+  7. split         — hash-threshold train/val/test assignment
+  8. write         — surviving corpus (+ split column), the packing
+                     layout (concat-then-chunk placement at
+                     --pack-tokens), and the funnel report
 
     spark-submit --py-files vldt_spark.zip jobs/build_corpus.py \\
         --input <documents parquet> --output <corpus root> \\
-        [--quality 0.4] [--cap-per-source 100000] [--jaccard 0.5]
+        [--quality 0.4] [--cap-per-source 100000] [--jaccard 0.5] \\
+        [--benchmark <eval parquet>] [--splits train=0.98,val=0.01,test=0.01] \\
+        [--pack-tokens 2048]
 
 Every stage is deterministic (hash-keyed, no RNG), so a re-run over the
 same input reproduces the same corpus byte-for-byte — the property that
@@ -37,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--quality", type=float, default=0.4)
     ap.add_argument("--cap-per-source", type=int, default=100_000)
     ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--benchmark", help="eval-set parquet (text col) to decontaminate against")
+    ap.add_argument("--splits", default="train=0.98,val=0.01,test=0.01")
+    ap.add_argument("--pack-tokens", type=int, default=2048,
+                    help="packing chunk size; 0 skips the layout stage")
     ap.add_argument("--master", default=os.environ.get("VLDT_MASTER"))
     args = ap.parse_args(argv)
 
@@ -105,13 +116,64 @@ def main(argv: list[str] | None = None) -> int:
     kept = materialize(scored.where(F.col("quality") >= args.quality), "quality")
     n_quality = kept.count()
 
-    # 5. per-domain cap
+    # 5. eval-set decontamination (optional; the anti-join's flagged-id
+    # set is report-cardinality, so this adds one scan, no new shuffle
+    # class — see functions/dedup.contamination_report)
+    n_decontaminated = None
+    if args.benchmark:
+        from vldt_spark.functions.dedup import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        kept = materialize(
+            decontaminate(kept, bench, shingle_k=13), "decontaminated"
+        )
+        n_decontaminated = kept.count()
+
+    # 6. per-domain cap
     capped = stratified_cap(kept, "source", args.cap_per_source, "doc_id")
 
-    # 6. write corpus + funnel report
+    # 7. deterministic split assignment (reproducible from doc_id alone)
+    from vldt_spark.functions.sampling import split_assign
+
+    weights = {}
+    for part in args.splits.split(","):
+        name, w = part.split("=")
+        weights[name.strip()] = float(w)
+    capped = split_assign(capped, "doc_id", weights)
+
+    # 8. write corpus + packing layout + funnel report
     out = os.path.join(args.output, "corpus")
     capped.write.mode("overwrite").partitionBy("source").parquet(out)
-    n_final = spark.read.parquet(out).count()
+    corpus = spark.read.parquet(out)
+    n_final = corpus.count()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in corpus.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    n_packs = None
+    if args.pack_tokens:
+        from vldt_spark.functions.packing import chunk_layout
+
+        layout = materialize(
+            chunk_layout(
+                corpus.where(F.col("split") == "train").withColumn(
+                    "n_chars_", F.length("text")
+                ),
+                len_col="n_chars_",
+                max_tokens=args.pack_tokens,
+                buckets=64,
+            ),
+            "layout",
+        )
+        # packs per bucket = ceil(stream length / chunk); exact from the
+        # layout's per-bucket maxima — no token stream is materialized
+        n_packs = (
+            layout.groupBy("bucket")
+            .agg(F.max(F.col("pack_last")).alias("last"))
+            .agg(F.coalesce(F.sum(F.col("last") + 1), F.lit(0)).alias("n"))
+            .first()["n"]
+        )
 
     report = {
         "n_input": n_input,
@@ -120,7 +182,10 @@ def main(argv: list[str] | None = None) -> int:
         "n_after_exact_dedup": n_exact,
         "n_after_near_dedup": n_near,
         "n_after_quality": n_quality,
+        "n_after_decontamination": n_decontaminated,
         "n_final": n_final,
+        "split_counts": split_counts,
+        "n_train_packs": int(n_packs) if n_packs is not None else None,
     }
     with open(os.path.join(args.output, "funnel.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -203,6 +203,42 @@ def test_build_corpus_pipeline(spark, tmp_path):
         p = _os.path.join(out, "stages", stage)
         assert _os.path.isdir(p), p
         assert spark.read.parquet(p).count() == rep[key]
+    # every surviving row got a split; packing layout covers the train split
+    corpus = spark.read.parquet(out + "/corpus")
+    assert corpus.where(F.col("split").isNull()).count() == 0
+    assert rep["n_final"] == sum(rep["split_counts"].values())
+    n_train = rep["split_counts"].get("train", 0)
+    layout = spark.read.parquet(out + "/stages/layout")
+    assert layout.count() == n_train  # one placement row per train doc
+    assert rep["n_train_packs"] >= 1
+
+
+def test_build_corpus_decontaminates_against_benchmark(spark, tmp_path):
+    """--benchmark drops every doc sharing a 13-gram with the eval set —
+    including the benchmark docs themselves when they appear verbatim."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_corpus import main as corpus_main
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs")
+    base.write.parquet(src)
+    bench_dir = str(tmp_path / "bench")
+    base.where(F.col("doc_id") % 41 == 0).select("text").write.parquet(bench_dir)
+    out = str(tmp_path / "corpus_dec")
+    assert corpus_main([
+        "--input", src, "--output", out, "--quality", "0.0",
+        "--cap-per-source", "10000", "--benchmark", bench_dir,
+        "--pack-tokens", "0",
+    ]) == 0
+    rep = json.load(open(out + "/funnel.json"))
+    assert rep["n_after_decontamination"] < rep["n_after_quality"]
+    assert rep["n_train_packs"] is None  # --pack-tokens 0 skips the stage
+    # no surviving doc is one of the benchmark ids
+    survivors = {r["doc_id"] for r in spark.read.parquet(out + "/corpus").collect()}
+    assert not any(d % 41 == 0 for d in survivors)
 
 
 def test_submit_validation_job_resumes(spark, tmp_path, capsys):
