@@ -318,3 +318,29 @@ def test_suite_ks_and_psi_below_all_null_current(spark):
         expect.psi_below("v", ref, 0.1, bins=5),
     ]).run(cur).collect()
     assert len(rep) == 2 and all(r["passed"] is False for r in rep)
+
+
+def test_new_ops_reject_degenerate_params(spark):
+    """Guard-rail contracts: loud ValueErrors instead of opaque executor
+    failures for empty/invalid configurations."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vldt_spark.functions.packing import chunk_layout
+    from vldt_spark.functions.sampling import split_assign
+    from vldt_spark.streaming.drift_stream import stream_centroid_drift
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id").withColumn(
+        "n_tok", F.lit(5)
+    )
+    with pytest.raises(ValueError, match="at least one split"):
+        split_assign(df, "doc_id", {})
+    with pytest.raises(ValueError, match="positive sum"):
+        split_assign(df, "doc_id", {"a": 0.0, "b": 0.0})
+    with pytest.raises(ValueError, match="must be >= 1"):
+        chunk_layout(df, max_tokens=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        chunk_layout(df, buckets=0)
+    empty_ref = spark.createDataFrame([], "emb array<float>")
+    with pytest.raises(ValueError, match="no non-null"):
+        stream_centroid_drift(df.withColumn("emb", F.lit(None).cast("array<float>")).withColumn("ts", F.current_timestamp()), empty_ref, "emb", "ts")

@@ -49,6 +49,11 @@ def chunk_layout(
     the layout survives retries and repartitioning. ``hash_fn="md5"``
     uses the portable hash so the whole layout is value-checkable
     against an ANSI-SQL window oracle."""
+    if max_tokens < 1 or buckets < 1:
+        raise ValueError(
+            f"chunk_layout: max_tokens and buckets must be >= 1, got "
+            f"max_tokens={max_tokens}, buckets={buckets}"
+        )
     h = _hash64(F.col(id_col).cast("string"), seed, hash_fn)
     base = (
         docs.where(F.col(len_col).isNotNull() & (F.col(len_col) > 0))

@@ -77,8 +77,12 @@ def split_assign(
     partitioning — and membership is reproducible from the key alone (no
     stored split table needed). One projection, no shuffle; weights are
     normalized, declaration order fixes the threshold order."""
-    m = 1_000_000
+    if not weights:
+        raise ValueError("split_assign: weights must name at least one split")
     tot = float(sum(weights.values()))
+    if tot <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(f"split_assign: weights must be non-negative with a positive sum, got {weights}")
+    m = 1_000_000
     h = F.pmod(_hash64(F.col(key_col).cast("string"), seed, hash_fn), F.lit(m))
     expr = None
     cum = 0.0

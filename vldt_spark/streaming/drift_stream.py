@@ -248,7 +248,13 @@ def stream_centroid_drift(
     is null for a zero window-centroid (try_divide semantics).
     """
     rc = _ref_centroid(ref, vec_col)
-    dim = (max(rc) + 1) if rc else 0
+    if not rc:
+        raise ValueError(
+            "stream_centroid_drift: reference frame has no non-null "
+            f"vectors in column {vec_col!r} — no centroid exists to "
+            "monitor against"
+        )
+    dim = max(rc) + 1
     rr = sum(v * v for v in rc.values())
 
     exploded = (
