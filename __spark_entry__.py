@@ -1730,6 +1730,154 @@ FROM c
 """
 
 
+def _dirty_paragraph_docs(spark, sf_dir):
+    """Dirty fixture for paragraph dedup: the corpus has no newlines, so
+    inject shared boilerplate paragraphs on known key classes (same
+    construction on the SQL side) — doc_id%5 gets a newsletter banner,
+    doc_id%7 gets a two-paragraph footer, with a case-variant so the
+    lower/trim normalization is exercised."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\nSubscribe To Our Newsletter")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nall rights reserved\n  SUBSCRIBE to our newsletter  "),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_paragraph_dedup_documents(spark, sf_dir):
+    """CCNet-style boilerplate removal: paragraphs appearing in >= 2
+    distinct docs (after lower/trim normalization) are dropped from every
+    doc; cleaned text, paragraph counts and removal counts are
+    value-checked per doc. Note the %5 banner and the %7 footer's second
+    paragraph normalize to DIFFERENT strings ('subscribe to our
+    newsletter' vs 'subscribe to our newsletter' — identical), so the
+    case-variant collapses into one boilerplate class."""
+    from vldt_spark.functions.dedup import paragraph_dedup
+
+    return paragraph_dedup(_dirty_paragraph_docs(spark, sf_dir), hash_fn="md5")
+
+
+SQL_PARAGRAPH_DEDUP_DOCUMENTS = """
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'Subscribe To Our Newsletter' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'all rights reserved'
+                      || chr(10) || '  SUBSCRIBE to our newsletter  '
+                 ELSE '' END AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos,
+         unnest(arr) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM dirty)
+), hashed AS (
+  SELECT doc_id, pos, para,
+         CAST(('0x' || substr(md5(lower(trim(para)) || '#0'), 1, 15)) AS BIGINT) AS ph
+  FROM paras
+), boiler AS (
+  SELECT ph FROM (SELECT ph, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY ph)
+  WHERE nd >= 2
+), marked AS (
+  SELECT doc_id, pos, para, ph IN (SELECT ph FROM boiler) AS rm FROM hashed
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_paragraph_first_documents(spark, sf_dir):
+    """Exact paragraph dedup, keep-global-first mode (CCNet): only the
+    (doc_id, pos)-minimal occurrence of each normalized paragraph
+    survives; value-checked against the SQL window rank."""
+    from vldt_spark.functions.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        _dirty_paragraph_docs(spark, sf_dir), mode="first", hash_fn="md5"
+    )
+
+
+SQL_PARAGRAPH_FIRST_DOCUMENTS = """
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'Subscribe To Our Newsletter' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'all rights reserved'
+                      || chr(10) || '  SUBSCRIBE to our newsletter  '
+                 ELSE '' END AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos,
+         unnest(arr) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM dirty)
+), hashed AS (
+  SELECT doc_id, pos, para,
+         CAST(('0x' || substr(md5(lower(trim(para)) || '#0'), 1, 15)) AS BIGINT) AS ph
+  FROM paras
+), marked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) > 1 AS rm
+  FROM hashed
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_temperature_sample_documents(spark, sf_dir):
+    """Temperature-weighted mixture sampling (mC4/XLM-R recipe) at
+    tau=0.5, target 50% of the corpus: per-source acceptance rates from
+    the n_s^tau mixture, row membership by portable md5 hash threshold —
+    the exact surviving (doc_id, source) set is value-checked."""
+    from vldt_spark.functions.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(
+        docs,
+        "source",
+        "doc_id",
+        temperature=0.5,
+        target_fraction=0.5,
+        hash_fn="md5",
+    )
+
+
+SQL_TEMPERATURE_SAMPLE_DOCUMENTS = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+), t AS (
+  SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS z FROM c
+), r AS (
+  SELECT source,
+         CAST(floor(least(1.0, 0.5 * tot * pow(n, 0.5) / z / n) * 1000000) AS BIGINT) AS thr
+  FROM c, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+      % 1000000 < thr
+"""
+
+
 def q_rolling_fp_documents(spark, sf_dir):
     """Winnowing fingerprints (rolling polynomial hash over char k-grams,
     window minima): per-doc set summary, integer-exact in both engines."""
@@ -3182,6 +3330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_centroid_drift": q_streaming_centroid_drift,
         "split_counts_documents": q_split_counts_documents,
         "chunk_layout_documents": q_chunk_layout_documents,
+        "paragraph_dedup_documents": q_paragraph_dedup_documents,
+        "paragraph_first_documents": q_paragraph_first_documents,
+        "temperature_sample_documents": q_temperature_sample_documents,
         # -- tier 3: code under them changed this round --------------------
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "validate_lineitem_violations": q_validate_lineitem_violations,
@@ -3200,13 +3351,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "minhash_portable_signatures": q_minhash_portable_signatures,
-        "minhash_portable_pairs": q_minhash_portable_pairs,
-        "simhash_portable_documents": q_simhash_portable_documents,
-        "simhash_portable_pairs": q_simhash_portable_pairs,
         # ---- position 50 ends here --------------------------------------
         # -- tail: driver-green before, code untouched this round (plus the
         #    two xxhash64 rows-only structural checks, whose md5-portable
-        #    twins are value-checked inside the window) -------------------
+        #    twins are value-checked inside the window). The three
+        #    paragraph/temperature queries displaced minhash_portable_pairs
+        #    and the simhash_portable twins: those share _hash64/shingle
+        #    plumbing with minhash_portable_signatures (still in-window)
+        #    and were driver-green in r02 with that plumbing untouched. ---
+        "minhash_portable_pairs": q_minhash_portable_pairs,
+        "simhash_portable_documents": q_simhash_portable_documents,
+        "simhash_portable_pairs": q_simhash_portable_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3255,6 +3410,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift_by_label": SQL_EMBEDDING_DRIFT_BY_LABEL,
         "split_counts_documents": SQL_SPLIT_COUNTS_DOCUMENTS,
         "chunk_layout_documents": SQL_CHUNK_LAYOUT_DOCUMENTS,
+        "paragraph_dedup_documents": SQL_PARAGRAPH_DEDUP_DOCUMENTS,
+        "paragraph_first_documents": SQL_PARAGRAPH_FIRST_DOCUMENTS,
+        "temperature_sample_documents": SQL_TEMPERATURE_SAMPLE_DOCUMENTS,
         "colstats_lineitem": SQL_COLSTATS_LINEITEM,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "colstats_by_event_type": SQL_COLSTATS_BY_EVENT_TYPE,

@@ -1,0 +1,130 @@
+"""Paragraph-granularity dedup and temperature-weighted mixture sampling.
+
+Covers the two corpus-construction operators added late in round 3:
+CCNet-style paragraph boilerplate removal / first-occurrence dedup
+(functions/dedup.paragraph_dedup) and the mC4/XLM-R temperature mixture
+filter (functions/sampling.temperature_sample).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vldt_spark.functions.dedup import paragraph_dedup
+from vldt_spark.functions.sampling import deterministic_sample, temperature_sample
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha one\nSubscribe Now\nalpha two"),
+        (2, "beta one\nsubscribe now "),  # case/trim-variant of the banner
+        (3, "gamma solo"),
+        (4, "SUBSCRIBE NOW\ndelta tail"),
+        (5, "Subscribe Now"),  # entirely boilerplate
+        (6, "epsilon a\nepsilon b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_paragraph_boilerplate_removed_order_preserved(spark):
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(_docs(spark), min_docs=3).collect()
+    }
+    assert len(out) == 6  # every doc survives, even the all-boiler one
+    assert out[1]["text"] == "alpha one\nalpha two"
+    assert out[1]["n_paras"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "beta one"
+    assert out[3]["text"] == "gamma solo" and out[3]["n_removed"] == 0
+    assert out[4]["text"] == "delta tail"
+    assert out[5]["text"] == "" and out[5]["n_removed"] == 1
+    assert out[6]["text"] == "epsilon a\nepsilon b"
+
+
+def test_paragraph_below_min_docs_kept(spark):
+    # the banner appears in 4 docs; min_docs=5 means it is NOT boilerplate
+    out = paragraph_dedup(_docs(spark), min_docs=5).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+
+
+def test_paragraph_first_mode_keeps_global_first(spark):
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(_docs(spark), mode="first").collect()
+    }
+    # banner's first occurrence is (doc 1, pos 1) — kept there, dropped later
+    assert out[1]["text"] == "alpha one\nSubscribe Now\nalpha two"
+    assert out[2]["text"] == "beta one"
+    assert out[4]["text"] == "delta tail"
+    assert out[5]["text"] == ""
+    # unique paragraphs untouched
+    assert out[6]["text"] == "epsilon a\nepsilon b" and out[6]["n_removed"] == 0
+
+
+def test_paragraph_dedup_portable_hash_matches_prod(spark):
+    docs = _docs(spark)
+    a = sorted(paragraph_dedup(docs, min_docs=3).collect())
+    b = sorted(paragraph_dedup(docs, min_docs=3, hash_fn="md5").collect())
+    assert a == b
+
+
+def test_paragraph_dedup_rejects_bad_params(spark):
+    with pytest.raises(ValueError, match="unknown mode"):
+        paragraph_dedup(_docs(spark), mode="fuzzy")
+    with pytest.raises(ValueError, match="min_docs"):
+        paragraph_dedup(_docs(spark), min_docs=1)
+
+
+def _mix(spark, n_a=400, n_b=20):
+    a = spark.range(n_a).select(
+        F.col("id").alias("doc_id"), F.lit("common").alias("source")
+    )
+    b = spark.range(n_b).select(
+        (F.col("id") + 10_000).alias("doc_id"), F.lit("rare").alias("source")
+    )
+    return a.unionByName(b)
+
+
+def test_temperature_sample_rare_source_saturates(spark):
+    df = _mix(spark)
+    out = temperature_sample(
+        df, "source", "doc_id", temperature=0.1, target_fraction=0.5
+    )
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # rate for the rare source caps at 1 → every rare row kept
+    assert by_src["rare"] == 20
+    # common source is downsampled well below its raw share
+    assert 0 < by_src["common"] < 400 * 0.5
+
+
+def test_temperature_one_equals_plain_fraction(spark):
+    df = _mix(spark)
+    # τ=1 → r_s = target_fraction for every source → identical row set to
+    # the plain deterministic sample at the same hash/seed
+    t = temperature_sample(df, "source", "doc_id", temperature=1.0, target_fraction=0.3)
+    p = deterministic_sample(df, 0.3, "doc_id")
+    assert sorted(r["doc_id"] for r in t.collect()) == sorted(
+        r["doc_id"] for r in p.collect()
+    )
+
+
+def test_temperature_sample_deterministic_across_partitioning(spark):
+    df = _mix(spark)
+    out1 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df, "source", "doc_id", hash_fn="md5").collect()
+    )
+    out2 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            df.repartition(13), "source", "doc_id", hash_fn="md5"
+        ).collect()
+    )
+    assert out1 == out2 and len(out1) > 0
+
+
+def test_temperature_sample_rejects_bad_params(spark):
+    df = _mix(spark, 5, 5)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_sample(df, "source", "doc_id", temperature=0.0)
+    with pytest.raises(ValueError, match="target_fraction"):
+        temperature_sample(df, "source", "doc_id", target_fraction=1.5)

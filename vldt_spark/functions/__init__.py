@@ -18,6 +18,7 @@ from vldt_spark.functions.text import (
 )
 from vldt_spark.functions.dedup import (
     exact_duplicates,
+    paragraph_dedup,
     dedup_exact,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -40,6 +41,7 @@ from vldt_spark.functions.sampling import (
     deterministic_sample,
     stratified_cap,
     split_assign,
+    temperature_sample,
 )
 from vldt_spark.functions.packing import chunk_layout
 from vldt_spark.functions.multimodal import (
@@ -78,6 +80,8 @@ __all__ = [
     "dedup_near",
     "deterministic_sample",
     "stratified_cap",
+    "paragraph_dedup",
+    "temperature_sample",
     "extract_features",
     "parse_media_headers",
     "synthesize_header_payloads",

@@ -540,3 +540,87 @@ def decontaminate(
         shingle_k=shingle_k,
     ).where(F.col("frac") > max_frac).select(id_col)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    mode: str = "boilerplate",
+    min_docs: int = 2,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Paragraph-granularity dedup (CCNet-style boilerplate removal).
+
+    Splits each document on ``sep``, hashes the normalized (lowercased,
+    trimmed) paragraph, and removes paragraphs by corpus-wide evidence:
+
+      * ``mode="boilerplate"`` — drop every occurrence of a paragraph that
+        appears in >= ``min_docs`` DISTINCT documents (cookie banners,
+        copyright footers, nav chrome). The web-corpus default.
+      * ``mode="first"`` — keep only the globally first occurrence of each
+        paragraph (ordered by (id, position)) and drop all later repeats —
+        the CCNet exact-paragraph dedup semantics.
+
+    Returns one row per input document: (id_col, text_col cleaned with
+    paragraph order preserved, ``n_paras``, ``n_removed``). A document
+    whose every paragraph is removed survives with empty text, so the
+    output cardinality equals the input's.
+
+    Scale: the only corpus-wide state is an aggregate keyed on the 64-bit
+    paragraph hash (map-side combine; count-distinct is Spark's two-stage
+    partial). The boilerplate/first-occurrence table is tiny relative to
+    the corpus, so AQE broadcasts the decision join; reassembly groups by
+    document id with a buffer bounded by paragraphs-per-document. No
+    global sort, no driver collect. ``hash_fn="md5"`` is the portable
+    path the oracle gate value-checks against DuckDB.
+
+    Reference scope analogue: vldt validates rows, not corpora — this op
+    belongs to the training-data surface layered on top (SURVEY.md §2,
+    dedup family).
+    """
+    if mode not in ("boilerplate", "first"):
+        raise ValueError(f"paragraph_dedup: unknown mode {mode!r}")
+    if min_docs < 2:
+        raise ValueError(f"paragraph_dedup: min_docs must be >= 2, got {min_docs}")
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__pos", "__para"),
+    ).withColumn("__ph", _hash64(F.lower(F.trim(F.col("__para"))), seed, hash_fn))
+
+    if mode == "boilerplate":
+        drop_set = (
+            paras.groupBy("__ph")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .where(F.col("__nd") >= min_docs)
+            .select("__ph", F.lit(True).alias("__boiler"))
+        )
+        marked = paras.join(drop_set, "__ph", "left").withColumn(
+            "__rm", F.coalesce(F.col("__boiler"), F.lit(False))
+        )
+    else:
+        firsts = paras.groupBy("__ph").agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias("__f")
+        )
+        marked = paras.join(firsts, "__ph").withColumn(
+            "__rm",
+            ~((F.col("__f.i") == F.col(id_col)) & (F.col("__f.p") == F.col("__pos"))),
+        )
+
+    kept_struct = F.when(
+        ~F.col("__rm"), F.struct(F.col("__pos"), F.col("__para"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["__para"]
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("__rm").cast("long")).alias("n_removed"),
+    )

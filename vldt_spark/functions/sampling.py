@@ -93,3 +93,75 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    *,
+    temperature: float = 0.7,
+    target_fraction: float = 0.5,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (the mC4 / XLM-R recipe for
+    rebalancing a multi-source training corpus).
+
+    With ``n_s`` rows in source ``s``, the target mixture gives source
+    ``s`` probability mass p_s ∝ n_s^temperature; a temperature < 1
+    flattens the mixture toward rare sources, temperature = 1 keeps raw
+    proportions. The per-row acceptance rate that realizes the mixture at
+    ``target_fraction`` of the corpus is
+
+        r_s = min(1, target_fraction · N · n_s^τ / (Z · n_s)),  Z = Σ n_s^τ
+
+    (capped at 1 — this operator filters, it never upsamples; a rare
+    source whose rate saturates keeps every row, so the achieved mixture
+    is the closest one reachable without repetition).
+
+    Acceptance is decided by the row's key hash against floor(r_s · 10^6),
+    so the sample is reproducible on any cluster, partitioning, or retry.
+
+    Scale: two tiny aggregates (per-source counts, then their 1-row
+    totals) feed a rates table of |sources| rows that is explicitly
+    broadcast back onto the fact scan — the fact table itself is never
+    shuffled, and nothing is collected to the driver. ``hash_fn="md5"``
+    is the portable path the oracle gate value-checks against DuckDB.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature_sample: temperature must be > 0, got {temperature}")
+    if not (0 < target_fraction <= 1):
+        raise ValueError(
+            f"temperature_sample: target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+    totals = counts.agg(
+        F.sum("__cnt").alias("__tot"),
+        F.sum(F.pow("__cnt", F.lit(temperature))).alias("__z"),
+    )
+    m = 1_000_000
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_fraction)
+                    * F.col("__tot")
+                    * F.pow("__cnt", F.lit(temperature))
+                    / F.col("__z")
+                    / F.col("__cnt"),
+                )
+                * m
+            ).alias("__thr"),
+        )
+    )
+    h = F.pmod(_hash64(F.col(key_col).cast("string"), seed, hash_fn), F.lit(m))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(h < F.col("__thr"))
+        .drop("__thr")
+        .select(*df.columns)
+    )
