@@ -5,12 +5,17 @@ runs them:
 
   1. validate      — fused schema/constraint pass; invalid rows quarantined
   2. exact dedup   — fingerprint groupBy, min-id survivor
+  2b. paragraph dedup — CCNet-style boilerplate removal at paragraph
+                     granularity (only when --para-min-docs >= 2); docs
+                     whose every paragraph was boilerplate are dropped
   3. near dedup    — MinHash-LSH candidate pairs → connected components →
                      keep one representative per cluster
   4. quality gate  — drop documents under the quality threshold
   5. decontaminate — drop documents sharing 13-grams with an eval set
                      (only when --benchmark is given)
   6. domain cap    — deterministic per-source cap (hash-ranked)
+  6b. mixture      — temperature-weighted per-source downsampling
+                     (only when --mix-temperature > 0)
   7. split         — hash-threshold train/val/test assignment
   8. write         — surviving corpus (+ split column), the packing
                      layout (concat-then-chunk placement at
@@ -20,7 +25,8 @@ runs them:
         --input <documents parquet> --output <corpus root> \\
         [--quality 0.4] [--cap-per-source 100000] [--jaccard 0.5] \\
         [--benchmark <eval parquet>] [--splits train=0.98,val=0.01,test=0.01] \\
-        [--pack-tokens 2048]
+        [--pack-tokens 2048] [--para-min-docs 2] \\
+        [--mix-temperature 0.7 --mix-fraction 0.5]
 
 Every stage is deterministic (hash-keyed, no RNG), so a re-run over the
 same input reproduces the same corpus byte-for-byte — the property that
@@ -48,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--splits", default="train=0.98,val=0.01,test=0.01")
     ap.add_argument("--pack-tokens", type=int, default=2048,
                     help="packing chunk size; 0 skips the layout stage")
+    ap.add_argument("--para-min-docs", type=int, default=0,
+                    help="drop paragraphs appearing in >= N distinct docs; "
+                         "0 (default) skips the paragraph stage")
+    ap.add_argument("--mix-temperature", type=float, default=0.0,
+                    help="temperature for per-source mixture rebalancing; "
+                         "0 (default) skips the mixture stage")
+    ap.add_argument("--mix-fraction", type=float, default=0.5,
+                    help="target corpus fraction for the mixture stage")
     ap.add_argument("--master", default=os.environ.get("VLDT_MASTER"))
     args = ap.parse_args(argv)
 
@@ -106,6 +120,26 @@ def main(argv: list[str] | None = None) -> int:
     exact = materialize(dedup_exact(valid), "exact")
     n_exact = exact.count()
 
+    # 2b. paragraph-granularity boilerplate removal (optional). Cleaned
+    # text joins back onto the doc's other columns by id — the text column
+    # dominates row width, so rewriting it through the reassembly agg and
+    # joining the slim remainder is cheaper than carrying every column
+    # through the paragraph explode. Runs BEFORE near dedup: stripping
+    # shared boilerplate stops it from inflating MinHash similarity.
+    n_paragraphs = None
+    if args.para_min_docs >= 2:
+        from vldt_spark.functions.dedup import paragraph_dedup
+
+        cleaned = (
+            paragraph_dedup(exact, min_docs=args.para_min_docs)
+            .where(F.length("text") > 0)
+            .select("doc_id", "text")
+        )
+        exact = materialize(
+            cleaned.join(exact.drop("text"), "doc_id"), "paragraphs"
+        )
+        n_paragraphs = exact.count()
+
     # 3. near dedup (LSH pairs → clusters → representatives)
     pairs = minhash_lsh_pairs(exact, threshold=args.jaccard)
     near = materialize(dedup_near(exact, pairs), "near")
@@ -131,6 +165,25 @@ def main(argv: list[str] | None = None) -> int:
 
     # 6. per-domain cap
     capped = stratified_cap(kept, "source", args.cap_per_source, "doc_id")
+
+    # 6b. temperature-weighted mixture rebalancing (optional): flattens
+    # hot sources toward the n^tau mixture; rates broadcast back, the
+    # corpus itself is never shuffled.
+    n_mixture = None
+    if args.mix_temperature > 0:
+        from vldt_spark.functions.sampling import temperature_sample
+
+        capped = materialize(
+            temperature_sample(
+                capped,
+                "source",
+                "doc_id",
+                temperature=args.mix_temperature,
+                target_fraction=args.mix_fraction,
+            ),
+            "mixture",
+        )
+        n_mixture = capped.count()
 
     # 7. deterministic split assignment (reproducible from doc_id alone)
     from vldt_spark.functions.sampling import split_assign
@@ -180,9 +233,11 @@ def main(argv: list[str] | None = None) -> int:
         "n_valid": q["n_valid"],
         "n_quarantined": q["n_quarantined"],
         "n_after_exact_dedup": n_exact,
+        "n_after_paragraph_dedup": n_paragraphs,
         "n_after_near_dedup": n_near,
         "n_after_quality": n_quality,
         "n_after_decontamination": n_decontaminated,
+        "n_after_mixture": n_mixture,
         "n_final": n_final,
         "split_counts": split_counts,
         "n_train_packs": int(n_packs) if n_packs is not None else None,

@@ -128,3 +128,47 @@ def test_temperature_sample_rejects_bad_params(spark):
         temperature_sample(df, "source", "doc_id", temperature=0.0)
     with pytest.raises(ValueError, match="target_fraction"):
         temperature_sample(df, "source", "doc_id", target_fraction=1.5)
+
+
+def test_build_corpus_paragraph_and_mixture_stages(spark, tmp_path):
+    """--para-min-docs strips injected boilerplate before near dedup;
+    --mix-temperature rebalances sources; funnel stays monotone and both
+    stages are materialized + reported."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_corpus import main as corpus_main
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # half the docs get a shared banner paragraph appended
+    dirty = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\nSubscribe To Our Newsletter")),
+        ).otherwise(F.col("text")),
+    )
+    src = str(tmp_path / "docs")
+    dirty.write.parquet(src)
+    out = str(tmp_path / "corpus")
+    assert corpus_main([
+        "--input", src, "--output", out,
+        "--quality", "0.0", "--cap-per-source", "10000",
+        "--para-min-docs", "2", "--mix-temperature", "0.5",
+        "--mix-fraction", "0.5", "--pack-tokens", "0",
+    ]) == 0
+    rep = json.load(open(out + "/funnel.json"))
+    assert rep["n_after_paragraph_dedup"] is not None
+    assert rep["n_after_exact_dedup"] >= rep["n_after_paragraph_dedup"]
+    assert rep["n_after_mixture"] is not None
+    assert rep["n_after_mixture"] < rep["n_after_quality"]
+    assert rep["n_final"] == rep["n_after_mixture"]
+    for stage in ("paragraphs", "mixture"):
+        assert os.path.isdir(os.path.join(out, "stages", stage)), stage
+    # the banner paragraph is gone from every surviving text
+    cleaned = spark.read.parquet(os.path.join(out, "stages", "paragraphs"))
+    assert cleaned.where(F.col("text").contains("Subscribe To")).count() == 0
+    # and the non-banner half of each text survived intact
+    assert cleaned.where(F.col("text").contains("\n")).count() == 0
