@@ -129,6 +129,8 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "contamination_report_documents",
         "chunk_layout_documents",
         "embedding_drift_by_label",
+        "paragraph_dedup_documents",
+        "temperature_sample_documents",
     ]
     for name in headline:
         fn = qs[name]
