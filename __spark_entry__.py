@@ -1878,6 +1878,69 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGI
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Per-event session labels (SQL-islands over a 2h gap): every event's
+    (user, session_idx) value-checked; the boundary rule is integer
+    microseconds, strict >, matching native session_window's closed merge
+    interval."""
+    from vldt_spark.functions.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, "user_id", "ts", gap_seconds=7200, order_cols=["event_id"]
+    ).select("event_id", "user_id", "session_idx")
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM o
+"""
+
+
+def q_session_stats_events(spark, sf_dir):
+    """Per-session aggregates via native session_window (the mergeable-
+    partial scale path, streaming-ready): start, last+gap end, event count
+    and value sum per (user, session), value-checked against the islands
+    construction in SQL."""
+    from vldt_spark.functions.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_seconds=7200, value_col="value")
+
+
+SQL_SESSION_STATS_EVENTS = """
+WITH o AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), i AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 7200 SECONDS AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM i GROUP BY user_id, sid
+"""
+
+
 def q_rolling_fp_documents(spark, sf_dir):
     """Winnowing fingerprints (rolling polynomial hash over char k-grams,
     window minima): per-doc set summary, integer-exact in both engines."""
@@ -3333,6 +3396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "paragraph_first_documents": q_paragraph_first_documents,
         "temperature_sample_documents": q_temperature_sample_documents,
+        "sessionize_events": q_sessionize_events,
+        "session_stats_events": q_session_stats_events,
         # -- tier 3: code under them changed this round --------------------
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "validate_lineitem_violations": q_validate_lineitem_violations,
@@ -3345,20 +3410,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "defaults_fill_events": q_defaults_fill_events,
         "check_suite_customer": q_check_suite_customer,
         "suite_token_contract": q_suite_token_contract,
-        "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
-        "psi_by_event_type": q_psi_by_event_type,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_clusters_documents": q_dedup_clusters_documents,
-        "minhash_portable_signatures": q_minhash_portable_signatures,
+        # zscore/psi_by_event_type rotated to the tail for the session
+        # queries: driver-green in r02; their round-3 file churn (all-null
+        # guards, new drift statistics) does not touch their own code
+        # paths, and six never-witnessed drift queries remain in-window.
+        "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
+        "psi_by_event_type": q_psi_by_event_type,
         # ---- position 50 ends here --------------------------------------
         # -- tail: driver-green before, code untouched this round (plus the
         #    two xxhash64 rows-only structural checks, whose md5-portable
-        #    twins are value-checked inside the window). The three
-        #    paragraph/temperature queries displaced minhash_portable_pairs
-        #    and the simhash_portable twins: those share _hash64/shingle
-        #    plumbing with minhash_portable_signatures (still in-window)
-        #    and were driver-green in r02 with that plumbing untouched. ---
+        #    twins are value-checked by the local replica). The five new
+        #    paragraph/temperature/session queries displaced the
+        #    clusters query and the four md5-portable dedup twins: all
+        #    five displaced entries were driver-green in r02 and their
+        #    underlying functions (_hash64, shingles, minhash/simhash,
+        #    label propagation) are untouched this round. ----------------
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "minhash_portable_signatures": q_minhash_portable_signatures,
         "minhash_portable_pairs": q_minhash_portable_pairs,
         "simhash_portable_documents": q_simhash_portable_documents,
         "simhash_portable_pairs": q_simhash_portable_pairs,
@@ -3410,6 +3480,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift_by_label": SQL_EMBEDDING_DRIFT_BY_LABEL,
         "split_counts_documents": SQL_SPLIT_COUNTS_DOCUMENTS,
         "chunk_layout_documents": SQL_CHUNK_LAYOUT_DOCUMENTS,
+        "sessionize_events": SQL_SESSIONIZE_EVENTS,
+        "session_stats_events": SQL_SESSION_STATS_EVENTS,
         "paragraph_dedup_documents": SQL_PARAGRAPH_DEDUP_DOCUMENTS,
         "paragraph_first_documents": SQL_PARAGRAPH_FIRST_DOCUMENTS,
         "temperature_sample_documents": SQL_TEMPERATURE_SAMPLE_DOCUMENTS,

@@ -44,6 +44,7 @@ from vldt_spark.functions.sampling import (
     temperature_sample,
 )
 from vldt_spark.functions.packing import chunk_layout
+from vldt_spark.functions.sessions import sessionize, session_stats
 from vldt_spark.functions.multimodal import (
     extract_features,
     parse_media_headers,
@@ -81,6 +82,8 @@ __all__ = [
     "deterministic_sample",
     "stratified_cap",
     "paragraph_dedup",
+    "sessionize",
+    "session_stats",
     "temperature_sample",
     "extract_features",
     "parse_media_headers",
