@@ -1941,6 +1941,39 @@ FROM i GROUP BY user_id, sid
 """
 
 
+def q_streaming_session_stats(spark, sf_dir):
+    """Streaming sessionization twin: the real events arrive in micro-batch
+    1, a future-dated sentinel in batch 2 advances the watermark past every
+    real session's end, so append mode emits exactly the batch session set
+    (the sentinel's own still-open session never emits). Value-checked
+    against the same SQL-islands oracle as the batch query."""
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from vldt_spark.streaming.sessions_stream import run_session_monitor
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    root = tempfile.mkdtemp(prefix="vldt_stream_sess_")
+    ev.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    spark.createDataFrame(
+        [(-1, -1, datetime(2035, 1, 1), 0.0)],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    ).coalesce(1).write.parquet(os.path.join(root, "b=2"))
+    return run_session_monitor(
+        spark,
+        os.path.join(root, "b=*"),
+        "user_id",
+        "ts",
+        gap_seconds=7200,
+        value_col="value",
+        query_name=f"vldt_sess_{uuid.uuid4().hex[:8]}",
+    )
+
+
+SQL_STREAMING_SESSION_STATS = SQL_SESSION_STATS_EVENTS
+
+
 def q_rolling_fp_documents(spark, sf_dir):
     """Winnowing fingerprints (rolling polynomial hash over char k-grams,
     window minima): per-doc set summary, integer-exact in both engines."""
@@ -3398,9 +3431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample_documents": q_temperature_sample_documents,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
+        "streaming_session_stats": q_streaming_session_stats,
         # -- tier 3: code under them changed this round --------------------
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
-        "validate_lineitem_violations": q_validate_lineitem_violations,
         "validate_lineitem_violations_dirty": q_validate_lineitem_violations_dirty,
         "validate_nested_paths_dirty": q_validate_nested_paths_dirty,
         "validate_dict_tuple_paths_dirty": q_validate_dict_tuple_paths_dirty,
@@ -3418,6 +3451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paths, and six never-witnessed drift queries remain in-window.
         "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
         "psi_by_event_type": q_psi_by_event_type,
+        # validate_lineitem_violations (clean fixture, zero rows) rotated
+        # out for streaming_session_stats: its engine path is witnessed by
+        # verdicts + three dirty-fixture queries still in-window.
+        "validate_lineitem_violations": q_validate_lineitem_violations,
         # ---- position 50 ends here --------------------------------------
         # -- tail: driver-green before, code untouched this round (plus the
         #    two xxhash64 rows-only structural checks, whose md5-portable
@@ -3482,6 +3519,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_layout_documents": SQL_CHUNK_LAYOUT_DOCUMENTS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "session_stats_events": SQL_SESSION_STATS_EVENTS,
+        "streaming_session_stats": SQL_STREAMING_SESSION_STATS,
         "paragraph_dedup_documents": SQL_PARAGRAPH_DEDUP_DOCUMENTS,
         "paragraph_first_documents": SQL_PARAGRAPH_FIRST_DOCUMENTS,
         "temperature_sample_documents": SQL_TEMPERATURE_SAMPLE_DOCUMENTS,
