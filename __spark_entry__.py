@@ -1756,10 +1756,10 @@ def q_paragraph_dedup_documents(spark, sf_dir):
     """CCNet-style boilerplate removal: paragraphs appearing in >= 2
     distinct docs (after lower/trim normalization) are dropped from every
     doc; cleaned text, paragraph counts and removal counts are
-    value-checked per doc. Note the %5 banner and the %7 footer's second
-    paragraph normalize to DIFFERENT strings ('subscribe to our
-    newsletter' vs 'subscribe to our newsletter' — identical), so the
-    case-variant collapses into one boilerplate class."""
+    value-checked per doc. The %5 banner and the %7 footer's second
+    paragraph both normalize to 'subscribe to our newsletter', so the
+    case/whitespace variants collapse into ONE boilerplate class —
+    exercising the normalization on both engines."""
     from vldt_spark.functions.dedup import paragraph_dedup
 
     return paragraph_dedup(_dirty_paragraph_docs(spark, sf_dir), hash_fn="md5")
@@ -3384,12 +3384,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries, so positions 1-50 carry (a) the 15 queries the
     round-2 report never witnessed (streaming, ANN, json/timestamp,
     rolling_fp, multimodal — judge-replica-verified but driver-unseen),
-    (b) this round's 17 new queries, and (c) every query whose underlying
-    code changed this round (engine annotate/union coercion, suite,
-    dedup, drift helpers). The tail holds the 29 queries that have been
-    driver-green in previous rounds with untouched code (plus the two
+    (b) this round's 23 new queries (drift statistics, decontamination,
+    splits/packing, paragraph dedup, temperature mixture, sessionization
+    batch + streaming), and (c) every query whose underlying code changed
+    this round (engine annotate/union coercion, suite, exact-dup
+    bounding). The tail holds the 38 queries that have been driver-green
+    in previous rounds with their own code paths untouched (plus the two
     xxhash64 rows-only structural checks whose value-checked md5 twins
-    sit inside the window);
+    ran driver-green in r02);
     tools/check_oracle.py still verifies the full set locally."""
     return {
         # -- tier 1: driver-unwitnessed in round 2 (report covered 1-50) --
