@@ -172,3 +172,12 @@ def test_build_corpus_paragraph_and_mixture_stages(spark, tmp_path):
     assert cleaned.where(F.col("text").contains("Subscribe To")).count() == 0
     # and the non-banner half of each text survived intact
     assert cleaned.where(F.col("text").contains("\n")).count() == 0
+
+
+def test_paragraph_dedup_regex_special_separator(spark):
+    """Separators are treated literally (regex-quoted), so '.' splits on
+    the dot character rather than matching any character."""
+    rows = [(1, "a.shared.b"), (2, "shared"), (3, "c.shared")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(df, sep=".").collect()}
+    assert out == {1: "a.b", 2: "", 3: "c"}

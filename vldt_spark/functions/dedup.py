@@ -587,9 +587,13 @@ def paragraph_dedup(
     if min_docs < 2:
         raise ValueError(f"paragraph_dedup: min_docs must be >= 2, got {min_docs}")
 
+    # F.split takes a Java regex — \Q...\E quotes the separator so any
+    # literal delimiter works (".", "||", ...), not just regex-safe ones
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__pos", "__para"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+        ).alias("__pos", "__para"),
     ).withColumn("__ph", _hash64(F.lower(F.trim(F.col("__para"))), seed, hash_fn))
 
     if mode == "boilerplate":
