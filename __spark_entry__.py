@@ -1941,6 +1941,34 @@ FROM i GROUP BY user_id, sid
 """
 
 
+def q_importance_sample_documents(spark, sf_dir):
+    """Weight-proportional (importance) sampling with n_chars as the
+    quality weight at target 40%: per-row acceptance rate
+    min(1, f·N·w/Σw), membership by portable md5 hash threshold — the
+    exact surviving (doc_id, n_chars) set is value-checked."""
+    from vldt_spark.functions.sampling import importance_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return importance_sample(
+        docs, "n_chars", "doc_id", target_fraction=0.4, hash_fn="md5"
+    )
+
+
+SQL_IMPORTANCE_SAMPLE_DOCUMENTS = """
+WITH pos AS (
+  SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) AS w
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), t AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(w) AS sw FROM pos
+)
+SELECT p.doc_id, p.n_chars
+FROM pos p, t
+WHERE CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+      % 1000000
+      < CAST(floor(least(1.0, 0.4 * t.n * p.w / t.sw) * 1000000) AS BIGINT)
+"""
+
+
 def q_streaming_session_stats(spark, sf_dir):
     """Streaming sessionization twin: the real events arrive in micro-batch
     1, a future-dated sentinel in batch 2 advances the watermark past every
@@ -3434,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
         "streaming_session_stats": q_streaming_session_stats,
+        "importance_sample_documents": q_importance_sample_documents,
         # -- tier 3: code under them changed this round --------------------
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
         "validate_lineitem_violations_dirty": q_validate_lineitem_violations_dirty,
@@ -3441,7 +3470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_dict_tuple_paths_dirty": q_validate_dict_tuple_paths_dirty,
         "errors_json_dirty": q_errors_json_dirty,
         "union_resolution_documents": q_union_resolution_documents,
-        "alias_resolution_lineitem": q_alias_resolution_lineitem,
         "defaults_fill_events": q_defaults_fill_events,
         "check_suite_customer": q_check_suite_customer,
         "suite_token_contract": q_suite_token_contract,
@@ -3453,10 +3481,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paths, and six never-witnessed drift queries remain in-window.
         "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
         "psi_by_event_type": q_psi_by_event_type,
-        # validate_lineitem_violations (clean fixture, zero rows) rotated
-        # out for streaming_session_stats: its engine path is witnessed by
-        # verdicts + three dirty-fixture queries still in-window.
+        # validate_lineitem_violations (clean fixture, zero rows) and
+        # alias_resolution rotated out for streaming_session_stats and
+        # importance_sample: both were driver-green in r02; the engine
+        # change this round (_revalidate_after) only executes for models
+        # WITH after-validators, which neither query's model declares, and
+        # verdicts + three dirty-fixture queries remain in-window.
         "validate_lineitem_violations": q_validate_lineitem_violations,
+        "alias_resolution_lineitem": q_alias_resolution_lineitem,
         # ---- position 50 ends here --------------------------------------
         # -- tail: driver-green before, code untouched this round (plus the
         #    two xxhash64 rows-only structural checks, whose md5-portable
@@ -3522,6 +3554,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "session_stats_events": SQL_SESSION_STATS_EVENTS,
         "streaming_session_stats": SQL_STREAMING_SESSION_STATS,
+        "importance_sample_documents": SQL_IMPORTANCE_SAMPLE_DOCUMENTS,
         "paragraph_dedup_documents": SQL_PARAGRAPH_DEDUP_DOCUMENTS,
         "paragraph_first_documents": SQL_PARAGRAPH_FIRST_DOCUMENTS,
         "temperature_sample_documents": SQL_TEMPERATURE_SAMPLE_DOCUMENTS,

@@ -181,3 +181,41 @@ def test_paragraph_dedup_regex_special_separator(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     out = {r["doc_id"]: r["text"] for r in paragraph_dedup(df, sep=".").collect()}
     assert out == {1: "a.b", 2: "", 3: "c"}
+
+
+def test_importance_sample_prefers_heavy_rows(spark):
+    from vldt_spark.functions.sampling import importance_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        # 100 heavy rows (weight 50) vs 900 light rows (weight 1)
+        F.when(F.col("id") < 100, F.lit(50.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    out = importance_sample(df, "w", "doc_id", target_fraction=0.2)
+    rows = out.collect()
+    heavy = sum(1 for r in rows if r["doc_id"] < 100)
+    light = len(rows) - heavy
+    # heavy rate = min(1, .2*1000*50/5900) = 1 → all 100 kept
+    assert heavy == 100
+    # light rate ≈ .2*1000/5900 ≈ 0.034 → a small fraction of 900
+    assert 0 < light < 100
+
+
+def test_importance_sample_deterministic_and_drops_bad_weights(spark):
+    import pytest as _pytest
+
+    from vldt_spark.functions.sampling import importance_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.lit(None).cast("double"))
+        .when(F.col("id") % 10 == 1, F.lit(-2.0))
+        .otherwise((F.col("id") % 7 + 1).cast("double"))
+        .alias("w"),
+    )
+    a = sorted(r["doc_id"] for r in importance_sample(df, "w", "doc_id", target_fraction=0.5, hash_fn="md5").collect())
+    b = sorted(r["doc_id"] for r in importance_sample(df.repartition(9), "w", "doc_id", target_fraction=0.5, hash_fn="md5").collect())
+    assert a == b and len(a) > 0
+    assert not any(d % 10 in (0, 1) for d in a)  # null/negative weights dropped
+    with _pytest.raises(ValueError, match="target_fraction"):
+        importance_sample(df, "w", "doc_id", target_fraction=0.0)

@@ -42,6 +42,7 @@ from vldt_spark.functions.sampling import (
     stratified_cap,
     split_assign,
     temperature_sample,
+    importance_sample,
 )
 from vldt_spark.functions.packing import chunk_layout
 from vldt_spark.functions.sessions import sessionize, session_stats
@@ -85,6 +86,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "temperature_sample",
+    "importance_sample",
     "extract_features",
     "parse_media_headers",
     "synthesize_header_payloads",

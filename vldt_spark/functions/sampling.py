@@ -165,3 +165,51 @@ def temperature_sample(
         .drop("__thr")
         .select(*df.columns)
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    *,
+    target_fraction: float,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Weight-proportional (importance) sampling: row i is kept with
+    probability min(1, target_fraction · N · w_i / Σw) — the standard
+    quality-weighted corpus-curation draw (keep ~target_fraction of the
+    corpus, high-weight documents preferentially). Rows with null or
+    non-positive weight are dropped.
+
+    Membership is the row's key hash against floor(rate_i · 10^6), so the
+    sample is identical on any cluster, partitioning, or retry. Scale: one
+    1-row weight-total aggregate broadcast back onto the scan — the fact
+    table is never shuffled, nothing reaches the driver.
+    """
+    if not (0 < target_fraction <= 1):
+        raise ValueError(
+            f"importance_sample: target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    pos = df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    totals = pos.agg(
+        F.count(F.lit(1)).cast("double").alias("__tot_n"),
+        F.sum(F.col(weight_col).cast("double")).alias("__tot_w"),
+    )
+    m = 1_000_000
+    h = F.pmod(_hash64(F.col(key_col).cast("string"), seed, hash_fn), F.lit(m))
+    thr = F.floor(
+        F.least(
+            F.lit(1.0),
+            F.lit(target_fraction)
+            * F.col("__tot_n")
+            * F.col(weight_col).cast("double")
+            / F.col("__tot_w"),
+        )
+        * m
+    )
+    return (
+        pos.crossJoin(F.broadcast(totals))
+        .where(h < thr)
+        .select(*df.columns)
+    )
