@@ -219,3 +219,67 @@ def test_importance_sample_deterministic_and_drops_bad_weights(spark):
     assert not any(d % 10 in (0, 1) for d in a)  # null/negative weights dropped
     with _pytest.raises(ValueError, match="target_fraction"):
         importance_sample(df, "w", "doc_id", target_fraction=0.0)
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_temperature_sample_plan_fact_broadcast_join(spark, tmp_path):
+    """The fact scan is filtered through a BroadcastHashJoin against the
+    tiny rates table — the fact side is never exchanged before the join
+    (the 100 TB property: one pass over the corpus)."""
+    from vldt_spark.functions.sampling import temperature_sample
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    docs = spark.read.parquet(src)
+    out = temperature_sample(docs, "source", "doc_id")
+    out.collect()
+    plan = _executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the fact side feeds the broadcast join straight from the scan:
+    # no Exchange between the parquet scan of the full row and the join
+    fact_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in fact_side
+
+
+def test_importance_sample_plan_fact_broadcast_join(spark, tmp_path):
+    from vldt_spark.functions.sampling import importance_sample
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    docs = spark.read.parquet(src).select("doc_id", "n_chars")
+    out = importance_sample(docs, "n_chars", "doc_id", target_fraction=0.4)
+    out.collect()
+    plan = _executed_plan(out)
+    # totals come back as a broadcast nested-loop (1-row build side);
+    # the fact side is never hash-exchanged
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
+
+
+def test_paragraph_dedup_plan_broadcast_decision_set(spark, tmp_path):
+    """The boilerplate decision set joins back by BROADCAST; the only
+    fact-side exchange is the per-doc reassembly groupBy."""
+    from vldt_spark.functions.dedup import paragraph_dedup
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    docs = spark.read.parquet(src).select("doc_id", "text")
+    out = paragraph_dedup(docs)
+    out.collect()
+    plan = _executed_plan(out)
+    # the decision set comes back by broadcast — never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only fact-side hash exchanges are the per-doc reassembly
+    # (doc_id) and the decision-set aggregate (__ph[, doc_id]) — no
+    # exchange carries the exploded paragraphs on any other key
+    import re
+
+    keys = {
+        m.group(1).split("#")[0]
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+#?\d*)", plan)
+    }
+    assert keys <= {"doc_id", "__ph"}, keys
