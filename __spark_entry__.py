@@ -1941,6 +1941,86 @@ FROM i GROUP BY user_id, sid
 """
 
 
+def q_js_by_event_type(spark, sf_dir):
+    """Per-partition Jensen-Shannon divergence: each event_type's value
+    distribution vs the whole table's — the bounded/symmetric member of
+    the per-group drift matrix (psi/ks/wasserstein/chi2/js by group)."""
+    from vldt_spark.checks.drift import js_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return js_by_group(ev, "value", "event_type", bins=20, lo=0.0, hi=450.0)
+
+
+SQL_JS_BY_EVENT_TYPE = """
+WITH h AS (
+  SELECT event_type, CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), rh AS (
+  SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n_ref
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT g.event_type, rh.bin, rh.n_ref
+  FROM (SELECT DISTINCT event_type FROM h) g CROSS JOIN rh
+), j AS (
+  SELECT grid.event_type, grid.bin, grid.n_ref, COALESCE(h.n, 0) AS n
+  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.bin = grid.bin
+), t AS (
+  SELECT j.*, sum(n) OVER (PARTITION BY event_type) AS tg,
+         (SELECT sum(n_ref) FROM rh) AS tr
+  FROM j
+), pq AS (
+  SELECT event_type,
+         CAST(n_ref AS DOUBLE) / tr + 1e-9 AS p,
+         CAST(n AS DOUBLE) / tg + 1e-9 AS q
+  FROM t
+)
+SELECT event_type,
+       round(sum((p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) / 2), 6) AS js
+FROM pq GROUP BY event_type
+"""
+
+
+def q_chi2_by_event_type(spark, sf_dir):
+    """Per-partition Pearson chi-squared: each event_type's binned value
+    counts against expectations scaled from the whole table's
+    proportions."""
+    from vldt_spark.checks.drift import chi2_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return chi2_by_group(ev, "value", "event_type", bins=20, lo=0.0, hi=450.0)
+
+
+SQL_CHI2_BY_EVENT_TYPE = """
+WITH h AS (
+  SELECT event_type, CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), rh AS (
+  SELECT CAST(least(greatest(floor(value / 22.5), 0), 19) AS INT) AS bin,
+         count(*) AS n_ref
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT g.event_type, rh.bin, rh.n_ref
+  FROM (SELECT DISTINCT event_type FROM h) g CROSS JOIN rh
+), j AS (
+  SELECT grid.event_type, grid.bin, grid.n_ref, COALESCE(h.n, 0) AS n
+  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.bin = grid.bin
+), t AS (
+  SELECT j.*, sum(n) OVER (PARTITION BY event_type) AS tg,
+         (SELECT sum(n_ref) FROM rh) AS tr
+  FROM j
+), e AS (
+  SELECT event_type, CAST(n AS DOUBLE) AS n,
+         CAST(tg AS DOUBLE) * n_ref / tr AS expd
+  FROM t WHERE n_ref > 0
+)
+SELECT event_type, round(sum((n - expd) * (n - expd) / expd), 6) AS chi2
+FROM e GROUP BY event_type
+"""
+
+
 def q_importance_sample_documents(spark, sf_dir):
     """Weight-proportional (importance) sampling with n_chars as the
     quality weight at target 40%: per-row acceptance rate
@@ -3490,6 +3570,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem_violations": q_validate_lineitem_violations,
         "alias_resolution_lineitem": q_alias_resolution_lineitem,
         # ---- position 50 ends here --------------------------------------
+        # js/chi2_by_group sit just past the window: their shared
+        # _group_grid plumbing is driver-witnessed in-window by
+        # ks_by_event_type and wasserstein_by_event_type; both are
+        # replica-value-checked at all three scales.
+        "js_by_event_type": q_js_by_event_type,
+        "chi2_by_event_type": q_chi2_by_event_type,
         # -- tail: driver-green before, code untouched this round (plus the
         #    two xxhash64 rows-only structural checks, whose md5-portable
         #    twins are value-checked by the local replica). The five new
@@ -3555,6 +3641,8 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": SQL_SESSION_STATS_EVENTS,
         "streaming_session_stats": SQL_STREAMING_SESSION_STATS,
         "importance_sample_documents": SQL_IMPORTANCE_SAMPLE_DOCUMENTS,
+        "js_by_event_type": SQL_JS_BY_EVENT_TYPE,
+        "chi2_by_event_type": SQL_CHI2_BY_EVENT_TYPE,
         "paragraph_dedup_documents": SQL_PARAGRAPH_DEDUP_DOCUMENTS,
         "paragraph_first_documents": SQL_PARAGRAPH_FIRST_DOCUMENTS,
         "temperature_sample_documents": SQL_TEMPERATURE_SAMPLE_DOCUMENTS,

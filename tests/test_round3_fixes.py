@@ -344,3 +344,42 @@ def test_new_ops_reject_degenerate_params(spark):
     empty_ref = spark.createDataFrame([], "emb array<float>")
     with pytest.raises(ValueError, match="no non-null"):
         stream_centroid_drift(df.withColumn("emb", F.lit(None).cast("array<float>")).withColumn("ts", F.current_timestamp()), empty_ref, "emb", "ts")
+
+
+def test_js_chi2_by_group_consistency(spark):
+    """Per-group JS/chi2 agree with the whole-table statistics when the
+    'group' column is constant, and a shifted group scores strictly
+    higher than an in-distribution one."""
+    from pyspark.sql import functions as F
+
+    from vldt_spark.checks.drift import (
+        chi2_by_group,
+        chi2_from_histograms,
+        histogram,
+        js_by_group,
+        js_divergence,
+    )
+
+    # 3/4 of rows are "same" (values 0..99) so they dominate the pooled
+    # reference; the "shifted" quarter (+50) must diverge more from it
+    base = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.when(F.col("id") % 4 == 0, F.lit("shifted"))
+        .otherwise(F.lit("same"))
+        .alias("g"),
+    ).withColumn("v", F.when(F.col("g") == "shifted", F.col("v") + 50).otherwise(F.col("v")))
+
+    js = {r["g"]: r["js"] for r in js_by_group(base, "v", "g", bins=10, lo=0.0, hi=150.0).collect()}
+    chi2 = {r["g"]: r["chi2"] for r in chi2_by_group(base, "v", "g", bins=10, lo=0.0, hi=150.0).collect()}
+    assert js["shifted"] > js["same"] > 0
+    assert chi2["shifted"] > chi2["same"] > 0
+
+    # constant group == whole-table statistic (vs itself -> 0 divergence)
+    one = base.withColumn("g", F.lit("all"))
+    h = histogram(one, "v", bins=10, lo=0.0, hi=150.0)
+    whole_js = js_divergence(h, h).first()["js"]
+    grp_js = js_by_group(one, "v", "g", bins=10, lo=0.0, hi=150.0).first()["js"]
+    assert grp_js == 0.0 and whole_js == 0.0
+    whole_chi2 = chi2_from_histograms(h, h).first()["chi2"]
+    grp_chi2 = chi2_by_group(one, "v", "g", bins=10, lo=0.0, hi=150.0).first()["chi2"]
+    assert grp_chi2 == 0.0 and whole_chi2 == 0.0

@@ -15,6 +15,8 @@ from vldt_spark.checks.drift import (
     psi_by_group,
     ks_from_histograms,
     ks_by_group,
+    js_by_group,
+    chi2_by_group,
     categorical_psi_by_group,
     js_divergence,
     chi2_from_histograms,
@@ -44,6 +46,8 @@ __all__ = [
     "psi_by_group",
     "ks_from_histograms",
     "ks_by_group",
+    "js_by_group",
+    "chi2_by_group",
     "categorical_psi_by_group",
     "js_divergence",
     "chi2_from_histograms",

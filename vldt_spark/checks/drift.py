@@ -450,3 +450,73 @@ def embedding_drift(
             F.sqrt("_sq").alias("centroid_l2"),
         )
     )
+
+
+def js_by_group(
+    df: DataFrame,
+    col: str,
+    by: str,
+    *,
+    bins: int = 20,
+    lo: float,
+    hi: float,
+    ref: DataFrame | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-partition Jensen-Shannon divergence: each ``by`` group's binned
+    distribution of ``col`` vs the reference (default: the whole table).
+    Symmetric and bounded [0, ln 2], so ONE alert threshold serves every
+    group — the property per-group KL/PSI lack. Same scale shape as
+    psi_by_group: one (group, bin) aggregate; everything after is
+    histogram-cardinality. Returns (by, js)."""
+    b = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
+    h = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(by), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rh = (
+        (ref if ref is not None else df)
+        .where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    j = _group_grid(h, rh, by)
+    p = F.coalesce(F.try_divide(F.col("n_ref"), F.col("tr")), F.lit(0.0)) + F.lit(eps)
+    q = F.coalesce(F.try_divide(F.col("n"), F.col("tg")), F.lit(0.0)) + F.lit(eps)
+    m = (p + q) / F.lit(2.0)
+    term = (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0)
+    return j.groupBy(by).agg(F.round(F.sum(term), 6).alias("js"))
+
+
+def chi2_by_group(
+    df: DataFrame,
+    col: str,
+    by: str,
+    *,
+    bins: int = 20,
+    lo: float,
+    hi: float,
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """Per-partition Pearson chi-squared: each group's binned counts of
+    ``col`` against expectations scaled from the reference proportions
+    (E_bin = group_total · n_ref / ref_total); ref-empty bins excluded,
+    matching chi2_from_histograms. Returns (by, chi2)."""
+    b = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
+    h = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(by), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rh = (
+        (ref if ref is not None else df)
+        .where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    j = _group_grid(h, rh, by).where(F.col("n_ref") > 0)
+    e = F.col("tg") * F.col("n_ref") / F.col("tr")
+    return j.groupBy(by).agg(
+        F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 6).alias("chi2")
+    )
