@@ -1863,7 +1863,8 @@ def q_temperature_sample_documents(spark, sf_dir):
 
 SQL_TEMPERATURE_SAMPLE_DOCUMENTS = """
 WITH c AS (
-  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents
+  WHERE source IS NOT NULL GROUP BY source
 ), t AS (
   SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS z FROM c
 ), r AS (
@@ -3496,7 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     splits/packing, paragraph dedup, temperature mixture, sessionization
     batch + streaming), and (c) every query whose underlying code changed
     this round (engine annotate/union coercion, suite, exact-dup
-    bounding). The tail holds the 38 queries that have been driver-green
+    bounding). The tail holds the 41 queries that have been driver-green
     in previous rounds with their own code paths untouched (plus the two
     xxhash64 rows-only structural checks whose value-checked md5 twins
     ran driver-green in r02);
@@ -3555,21 +3556,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_token_contract": q_suite_token_contract,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
-        # zscore/psi_by_event_type rotated to the tail for the session
-        # queries: driver-green in r02; their round-3 file churn (all-null
-        # guards, new drift statistics) does not touch their own code
-        # paths, and six never-witnessed drift queries remain in-window.
+        # ---- position 50 ends here (dedup_exact_groups is entry 50) -----
+        # Rotated out for the five new session/sampling queries, all
+        # driver-green in r02 with their own code paths effectively
+        # untouched: zscore/psi_by_event_type (round-3 churn in their
+        # files is all-null guards / NEW functions, not their paths; six
+        # never-witnessed drift queries remain in-window),
+        # validate_lineitem_violations (clean fixture, zero rows — the
+        # engine's _revalidate_after only runs for models WITH
+        # after-validators, which its model lacks; verdicts + three
+        # dirty-fixture queries remain in-window), and alias_resolution
+        # (same engine reasoning).
         "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
         "psi_by_event_type": q_psi_by_event_type,
-        # validate_lineitem_violations (clean fixture, zero rows) and
-        # alias_resolution rotated out for streaming_session_stats and
-        # importance_sample: both were driver-green in r02; the engine
-        # change this round (_revalidate_after) only executes for models
-        # WITH after-validators, which neither query's model declares, and
-        # verdicts + three dirty-fixture queries remain in-window.
         "validate_lineitem_violations": q_validate_lineitem_violations,
         "alias_resolution_lineitem": q_alias_resolution_lineitem,
-        # ---- position 50 ends here --------------------------------------
         # js/chi2_by_group sit just past the window: their shared
         # _group_grid plumbing is driver-witnessed in-window by
         # ks_by_event_type and wasserstein_by_event_type; both are

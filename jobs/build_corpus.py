@@ -127,6 +127,11 @@ def main(argv: list[str] | None = None) -> int:
     # through the paragraph explode. Runs BEFORE near dedup: stripping
     # shared boilerplate stops it from inflating MinHash similarity.
     n_paragraphs = None
+    if args.para_min_docs == 1:
+        raise SystemExit(
+            "build_corpus: --para-min-docs 1 would drop every paragraph "
+            "(each appears in >= 1 doc); use 0 to skip the stage or >= 2"
+        )
     if args.para_min_docs >= 2:
         from vldt_spark.functions.dedup import paragraph_dedup
 
@@ -164,7 +169,12 @@ def main(argv: list[str] | None = None) -> int:
         n_decontaminated = kept.count()
 
     # 6. per-domain cap
-    capped = stratified_cap(kept, "source", args.cap_per_source, "doc_id")
+    # Hash-keyed stages get DISTINCT seeds: with a shared seed every stage
+    # sees the identical per-row hash, so a doc surviving the mixture
+    # downsample (hash below its source's threshold) would also always land
+    # below the train-split threshold — val/test would be drawn only from
+    # rate-saturated sources (see functions/sampling module docstring).
+    capped = stratified_cap(kept, "source", args.cap_per_source, "doc_id", seed=11)
 
     # 6b. temperature-weighted mixture rebalancing (optional): flattens
     # hot sources toward the n^tau mixture; rates broadcast back, the
@@ -180,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
                 "doc_id",
                 temperature=args.mix_temperature,
                 target_fraction=args.mix_fraction,
+                seed=23,
             ),
             "mixture",
         )
@@ -192,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
     for part in args.splits.split(","):
         name, w = part.split("=")
         weights[name.strip()] = float(w)
-    capped = split_assign(capped, "doc_id", weights)
+    capped = split_assign(capped, "doc_id", weights, seed=37)
 
     # 8. write corpus + packing layout + funnel report
     out = os.path.join(args.output, "corpus")

@@ -283,3 +283,35 @@ def test_paragraph_dedup_plan_broadcast_decision_set(spark, tmp_path):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+#?\d*)", plan)
     }
     assert keys <= {"doc_id", "__ph"}, keys
+
+
+def test_paragraph_dedup_preserves_null_text_docs(spark):
+    """NULL-text documents survive with NULL text and n_paras = 0 (the
+    one-row-per-input-document invariant), in both modes and both hash
+    paths."""
+    rows = [(1, None), (2, "a\nb"), (3, None), (4, "a\nc")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for mode in ("boilerplate", "first"):
+        for hf in ("xxhash64", "md5"):
+            out = {r["doc_id"]: r for r in paragraph_dedup(df, mode=mode, hash_fn=hf).collect()}
+            assert set(out) == {1, 2, 3, 4}, (mode, hf)
+            assert out[1]["text"] is None and out[1]["n_paras"] == 0
+            assert out[3]["text"] is None and out[3]["n_removed"] == 0
+            assert out[2]["n_paras"] == 2
+
+
+def test_temperature_sample_drops_null_groups_and_keeps_rate(spark):
+    """NULL-group rows are excluded from BOTH the totals and the output,
+    so the surviving fraction of non-null rows matches target_fraction
+    instead of being deflated by phantom null-group mass."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(None).cast("string"))
+        .otherwise(F.lit("src"))
+        .alias("source"),
+    )
+    out = temperature_sample(df, "source", "doc_id", temperature=1.0, target_fraction=0.5)
+    rows = out.collect()
+    assert all(r["source"] == "src" for r in rows)
+    # 500 non-null rows at rate 0.5 → ~250, not ~125
+    assert 200 < len(rows) < 300

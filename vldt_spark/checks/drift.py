@@ -196,20 +196,29 @@ def psi_by_group(
     (default: the whole table). One histogram aggregate keyed (group, bin)
     — output cardinality |groups| × bins regardless of row count; the PSI
     reduction is a second tiny aggregate. Returns (by, psi)."""
-    bin_col = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
+    h, rh = _group_hists(df, col, by, bins=bins, lo=lo, hi=hi, ref=ref)
+    return _group_psi_from_hists(h, rh, by, eps)
 
+
+def _group_hists(
+    df, col: str, by: str, *, bins: int, lo: float, hi: float, ref=None
+):
+    """Shared (group, bin) / reference histogram pair used by every
+    *_by_group statistic: one aggregate over the data keyed (group, bin),
+    one over the reference keyed bin; nulls excluded on both sides."""
+    b = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
     h = (
         df.where(F.col(col).isNotNull())
-        .groupBy(F.col(by), bin_col.alias("bin"))
+        .groupBy(F.col(by), b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     rh = (
         (ref if ref is not None else df)
         .where(F.col(col).isNotNull())
-        .groupBy(bin_col.alias("bin"))
+        .groupBy(b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n_ref"))
     )
-    return _group_psi_from_hists(h, rh, by, eps)
+    return h, rh
 
 
 def _group_grid(h: DataFrame, rh: DataFrame, by: str) -> DataFrame:
@@ -290,18 +299,7 @@ def ks_by_group(
     Returns (by, ks)."""
     from pyspark.sql import Window
 
-    bin_col = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
-    h = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(F.col(by), bin_col.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    rh = (
-        (ref if ref is not None else df)
-        .where(F.col(col).isNotNull())
-        .groupBy(bin_col.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n_ref"))
-    )
+    h, rh = _group_hists(df, col, by, bins=bins, lo=lo, hi=hi, ref=ref)
     j = _group_grid(h, rh, by)
     win = (
         Window.partitionBy(by)
@@ -338,18 +336,7 @@ def wasserstein_by_group(
     from pyspark.sql import Window
 
     bin_width = (hi - lo) / bins
-    bin_col = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
-    h = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(F.col(by), bin_col.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    rh = (
-        (ref if ref is not None else df)
-        .where(F.col(col).isNotNull())
-        .groupBy(bin_col.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n_ref"))
-    )
+    h, rh = _group_hists(df, col, by, bins=bins, lo=lo, hi=hi, ref=ref)
     j = _group_grid(h, rh, by)
     win = (
         Window.partitionBy(by)
@@ -469,18 +456,7 @@ def js_by_group(
     group — the property per-group KL/PSI lack. Same scale shape as
     psi_by_group: one (group, bin) aggregate; everything after is
     histogram-cardinality. Returns (by, js)."""
-    b = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
-    h = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(F.col(by), b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    rh = (
-        (ref if ref is not None else df)
-        .where(F.col(col).isNotNull())
-        .groupBy(b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n_ref"))
-    )
+    h, rh = _group_hists(df, col, by, bins=bins, lo=lo, hi=hi, ref=ref)
     j = _group_grid(h, rh, by)
     p = F.coalesce(F.try_divide(F.col("n_ref"), F.col("tr")), F.lit(0.0)) + F.lit(eps)
     q = F.coalesce(F.try_divide(F.col("n"), F.col("tg")), F.lit(0.0)) + F.lit(eps)
@@ -503,18 +479,7 @@ def chi2_by_group(
     ``col`` against expectations scaled from the reference proportions
     (E_bin = group_total · n_ref / ref_total); ref-empty bins excluded,
     matching chi2_from_histograms. Returns (by, chi2)."""
-    b = bin_expr(F.col(col), bins=bins, lo=lo, hi=hi)
-    h = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(F.col(by), b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    rh = (
-        (ref if ref is not None else df)
-        .where(F.col(col).isNotNull())
-        .groupBy(b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n_ref"))
-    )
+    h, rh = _group_hists(df, col, by, bins=bins, lo=lo, hi=hi, ref=ref)
     j = _group_grid(h, rh, by).where(F.col("n_ref") > 0)
     e = F.col("tg") * F.col("n_ref") / F.col("tr")
     return j.groupBy(by).agg(

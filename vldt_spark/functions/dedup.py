@@ -567,8 +567,9 @@ def paragraph_dedup(
 
     Returns one row per input document: (id_col, text_col cleaned with
     paragraph order preserved, ``n_paras``, ``n_removed``). A document
-    whose every paragraph is removed survives with empty text, so the
-    output cardinality equals the input's.
+    whose every paragraph is removed survives with EMPTY text; a
+    NULL-text document survives with NULL text and n_paras = 0 — output
+    cardinality always equals the input's.
 
     Scale: the only corpus-wide state is an aggregate keyed on the 64-bit
     paragraph hash (map-side combine; count-distinct is Spark's two-stage
@@ -588,17 +589,27 @@ def paragraph_dedup(
         raise ValueError(f"paragraph_dedup: min_docs must be >= 2, got {min_docs}")
 
     # F.split takes a Java regex — \Q...\E quotes the separator so any
-    # literal delimiter works (".", "||", ...), not just regex-safe ones
+    # literal delimiter works (".", "||", ...), not just regex-safe ones.
+    # posexplode_OUTER keeps NULL-text documents as a single null-paragraph
+    # row (plain posexplode would drop them, breaking the one-row-per-
+    # input-document invariant); the null paragraph gets a null hash on
+    # both hash paths, is never counted, removed, or emitted, and the
+    # document comes back with NULL text and n_paras = 0.
+    para_norm = F.lower(F.trim(F.col("__para")))
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(
+        F.posexplode_outer(
             F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
         ).alias("__pos", "__para"),
-    ).withColumn("__ph", _hash64(F.lower(F.trim(F.col("__para"))), seed, hash_fn))
+    ).withColumn(
+        "__ph",
+        F.when(F.col("__para").isNotNull(), _hash64(para_norm, seed, hash_fn)),
+    )
 
     if mode == "boilerplate":
         drop_set = (
-            paras.groupBy("__ph")
+            paras.where(F.col("__ph").isNotNull())
+            .groupBy("__ph")
             .agg(F.countDistinct(id_col).alias("__nd"))
             .where(F.col("__nd") >= min_docs)
             .select("__ph", F.lit(True).alias("__boiler"))
@@ -607,24 +618,30 @@ def paragraph_dedup(
             "__rm", F.coalesce(F.col("__boiler"), F.lit(False))
         )
     else:
-        firsts = paras.groupBy("__ph").agg(
+        firsts = paras.where(F.col("__ph").isNotNull()).groupBy("__ph").agg(
             F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias("__f")
         )
-        marked = paras.join(firsts, "__ph").withColumn(
+        marked = paras.join(firsts, "__ph", "left").withColumn(
             "__rm",
-            ~((F.col("__f.i") == F.col(id_col)) & (F.col("__f.p") == F.col("__pos"))),
+            F.when(F.col("__f").isNull(), F.lit(False)).otherwise(
+                ~((F.col("__f.i") == F.col(id_col)) & (F.col("__f.p") == F.col("__pos")))
+            ),
         )
 
     kept_struct = F.when(
-        ~F.col("__rm"), F.struct(F.col("__pos"), F.col("__para"))
+        ~F.col("__rm") & F.col("__para").isNotNull(),
+        F.struct(F.col("__pos"), F.col("__para")),
     )
     return marked.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["__para"]
+        F.when(
+            F.count("__para") > 0,
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["__para"]
+                ),
+                sep,
             ),
-            sep,
         ).alias(text_col),
-        F.count(F.lit(1)).alias("n_paras"),
+        F.count("__para").alias("n_paras"),
         F.sum(F.col("__rm").cast("long")).alias("n_removed"),
     )

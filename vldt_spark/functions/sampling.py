@@ -14,6 +14,13 @@ on any cluster, any partitioning, any retry:
 ``hash_fn="md5"`` uses the portable 60-bit md5-prefix hash (see
 functions/dedup._hash64) so the oracle gate value-checks both operators
 against DuckDB.
+
+COMPOSITION RULE: when chaining these operators on the same key column,
+give each stage a DISTINCT ``seed``. A shared seed makes every stage see
+the identical per-row hash, so decisions correlate completely — e.g.
+rows surviving a 30% downsample all hash below 0.3 and would then all
+land in a 98% 'train' split's first bucket, starving val/test
+(jobs/build_corpus.py passes per-stage seeds for exactly this reason).
 """
 
 from __future__ import annotations
@@ -123,6 +130,18 @@ def temperature_sample(
     Acceptance is decided by the row's key hash against floor(r_s · 10^6),
     so the sample is reproducible on any cluster, partitioning, or retry.
 
+    Rows with a NULL group are dropped (they belong to no source, so no
+    rate exists for them) and excluded from the totals, mirroring
+    ``importance_sample``'s treatment of undefined weights.
+
+    When composing with other hash-keyed operators on the SAME key
+    (``split_assign``, ``stratified_cap``, ``deterministic_sample``),
+    pass DISTINCT ``seed`` values per stage: with a shared seed the
+    per-row hash is identical across stages, so e.g. every mixture
+    survivor of a downsampled source would land in the first split
+    (their hashes all sit below the acceptance threshold) — fully
+    correlated decisions where independent ones were intended.
+
     Scale: two tiny aggregates (per-source counts, then their 1-row
     totals) feed a rates table of |sources| rows that is explicitly
     broadcast back onto the fact scan — the fact table itself is never
@@ -135,6 +154,7 @@ def temperature_sample(
         raise ValueError(
             f"temperature_sample: target_fraction must be in (0, 1], got {target_fraction}"
         )
+    df = df.where(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
     totals = counts.agg(
         F.sum("__cnt").alias("__tot"),
