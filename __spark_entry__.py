@@ -1777,23 +1777,33 @@ WITH dirty AS (
                  ELSE '' END AS text
   FROM documents
 ), paras AS (
+  -- mirrors posexplode_OUTER: a NULL-text doc contributes one null row
   SELECT doc_id,
          CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos,
          unnest(arr) AS para
   FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM dirty)
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+  FROM dirty WHERE text IS NULL
 ), hashed AS (
   SELECT doc_id, pos, para,
-         CAST(('0x' || substr(md5(lower(trim(para)) || '#0'), 1, 15)) AS BIGINT) AS ph
+         CASE WHEN para IS NOT NULL THEN
+           CAST(('0x' || substr(md5(lower(trim(para)) || '#0'), 1, 15)) AS BIGINT)
+         END AS ph
   FROM paras
 ), boiler AS (
   SELECT ph FROM (SELECT ph, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY ph)
   WHERE nd >= 2
 ), marked AS (
-  SELECT doc_id, pos, para, ph IN (SELECT ph FROM boiler) AS rm FROM hashed
+  SELECT doc_id, pos, para,
+         coalesce(ph IN (SELECT ph FROM boiler), FALSE) AS rm
+  FROM hashed
 )
 SELECT doc_id,
-       coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
-       CAST(count(*) AS BIGINT) AS n_paras,
+       CASE WHEN count(para) > 0 THEN
+         coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '')
+       END AS text,
+       CAST(count(para) AS BIGINT) AS n_paras,
        CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM marked GROUP BY doc_id
 """
@@ -1822,22 +1832,32 @@ WITH dirty AS (
                  ELSE '' END AS text
   FROM documents
 ), paras AS (
+  -- mirrors posexplode_OUTER: a NULL-text doc contributes one null row
   SELECT doc_id,
          CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos,
          unnest(arr) AS para
   FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM dirty)
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+  FROM dirty WHERE text IS NULL
 ), hashed AS (
   SELECT doc_id, pos, para,
-         CAST(('0x' || substr(md5(lower(trim(para)) || '#0'), 1, 15)) AS BIGINT) AS ph
+         CASE WHEN para IS NOT NULL THEN
+           CAST(('0x' || substr(md5(lower(trim(para)) || '#0'), 1, 15)) AS BIGINT)
+         END AS ph
   FROM paras
 ), marked AS (
   SELECT doc_id, pos, para,
-         row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) > 1 AS rm
+         CASE WHEN para IS NULL THEN FALSE
+              ELSE row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) > 1
+         END AS rm
   FROM hashed
 )
 SELECT doc_id,
-       coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
-       CAST(count(*) AS BIGINT) AS n_paras,
+       CASE WHEN count(para) > 0 THEN
+         coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '')
+       END AS text,
+       CAST(count(para) AS BIGINT) AS n_paras,
        CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM marked GROUP BY doc_id
 """

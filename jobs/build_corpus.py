@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="target corpus fraction for the mixture stage")
     ap.add_argument("--master", default=os.environ.get("VLDT_MASTER"))
     args = ap.parse_args(argv)
+    if args.para_min_docs < 0 or args.para_min_docs == 1:
+        ap.error(
+            "--para-min-docs must be 0 (skip the stage) or >= 2; "
+            "1 would drop every paragraph (each appears in >= 1 doc)"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -127,11 +132,6 @@ def main(argv: list[str] | None = None) -> int:
     # through the paragraph explode. Runs BEFORE near dedup: stripping
     # shared boilerplate stops it from inflating MinHash similarity.
     n_paragraphs = None
-    if args.para_min_docs == 1:
-        raise SystemExit(
-            "build_corpus: --para-min-docs 1 would drop every paragraph "
-            "(each appears in >= 1 doc); use 0 to skip the stage or >= 2"
-        )
     if args.para_min_docs >= 2:
         from vldt_spark.functions.dedup import paragraph_dedup
 
@@ -169,11 +169,9 @@ def main(argv: list[str] | None = None) -> int:
         n_decontaminated = kept.count()
 
     # 6. per-domain cap
-    # Hash-keyed stages get DISTINCT seeds: with a shared seed every stage
-    # sees the identical per-row hash, so a doc surviving the mixture
-    # downsample (hash below its source's threshold) would also always land
-    # below the train-split threshold — val/test would be drawn only from
-    # rate-saturated sources (see functions/sampling module docstring).
+    # Distinct seeds per hash-keyed stage — the composition rule in the
+    # functions/sampling module docstring (shared seeds correlate stage
+    # decisions completely).
     capped = stratified_cap(kept, "source", args.cap_per_source, "doc_id", seed=11)
 
     # 6b. temperature-weighted mixture rebalancing (optional): flattens

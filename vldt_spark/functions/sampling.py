@@ -134,13 +134,9 @@ def temperature_sample(
     rate exists for them) and excluded from the totals, mirroring
     ``importance_sample``'s treatment of undefined weights.
 
-    When composing with other hash-keyed operators on the SAME key
-    (``split_assign``, ``stratified_cap``, ``deterministic_sample``),
-    pass DISTINCT ``seed`` values per stage: with a shared seed the
-    per-row hash is identical across stages, so e.g. every mixture
-    survivor of a downsampled source would land in the first split
-    (their hashes all sit below the acceptance threshold) — fully
-    correlated decisions where independent ones were intended.
+    When composing with the other hash-keyed operators on the same key,
+    pass distinct ``seed`` values per stage — see the COMPOSITION RULE in
+    the module docstring.
 
     Scale: two tiny aggregates (per-source counts, then their 1-row
     totals) feed a rates table of |sources| rows that is explicitly
