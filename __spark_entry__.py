@@ -1400,11 +1400,12 @@ WITH h AS (
   SELECT bin,
          sum(nc) OVER (ORDER BY bin) AS cc,
          sum(nv) OVER (ORDER BY bin) AS cv,
+         COALESCE(lead(bin) OVER (ORDER BY bin) - bin, 1) AS gap,
          (SELECT sum(nc) FROM rc) AS tc,
          (SELECT sum(nv) FROM rc) AS tv
   FROM rc
 )
-SELECT round(sum(abs(CAST(cc AS DOUBLE) / tc - CAST(cv AS DOUBLE) / tv) * 22.5), 6) AS w1
+SELECT round(sum(abs(CAST(cc AS DOUBLE) / tc - CAST(cv AS DOUBLE) / tv) * gap * 22.5), 6) AS w1
 FROM c
 """
 
@@ -1514,10 +1515,11 @@ WITH h AS (
 ), c AS (
   SELECT event_type,
          sum(n_ref) OVER (PARTITION BY event_type ORDER BY bin) / tr AS cr,
-         sum(n) OVER (PARTITION BY event_type ORDER BY bin) / tg AS cc
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) / tg AS cc,
+         COALESCE(lead(bin) OVER (PARTITION BY event_type ORDER BY bin) - bin, 1) AS gap
   FROM t
 )
-SELECT event_type, round(sum(abs(cr - cc) * 22.5), 6) AS w1 FROM c GROUP BY event_type
+SELECT event_type, round(sum(abs(cr - cc) * gap * 22.5), 6) AS w1 FROM c GROUP BY event_type
 """
 
 

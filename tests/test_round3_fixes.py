@@ -383,3 +383,46 @@ def test_js_chi2_by_group_consistency(spark):
     whole_chi2 = chi2_from_histograms(h, h).first()["chi2"]
     grp_chi2 = chi2_by_group(one, "v", "g", bins=10, lo=0.0, hi=150.0).first()["chi2"]
     assert grp_chi2 == 0.0 and whole_chi2 == 0.0
+
+
+def test_wasserstein_exact_on_gapped_supports(spark):
+    """W1 weights each observed bin's |dCDF| by the gap to the next
+    observed bin: a full-range shift (all ref mass in bin 0, all current
+    mass in bin 19) scores 19 bin widths, not 1."""
+    from pyspark.sql import functions as F
+
+    from vldt_spark.checks.drift import (
+        wasserstein_by_group,
+        wasserstein_from_histograms,
+    )
+
+    h_ref = spark.createDataFrame([(0, 100)], "bin int, n long")
+    h_cur = spark.createDataFrame([(19, 100)], "bin int, n long")
+    w1 = wasserstein_from_histograms(h_ref, h_cur, bin_width=1.0).first()["w1"]
+    assert w1 == 19.0
+
+    # by-group twin: group 'far' at value ~195 (bin 19), reference is the
+    # whole table dominated by 'near' at ~5 (bin 0)
+    df = spark.range(200).select(
+        F.when(F.col("id") % 2 == 0, F.lit("near")).otherwise(F.lit("far")).alias("g"),
+        F.when(F.col("id") % 2 == 0, F.lit(5.0)).otherwise(F.lit(195.0)).alias("v"),
+    )
+    out = {r["g"]: r["w1"] for r in wasserstein_by_group(df, "v", "g", bins=20, lo=0.0, hi=200.0).collect()}
+    # each group's CDF differs from the 50/50 mix by 0.5 across the full
+    # 19-bin gap: W1 = 0.5 * 19 * 10.0 = 95.0
+    assert out["near"] == 95.0 and out["far"] == 95.0
+
+
+def test_chi2_null_on_empty_current_and_bin_expr_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vldt_spark.checks.drift import bin_expr, chi2_from_histograms
+
+    h_ref = spark.createDataFrame([(0, 10), (1, 10)], "bin int, n long")
+    h_cur = spark.createDataFrame([], "bin int, n long")
+    row = chi2_from_histograms(h_ref, h_cur).first()
+    assert row["chi2"] is None  # undefined, not a DIVIDE_BY_ZERO crash
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        bin_expr(F.col("x"), bins=10, lo=5.0, hi=5.0)

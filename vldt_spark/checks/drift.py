@@ -20,7 +20,12 @@ def bin_expr(col, *, bins: int, lo: float, hi: float):
     """THE fixed-width binning expression — one formula shared by every
     batch histogram/PSI/KS check and the streaming monitors, so their bin
     values stay comparable by construction. Bin i covers
-    [lo + i*w, lo + (i+1)*w); values == hi land in the last bin."""
+    [lo + i*w, lo + (i+1)*w); values == hi land in the last bin.
+    Rejects hi <= lo loudly: a zero/negative bin width is an ANSI
+    divide-by-zero deep in the executors otherwise (histogram() bumps a
+    degenerate hi itself; direct callers get this guard)."""
+    if hi <= lo:
+        raise ValueError(f"bin_expr: need hi > lo, got lo={lo}, hi={hi}")
     w = (hi - lo) / bins
     return F.least(
         F.greatest(F.floor((col - F.lit(lo)) / F.lit(w)), F.lit(0)),
@@ -142,12 +147,18 @@ def chi2_from_histograms(h_ref: DataFrame, h_cur: DataFrame) -> DataFrame:
     sum((n_cur - E)^2 / E) with E = total_cur * n_ref / total_ref.
     Bins with n_ref = 0 are excluded (their expectation is undefined —
     standard practice; pair with PSI, whose eps smoothing covers
-    out-of-support mass). Tiny-input op; 1-row DataFrame (chi2: double)."""
+    out-of-support mass). An EMPTY current histogram (tc = 0) yields a
+    NULL chi2 — the statistic is undefined there, and the filter keeps
+    ANSI mode from raising 0/0 mid-job (the hardening _paired_probs and
+    ks already have). Tiny-input op; 1-row DataFrame (chi2: double)."""
     r = h_ref.groupBy("bin").agg(F.sum("n").alias("n_ref"))
     c = h_cur.groupBy("bin").agg(F.sum("n").alias("n_cur"))
     j = r.join(c, "bin", "full_outer").fillna(0, subset=["n_ref", "n_cur"])
     tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
-    j = j.crossJoin(F.broadcast(tot)).where(F.col("n_ref") > 0)
+    j = (
+        j.crossJoin(F.broadcast(tot))
+        .where((F.col("n_ref") > 0) & (F.col("tc") > 0))
+    )
     e = F.col("tc") * F.col("n_ref") / F.col("tr")
     return j.agg(
         F.round(F.sum((F.col("n_cur") - e) * (F.col("n_cur") - e) / e), 6).alias("chi2")
@@ -162,6 +173,12 @@ def wasserstein_from_histograms(
     (e.g. "the token-length distribution moved ~14 tokens"), which PSI/KL
     cannot express. Same shape as ``ks_from_histograms`` — the window
     cumulative sum runs over bin-cardinality rows only.
+
+    Supports with HOLES are handled exactly: the CDF difference is
+    constant across unobserved bins, so each observed bin's |ΔCDF| is
+    weighted by the gap to the NEXT observed bin (lead(bin) - bin) — a
+    ref-at-bin-0 vs cur-at-bin-19 shift scores the full 19 bin widths,
+    not one (summing only materialized rows understates W1 ~19×).
     Returns a 1-row DataFrame (w1: double)."""
     from pyspark.sql import Window
 
@@ -171,12 +188,16 @@ def wasserstein_from_histograms(
     tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
     j = j.crossJoin(F.broadcast(tot))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.coalesce(F.lead("bin").over(Window.orderBy("bin")) - F.col("bin"), F.lit(1))
     cdf = j.select(
         F.coalesce(F.try_divide(F.sum("n_ref").over(w), F.col("tr")), F.lit(0.0)).alias("cr"),
         F.coalesce(F.try_divide(F.sum("n_cur").over(w), F.col("tc")), F.lit(0.0)).alias("cc"),
+        gap.alias("gap"),
     )
     return cdf.agg(
-        F.round(F.sum(F.abs(F.col("cr") - F.col("cc")) * F.lit(bin_width)), 6).alias("w1")
+        F.round(
+            F.sum(F.abs(F.col("cr") - F.col("cc")) * F.col("gap") * F.lit(bin_width)), 6
+        ).alias("w1")
     )
 
 
@@ -343,13 +364,23 @@ def wasserstein_by_group(
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # weight each observed bin's |ΔCDF| by the gap to the group's next
+    # observed bin — exact W1 on supports with holes (see
+    # wasserstein_from_histograms)
+    gap = F.coalesce(
+        F.lead("bin").over(Window.partitionBy(by).orderBy("bin")) - F.col("bin"),
+        F.lit(1),
+    )
     cdf = j.select(
         F.col(by),
         (F.sum("n_ref").over(win) / F.col("tr")).alias("cr"),
         (F.sum("n").over(win) / F.col("tg")).alias("cc"),
+        gap.alias("gap"),
     )
     return cdf.groupBy(by).agg(
-        F.round(F.sum(F.abs(F.col("cr") - F.col("cc")) * F.lit(bin_width)), 6).alias("w1")
+        F.round(
+            F.sum(F.abs(F.col("cr") - F.col("cc")) * F.col("gap") * F.lit(bin_width)), 6
+        ).alias("w1")
     )
 
 
