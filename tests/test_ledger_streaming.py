@@ -392,3 +392,46 @@ def test_stream_centroid_drift_matches_batch(spark, tmp_path):
     b = embedding_drift(day2.select("emb"), ref, vec_col="emb").first()
     assert abs(rows["2026-01-02"]["centroid_l2"] - b["centroid_l2"]) < 1e-9
     assert abs(b["centroid_l2"] - (5.0 ** 0.5)) < 1e-6
+
+
+def test_stream_centroid_cosine_matches_batch_under_null_elements(spark, tmp_path):
+    """With null vector ELEMENTS the per-position counts differ, so a
+    sum-based cosine would diverge from the batch check; the mean-based
+    cosine agrees exactly."""
+    import math
+    import uuid
+
+    from vldt_spark.checks.drift import embedding_drift
+    from vldt_spark.streaming.drift_stream import stream_centroid_drift
+
+    src = str(tmp_path / "cent_null_src")
+    # position 0 present in both rows, position 1 only in the second:
+    # mean = (2.0, 4.0); sum = (4.0, 4.0) — different directions
+    day = spark.createDataFrame(
+        [("2026-01-01 10:00:00", [1.0, None]), ("2026-01-01 11:00:00", [3.0, 4.0])],
+        "ts string, emb array<float>",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "emb")
+    day.coalesce(1).write.parquet(src)
+    ref = spark.createDataFrame([([1.0, 1.0],)], "emb array<float>")
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    name = f"t_cent_null_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_centroid_drift(stream, ref, "emb", "ts", window="1 day")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [("2026-02-01 10:00:00", [1.0, 1.0])], "ts string, emb array<float>"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "emb").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = [r for r in spark.table(name).collect() if str(r["window_start"])[:7] == "2026-01"][0]
+    b = embedding_drift(day.select("emb"), ref, vec_col="emb").first()
+    # mean (2,4) vs ref (1,1): cos = 6/(sqrt(20)*sqrt(2)); sum-based would
+    # give 8/(sqrt(32)*sqrt(2)) = 1.0 — the bug this test pins
+    expected = 6.0 / (math.sqrt(20.0) * math.sqrt(2.0))
+    assert abs(got["centroid_cosine"] - expected) < 1e-6
+    assert abs(got["centroid_cosine"] - b["centroid_cosine"]) < 1e-6

@@ -219,7 +219,10 @@ def _ref_centroid(ref: DataFrame, vec_col: str) -> dict[int, float]:
         .agg(F.avg("v").alias("r"))
         .collect()
     )
-    return {int(r["pos"]): float(r["r"]) for r in rows}
+    # a position null in EVERY reference vector has no mean — treat it as
+    # absent (0 contribution), matching the batch check where null
+    # products drop out of the sums; float(None) would crash here
+    return {int(r["pos"]): float(r["r"]) for r in rows if r["r"] is not None}
 
 
 def stream_centroid_drift(
@@ -239,10 +242,12 @@ def stream_centroid_drift(
     each vector into dim (pos, v) rows that the first stateful agg
     partial-combines into per-(window, pos) (sum, count) — state
     |windows in flight| x dim — and the second chained agg folds each
-    window's dim entries into one row. The cosine uses the SUM vector
-    (the count scales out of cosine algebraically); L2 divides per
-    position by that position's own count, so vectors with null elements
-    stay consistent with the batch check. Returns a streaming frame
+    window's dim entries into one row. Cosine AND L2 both use the
+    per-position MEAN (sum / that position's own count): with null vector
+    elements the counts differ by position, so the sum vector is not a
+    scalar multiple of the mean vector and a sum-based cosine would
+    diverge from the batch ``embedding_drift`` — means keep the two
+    checks verdict-identical on the same data. Returns a streaming frame
     (window_start, window_end, n_rows, centroid_cosine, centroid_l2);
     append mode — rows emit when the watermark closes a window. Cosine
     is null for a zero window-centroid (try_divide semantics).
@@ -274,9 +279,6 @@ def stream_centroid_drift(
         ).alias("m"),
     )
 
-    def s_at(i: int) -> Column:
-        return F.coalesce(F.col("m").getItem(i).getField("s"), F.lit(0.0))
-
     def mean_at(i: int) -> Column:
         # per-position count: consistent with embedding_drift under null
         # vector elements; try_divide keeps a missing position null-safe
@@ -294,8 +296,8 @@ def stream_centroid_drift(
             expr = expr + t
         return expr
 
-    dot = fold([s_at(i) * F.lit(rc.get(i, 0.0)) for i in range(dim)])
-    ss = fold([s_at(i) * s_at(i) for i in range(dim)])
+    dot = fold([mean_at(i) * F.lit(rc.get(i, 0.0)) for i in range(dim)])
+    ss = fold([mean_at(i) * mean_at(i) for i in range(dim)])
     sq = fold(
         [F.pow(mean_at(i) - F.lit(rc.get(i, 0.0)), F.lit(2)) for i in range(dim)]
     )
