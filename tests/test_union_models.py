@@ -108,3 +108,49 @@ def test_union_of_models_typed_struct_output(spark):
     }
     assert got[1]["v"] == "Cat" and got[1]["meows"] == 3 and got[1]["dog"] is None
     assert got[2]["v"] == "Dog" and got[2]["barks"] == 2 and got[2]["cat"] is None
+
+
+def test_mixed_union_model_and_scalar(spark):
+    """Union[Model, int]: scalar sources resolve through the typed scalar
+    arm (as_int), struct sources through the model arm — previously scalar
+    arms were dropped from the variant struct and a scalar source crashed
+    at plan time (AnalysisException casting BIGINT to STRUCT)."""
+    from typing import Union
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+
+    class MxArticle(Model):
+        title: str = Field(not_null=True)
+        words: int
+
+    globals()["MxArticle"] = MxArticle
+
+    class MxDoc(Model):
+        rid: int
+        payload: Union[MxArticle, int]
+
+    globals()["MxDoc"] = MxDoc
+
+    # scalar source
+    df = spark.createDataFrame([(1, 42)], "rid int, payload long")
+    row = ValidationEngine(MxDoc).run(df, id_cols=["rid"]).annotated.first()
+    assert row["payload"]["__variant"] == "int"
+    assert row["payload"]["as_int"] == 42
+    assert row["payload"]["as_MxArticle"] is None
+    assert row["is_valid"] is True
+
+    # struct source: the model arm wins, scalar arm stays null
+    df2 = spark.createDataFrame(
+        [(2, ("hi", 3))], "rid int, payload struct<title:string, words:long>"
+    )
+    row2 = ValidationEngine(MxDoc).run(df2, id_cols=["rid"]).annotated.first()
+    assert row2["payload"]["__variant"] == "MxArticle"
+    assert row2["payload"]["as_MxArticle"]["title"] == "hi"
+    assert row2["payload"]["as_int"] is None
+
+    # unresolvable scalar -> violation naming every declared branch
+    df3 = spark.createDataFrame([(3, "nope")], "rid int, payload string")
+    v = ValidationEngine(MxDoc).run(df3, id_cols=["rid"]).violations().first()
+    assert v["path"] == "payload" and "MxArticle | int" in v["msg"]

@@ -465,52 +465,86 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
     target = spark_type(node)
 
     model_cands = [s for s in node.args if s.is_model]
-    if model_cands and isinstance(src_dtype, T.StructType):
-        # union-of-models: candidates probed in DECLARED order; the first
-        # model whose required fields are all present and non-null wins
-        # (order-sensitivity: tests/test_vldt.py:786-818). Output is the
-        # TYPED variant struct ``struct<__variant, as_<Model>...>`` —
-        # exactly one as_* branch is populated, with the winner's fields
-        # coerced to the model's column types, so callers stay columnar.
-        matches = []
-        for sub in model_cands:
-            compiled = sub.model_cls.__vldt_compile__()
-            conds = []
-            for spec in compiled.fields:
-                if spec.required:
+    if model_cands:
+        # union containing models: candidates probed in DECLARED order; the
+        # first branch that matches wins (order-sensitivity:
+        # tests/test_vldt.py:786-818). Output is the TYPED variant struct
+        # ``struct<__variant, as_<Model>..., as_<scalar>...>`` — exactly one
+        # as_* arm is populated, so callers stay columnar. A model arm
+        # matches a STRUCT source whose required fields are all present and
+        # non-null; a scalar arm matches a non-struct source whose value
+        # try_casts to it (MIXED unions like Union[Article, int] previously
+        # dropped scalar arms and crashed at plan time on scalar input).
+        is_struct_src = isinstance(src_dtype, T.StructType)
+        arms = []  # (arm_name, match_cond, arm_field, value_builder, arm_type)
+        for sub in node.args:
+            if sub.is_model:
+                struct_t = sub.model_cls.__vldt_struct__()
+                if not is_struct_src:
+                    arms.append(
+                        (
+                            sub.model_cls.__name__,
+                            F.lit(False),
+                            f"as_{sub.model_cls.__name__}",
+                            F.lit(None).cast(struct_t),
+                            struct_t,
+                        )
+                    )
+                    continue
+                compiled = sub.model_cls.__vldt_compile__()
+                conds = []
+                for spec in compiled.fields:
+                    if spec.required:
+                        names = spec.field.aliases + [spec.name]
+                        present = [n for n in names if n in src_dtype.names]
+                        if not present:
+                            conds.append(F.lit(False))
+                            break
+                        conds.append(src[present[0]].isNotNull())
+                cond = F.lit(True)
+                for c in conds:
+                    cond = cond & c
+                sub_parts = []
+                for spec in compiled.fields:
                     names = spec.field.aliases + [spec.name]
                     present = [n for n in names if n in src_dtype.names]
-                    if not present:
-                        conds.append(F.lit(False))
-                        break
-                    conds.append(src[present[0]].isNotNull())
-            cond = F.lit(True)
-            for c in conds:
-                cond = cond & c
-            matches.append((sub, cond))
+                    val = (
+                        src[present[0]].try_cast(spec.dtype)
+                        if present
+                        else F.lit(None).cast(spec.dtype)
+                    )
+                    sub_parts.append(val.alias(spec.name))
+                arms.append(
+                    (
+                        sub.model_cls.__name__,
+                        cond,
+                        f"as_{sub.model_cls.__name__}",
+                        F.struct(*sub_parts),
+                        struct_t,
+                    )
+                )
+            else:
+                sub_t = spark_type(sub)
+                if is_struct_src:
+                    arms.append(
+                        (sub.py_name, F.lit(False), f"as_{sub.py_name}",
+                         F.lit(None).cast(sub_t), sub_t)
+                    )
+                else:
+                    attempt = src if src_dtype == sub_t else src.try_cast(sub_t)
+                    arms.append(
+                        (sub.py_name, attempt.isNotNull(), f"as_{sub.py_name}",
+                         attempt.cast(sub_t), sub_t)
+                    )
         variant = F.lit(None).cast("string")
-        for sub, cond in reversed(matches):
-            variant = F.when(cond, F.lit(sub.model_cls.__name__)).otherwise(variant)
+        for name, cond, _, _, _ in reversed(arms):
+            variant = F.when(cond, F.lit(name)).otherwise(variant)
         parts = [variant.alias("__variant")]
-        for sub, cond in matches:
-            compiled = sub.model_cls.__vldt_compile__()
-            struct_t = sub.model_cls.__vldt_struct__()
-            sub_parts = []
-            for spec in compiled.fields:
-                names = spec.field.aliases + [spec.name]
-                present = [n for n in names if n in src_dtype.names]
-                val = (
-                    src[present[0]].try_cast(spec.dtype)
-                    if present
-                    else F.lit(None).cast(spec.dtype)
-                )
-                sub_parts.append(val.alias(spec.name))
+        for name, _, field_name, value, arm_t in arms:
             parts.append(
-                F.when(
-                    variant == sub.model_cls.__name__, F.struct(*sub_parts)
-                )
-                .otherwise(F.lit(None).cast(struct_t))
-                .alias(f"as_{sub.model_cls.__name__}")
+                F.when(variant == name, value)
+                .otherwise(F.lit(None).cast(arm_t))
+                .alias(field_name)
             )
         coerced = F.when(src.isNull(), F.lit(None).cast(target)).otherwise(
             F.struct(*parts)
@@ -519,7 +553,9 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
         viols = violation_if(
             src.isNotNull() & variant.isNull(),
             _p(path),
-            expected_type_msg(names_str, "dict"),
+            expected_type_msg(
+                names_str, "dict" if is_struct_src else src_dtype.simpleString()
+            ),
         )
         return coerced, viols
 

@@ -193,6 +193,10 @@ def spark_type(node: TypeNode) -> T.DataType:
         # the winner's fields columnar, no re-parsing (the round-2 JSON-tag
         # representation required json_tuple on every access)
         if any(a.is_model for a in node.args):
+            # MIXED unions (Union[Model, int, ...]) get scalar arms too
+            # (``as_int`` etc.) so every declared branch has a typed slot;
+            # previously scalar branches were silently dropped and a scalar
+            # source crashed at plan time casting to the struct
             fields = [T.StructField("__variant", T.StringType(), True)]
             for a in node.args:
                 if a.is_model:
@@ -202,6 +206,10 @@ def spark_type(node: TypeNode) -> T.DataType:
                             a.model_cls.__vldt_struct__(),
                             True,
                         )
+                    )
+                else:
+                    fields.append(
+                        T.StructField(f"as_{a.py_name}", spark_type(a), True)
                     )
             return T.StructType(fields)
         # scalar union stored as the first candidate's type when homogeneous
