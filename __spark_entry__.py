@@ -3432,7 +3432,10 @@ WITH refc AS (
 )
 SELECT window_epoch,
        CAST(max(c) AS BIGINT) AS n_rows,
-       round(sum(s * r) / sqrt(sum(s * s) * sum(r * r)), 6) AS centroid_cosine,
+       -- mean-based cosine, matching the library (sum-based diverges when
+       -- null elements make per-position counts differ)
+       round(sum((s / c) * r) / sqrt(sum((s / c) * (s / c)) * sum(r * r)), 6)
+         AS centroid_cosine,
        round(sqrt(sum(pow(s / c - r, 2))), 6) AS centroid_l2
 FROM cur JOIN refc USING (i)
 GROUP BY window_epoch

@@ -435,3 +435,52 @@ def test_stream_centroid_cosine_matches_batch_under_null_elements(spark, tmp_pat
     expected = 6.0 / (math.sqrt(20.0) * math.sqrt(2.0))
     assert abs(got["centroid_cosine"] - expected) < 1e-6
     assert abs(got["centroid_cosine"] - b["centroid_cosine"]) < 1e-6
+
+
+def test_stream_centroid_all_null_positions_match_batch(spark, tmp_path):
+    """The two all-null-position corners: (a) a position null in EVERY
+    reference vector still counts the window mean² in the cosine
+    denominator (batch: c·c never touches r); (b) a position null in
+    every WINDOW vector drops out of L2 (batch: pow(c-r,2) is null and
+    the sum skips it). Both must equal the batch numbers exactly."""
+    import uuid
+
+    from vldt_spark.checks.drift import embedding_drift
+    from vldt_spark.streaming.drift_stream import stream_centroid_drift
+
+    def run_pair(tag, cur_rows, ref_rows):
+        src = str(tmp_path / f"cn_{tag}")
+        cur = spark.createDataFrame(
+            [("2026-01-01 10:00:00", v) for v in cur_rows], "ts string, emb array<float>"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "emb")
+        cur.coalesce(1).write.parquet(src)
+        ref = spark.createDataFrame([(v,) for v in ref_rows], "emb array<float>")
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        name = f"cn_{tag}_{uuid.uuid4().hex[:6]}"
+        q = (
+            stream_centroid_drift(stream, ref, "emb", "ts", window="1 day")
+            .writeStream.outputMode("append").format("memory").queryName(name).start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("2026-03-01 10:00:00", ref_rows[0])], "ts string, emb array<float>"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "emb").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        got = [r for r in spark.table(name).collect() if str(r["window_start"])[:7] == "2026-01"][0]
+        b = embedding_drift(cur.select("emb"), ref, vec_col="emb").first()
+        return got, b
+
+    # (a) trailing all-null ref position: batch cosine 3/(5*1) = 0.6
+    got, b = run_pair("refnull", [[3.0, 4.0]], [[1.0, None]])
+    assert abs(b["centroid_cosine"] - 0.6) < 1e-9
+    assert abs(got["centroid_cosine"] - b["centroid_cosine"]) < 1e-9
+    assert abs(got["centroid_l2"] - b["centroid_l2"]) < 1e-9
+
+    # (b) window all-null at a ref-non-null position: batch L2 skips it
+    got2, b2 = run_pair("curnull", [[3.0, None]], [[1.0, 1.0]])
+    assert abs(b2["centroid_l2"] - 2.0) < 1e-9  # only |3-1| contributes
+    assert abs(got2["centroid_l2"] - b2["centroid_l2"]) < 1e-9
+    assert abs(got2["centroid_cosine"] - b2["centroid_cosine"]) < 1e-9

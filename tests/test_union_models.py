@@ -154,3 +154,58 @@ def test_mixed_union_model_and_scalar(spark):
     df3 = spark.createDataFrame([(3, "nope")], "rid int, payload string")
     v = ValidationEngine(MxDoc).run(df3, id_cols=["rid"]).violations().first()
     assert v["path"] == "payload" and "MxArticle | int" in v["msg"]
+
+
+def test_union_duplicate_arm_names_rejected(spark):
+    """Two non-model branches with the same type name (e.g. two list
+    arms) would collide on one as_list slot — rejected at compile time
+    with guidance instead of an ambiguous struct."""
+    from typing import List, Union
+
+    import pytest as _pytest
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.model import Model
+
+    class DupArticle(Model):
+        title: str
+
+    globals()["DupArticle"] = DupArticle
+
+    class DupDoc(Model):
+        rid: int
+        payload: Union[DupArticle, List[int], List[str]]
+
+    globals()["DupDoc"] = DupDoc
+
+    df = spark.createDataFrame([(1, [1, 2])], "rid int, payload array<long>")
+    with _pytest.raises(ValueError, match="distinct variant slots"):
+        ValidationEngine(DupDoc).run(df, id_cols=["rid"])
+
+
+def test_mixed_union_complex_source_violates_not_crashes(spark):
+    """An array/map source against Union[Model, int] yields a violation
+    row — scalar arms only match atomic sources (try_cast(array->bigint)
+    is a plan-time AnalysisException otherwise; try_cast(map->string)
+    would silently stringify)."""
+    from typing import Union
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.model import Model
+
+    class CxArticle(Model):
+        title: str
+
+    globals()["CxArticle"] = CxArticle
+
+    class CxDoc(Model):
+        rid: int
+        payload: Union[CxArticle, int]
+
+    globals()["CxDoc"] = CxDoc
+
+    df = spark.createDataFrame([(1, [1, 2])], "rid int, payload array<long>")
+    res = ValidationEngine(CxDoc).run(df, id_cols=["rid"])
+    v = res.violations().first()
+    assert v["path"] == "payload"
+    assert "Expected type CxArticle | int, got list" in v["msg"]

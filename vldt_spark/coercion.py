@@ -525,7 +525,15 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
                 )
             else:
                 sub_t = spark_type(sub)
-                if is_struct_src:
+                # scalar arms match only ATOMIC sources: a struct can never
+                # be a scalar, and array/map sources must fall through to a
+                # violation — try_cast(array -> bigint) is a plan-time
+                # AnalysisException, and try_cast(map -> string) would
+                # silently stringify '{1 -> 2}' into a str arm
+                complex_src = isinstance(
+                    src_dtype, (T.StructType, T.ArrayType, T.MapType)
+                )
+                if complex_src:
                     arms.append(
                         (sub.py_name, F.lit(False), f"as_{sub.py_name}",
                          F.lit(None).cast(sub_t), sub_t)
@@ -534,7 +542,7 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
                     attempt = src if src_dtype == sub_t else src.try_cast(sub_t)
                     arms.append(
                         (sub.py_name, attempt.isNotNull(), f"as_{sub.py_name}",
-                         attempt.cast(sub_t), sub_t)
+                         attempt, sub_t)
                     )
         variant = F.lit(None).cast("string")
         for name, cond, _, _, _ in reversed(arms):
@@ -553,9 +561,7 @@ def _union_value(src, src_dtype, node, path, truthy_bool):
         viols = violation_if(
             src.isNotNull() & variant.isNull(),
             _p(path),
-            expected_type_msg(
-                names_str, "dict" if is_struct_src else src_dtype.simpleString()
-            ),
+            expected_type_msg(names_str, py_name_of_spark(src_dtype)),
         )
         return coerced, viols
 

@@ -219,10 +219,12 @@ def _ref_centroid(ref: DataFrame, vec_col: str) -> dict[int, float]:
         .agg(F.avg("v").alias("r"))
         .collect()
     )
-    # a position null in EVERY reference vector has no mean — treat it as
-    # absent (0 contribution), matching the batch check where null
-    # products drop out of the sums; float(None) would crash here
-    return {int(r["pos"]): float(r["r"]) for r in rows if r["r"] is not None}
+    # keep positions whose reference mean is NULL (all-null in every ref
+    # vector) as None entries: the batch check's inner join still counts
+    # the CURRENT side's mean² at those positions in _cc, so they must
+    # stay in the dimension range (dropping them entirely made the
+    # streaming cosine read 1.0 where batch reads 0.6)
+    return {int(r["pos"]): (None if r["r"] is None else float(r["r"])) for r in rows}
 
 
 def stream_centroid_drift(
@@ -242,12 +244,18 @@ def stream_centroid_drift(
     each vector into dim (pos, v) rows that the first stateful agg
     partial-combines into per-(window, pos) (sum, count) — state
     |windows in flight| x dim — and the second chained agg folds each
-    window's dim entries into one row. Cosine AND L2 both use the
-    per-position MEAN (sum / that position's own count): with null vector
-    elements the counts differ by position, so the sum vector is not a
-    scalar multiple of the mean vector and a sum-based cosine would
-    diverge from the batch ``embedding_drift`` — means keep the two
-    checks verdict-identical on the same data. Returns a streaming frame
+    window's dim entries into one row. Cosine AND L2 replicate the batch
+    ``embedding_drift`` algebra exactly, per term: every statistic folds
+    the per-position MEAN (sum / that position's own count) and skips a
+    position exactly when the batch sum would skip it — a null current
+    mean drops out of every term; a null REFERENCE mean still contributes
+    the current mean² to the cosine denominator (mirroring the batch
+    inner join, where c·c does not involve r); the reference-norm term
+    r² counts only positions the window actually has (the batch join
+    drops cur-absent positions from _rr). Sum-based cosine — the obvious
+    shortcut — diverges whenever null elements make per-position counts
+    differ, because the sum vector stops being a scalar multiple of the
+    mean vector. Returns a streaming frame
     (window_start, window_end, n_rows, centroid_cosine, centroid_l2);
     append mode — rows emit when the watermark closes a window. Cosine
     is null for a zero window-centroid (try_divide semantics).
@@ -260,7 +268,6 @@ def stream_centroid_drift(
             "monitor against"
         )
     dim = max(rc) + 1
-    rr = sum(v * v for v in rc.values())
 
     exploded = (
         stream_df.withWatermark(ts_col, watermark)
@@ -279,15 +286,12 @@ def stream_centroid_drift(
         ).alias("m"),
     )
 
-    def mean_at(i: int) -> Column:
-        # per-position count: consistent with embedding_drift under null
-        # vector elements; try_divide keeps a missing position null-safe
-        return F.coalesce(
-            F.try_divide(
-                F.col("m").getItem(i).getField("s"),
-                F.col("m").getItem(i).getField("c").cast("double"),
-            ),
-            F.lit(0.0),
+    def mean_raw(i: int) -> Column:
+        # NULL when the window has no non-null value at position i (or the
+        # position is absent) — the batch sums skip exactly those terms
+        return F.try_divide(
+            F.col("m").getItem(i).getField("s"),
+            F.col("m").getItem(i).getField("c").cast("double"),
         )
 
     def fold(terms: list[Column]) -> Column:
@@ -296,15 +300,43 @@ def stream_centroid_drift(
             expr = expr + t
         return expr
 
-    dot = fold([mean_at(i) * F.lit(rc.get(i, 0.0)) for i in range(dim)])
-    ss = fold([mean_at(i) * mean_at(i) for i in range(dim)])
-    sq = fold(
-        [F.pow(mean_at(i) - F.lit(rc.get(i, 0.0)), F.lit(2)) for i in range(dim)]
+    z = F.lit(0.0)
+    ref_pos = [i for i in range(dim) if rc.get(i) is not None]
+    # cc: current mean² over every position the window has — INCLUDING
+    # positions whose reference mean is null (batch: c·c doesn't touch r)
+    cc = fold([F.coalesce(mean_raw(i) * mean_raw(i), z) for i in range(dim)])
+    # dot / rr / sq: only positions with a non-null reference mean, and
+    # (for rr) only those the window actually materialized — the batch
+    # inner join drops cur-absent positions from the reference norm
+    dot_raw = fold([F.coalesce(mean_raw(i) * F.lit(rc[i]), z) for i in ref_pos]) if ref_pos else z
+    rr = (
+        fold(
+            [
+                F.when(F.col("m").getItem(i).isNotNull(), F.lit(rc[i] * rc[i])).otherwise(z)
+                for i in ref_pos
+            ]
+        )
+        if ref_pos
+        else z
     )
+    sq_raw = (
+        fold([F.coalesce(F.pow(mean_raw(i) - F.lit(rc[i]), F.lit(2)), z) for i in ref_pos])
+        if ref_pos
+        else z
+    )
+    # number of positions contributing joint terms: when zero, the batch
+    # sums are NULL (not 0) — mirror that so cosine/L2 read null, not 0
+    cnt = (
+        fold([F.when(mean_raw(i).isNotNull(), F.lit(1)).otherwise(F.lit(0)) for i in ref_pos])
+        if ref_pos
+        else F.lit(0)
+    )
+    dot = F.when(cnt > 0, dot_raw)
+    sq = F.when(cnt > 0, sq_raw)
     return per_win.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         "n_rows",
-        F.try_divide(dot, F.sqrt(ss * F.lit(rr))).alias("centroid_cosine"),
+        F.try_divide(dot, F.sqrt(cc * rr)).alias("centroid_cosine"),
         F.sqrt(sq).alias("centroid_l2"),
     )

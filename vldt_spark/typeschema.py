@@ -211,6 +211,15 @@ def spark_type(node: TypeNode) -> T.DataType:
                     fields.append(
                         T.StructField(f"as_{a.py_name}", spark_type(a), True)
                     )
+            names = [f.name for f in fields]
+            if len(set(names)) != len(names):
+                dupes = sorted({n for n in names if names.count(n) > 1})
+                raise ValueError(
+                    "Union arms must map to distinct variant slots; "
+                    f"duplicate arm name(s) {dupes} (e.g. two container "
+                    "branches both named 'list'). Wrap one branch in its "
+                    "own Model, or collapse the branches."
+                )
             return T.StructType(fields)
         # scalar union stored as the first candidate's type when homogeneous
         # after coercion; heterogeneous unions stored as string with ordered
