@@ -2072,6 +2072,51 @@ WHERE CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || '#0'), 1, 15)) AS BI
 """
 
 
+def q_mixture_report_documents(spark, sf_dir):
+    """The mixture feedback loop: per-source achieved vs n^0.5 target
+    shares after the tau=0.5 temperature sample — rate-saturated sources
+    show their legitimate share_gap; every number value-checked."""
+    from vldt_spark.functions.sampling import mixture_report, temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sampled = temperature_sample(
+        docs, "source", "doc_id", temperature=0.5, target_fraction=0.5, hash_fn="md5"
+    )
+    return mixture_report(docs, sampled, "source", temperature=0.5)
+
+
+SQL_MIXTURE_REPORT_DOCUMENTS = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents
+  WHERE source IS NOT NULL GROUP BY source
+), t AS (
+  SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS z FROM c
+), r AS (
+  SELECT source, n,
+         CAST(floor(least(1.0, 0.5 * tot * pow(n, 0.5) / z / n) * 1000000) AS BIGINT) AS thr
+  FROM c, t
+), sampled AS (
+  SELECT d.source, count(*) AS n_after
+  FROM documents d JOIN r USING (source)
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+        % 1000000 < thr
+  GROUP BY d.source
+), j AS (
+  SELECT r.source, r.n AS n_before, COALESCE(sampled.n_after, 0) AS n_after
+  FROM r LEFT JOIN sampled USING (source)
+), tz AS (
+  SELECT sum(pow(n_before, 0.5)) AS z2, CAST(sum(n_after) AS DOUBLE) AS ta FROM j
+)
+SELECT source,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_after AS BIGINT) AS n_after,
+       round(pow(n_before, 0.5) / z2, 6) AS target_share,
+       round(n_after / ta, 6) AS achieved_share,
+       round(n_after / ta - pow(n_before, 0.5) / z2, 6) AS share_gap
+FROM j, tz
+"""
+
+
 def q_streaming_session_stats(spark, sf_dir):
     """Streaming sessionization twin: the real events arrive in micro-batch
     1, a future-dated sentinel in batch 2 advances the watermark past every
@@ -3602,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replica-value-checked at all three scales.
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
+        "mixture_report_documents": q_mixture_report_documents,
         # -- tail: driver-green before, code untouched this round (plus the
         #    two xxhash64 rows-only structural checks, whose md5-portable
         #    twins are value-checked by the local replica). The five new
@@ -3669,6 +3715,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_sample_documents": SQL_IMPORTANCE_SAMPLE_DOCUMENTS,
         "js_by_event_type": SQL_JS_BY_EVENT_TYPE,
         "chi2_by_event_type": SQL_CHI2_BY_EVENT_TYPE,
+        "mixture_report_documents": SQL_MIXTURE_REPORT_DOCUMENTS,
         "paragraph_dedup_documents": SQL_PARAGRAPH_DEDUP_DOCUMENTS,
         "paragraph_first_documents": SQL_PARAGRAPH_FIRST_DOCUMENTS,
         "temperature_sample_documents": SQL_TEMPERATURE_SAMPLE_DOCUMENTS,

@@ -315,3 +315,21 @@ def test_temperature_sample_drops_null_groups_and_keeps_rate(spark):
     assert all(r["source"] == "src" for r in rows)
     # 500 non-null rows at rate 0.5 → ~250, not ~125
     assert 200 < len(rows) < 300
+
+
+def test_mixture_report_saturated_source_gap(spark):
+    from vldt_spark.functions.sampling import mixture_report, temperature_sample
+
+    df = _mix(spark)  # common: 400, rare: 20
+    sampled = temperature_sample(df, "source", "doc_id", temperature=0.1, target_fraction=0.5)
+    rep = {r["source"]: r for r in mixture_report(df, sampled, "source", temperature=0.1).collect()}
+    # the rare source's rate saturated at 1 (all 20 kept) — it cannot
+    # reach its flattened ~0.44 target share, so its gap is negative
+    assert rep["rare"]["n_after"] == 20
+    assert rep["rare"]["share_gap"] < 0
+    assert rep["common"]["share_gap"] > 0
+    for r in rep.values():
+        assert abs(r["achieved_share"] - (r["target_share"] + r["share_gap"])) < 1e-6
+    # shares sum to 1 on both axes
+    assert abs(sum(r["target_share"] for r in rep.values()) - 1.0) < 1e-5
+    assert abs(sum(r["achieved_share"] for r in rep.values()) - 1.0) < 1e-5

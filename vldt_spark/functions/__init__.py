@@ -43,6 +43,7 @@ from vldt_spark.functions.sampling import (
     split_assign,
     temperature_sample,
     importance_sample,
+    mixture_report,
 )
 from vldt_spark.functions.packing import chunk_layout
 from vldt_spark.functions.sessions import sessionize, session_stats
@@ -87,6 +88,7 @@ __all__ = [
     "session_stats",
     "temperature_sample",
     "importance_sample",
+    "mixture_report",
     "extract_features",
     "parse_media_headers",
     "synthesize_header_payloads",

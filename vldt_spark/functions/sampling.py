@@ -229,3 +229,54 @@ def importance_sample(
         .where(h < thr)
         .select(*df.columns)
     )
+
+
+def mixture_report(
+    before: DataFrame,
+    after: DataFrame,
+    group_col: str,
+    *,
+    temperature: float,
+) -> DataFrame:
+    """Audit a mixture: per source, the share ``after`` actually achieved
+    vs the n^temperature target computed from ``before`` — the feedback
+    half of ``temperature_sample``. Rate-saturated sources (rare ones
+    whose acceptance capped at 1) cannot reach their target, so the
+    achieved mixture legitimately deviates; this report quantifies by how
+    much (``share_gap`` = achieved − target, positive means
+    over-represented).
+
+    Returns (group, n_before, n_after, target_share, achieved_share,
+    share_gap), all shares rounded to 6 decimals. Scale: two per-source
+    count aggregates plus |sources|-row arithmetic — no fact shuffle.
+    """
+    if temperature <= 0:
+        raise ValueError(f"mixture_report: temperature must be > 0, got {temperature}")
+    b = (
+        before.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    a = (
+        after.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    j = b.join(a, group_col, "left").fillna(0, subset=["n_after"])
+    tz = j.agg(
+        F.sum(F.pow(F.col("n_before").cast("double"), F.lit(temperature))).alias("__z"),
+        F.sum("n_after").cast("double").alias("__ta"),
+    )
+    j = j.crossJoin(F.broadcast(tz))
+    target = F.pow(F.col("n_before").cast("double"), F.lit(temperature)) / F.col("__z")
+    achieved = F.coalesce(
+        F.try_divide(F.col("n_after").cast("double"), F.col("__ta")), F.lit(0.0)
+    )
+    return j.select(
+        group_col,
+        "n_before",
+        "n_after",
+        F.round(target, 6).alias("target_share"),
+        F.round(achieved, 6).alias("achieved_share"),
+        F.round(achieved - target, 6).alias("share_gap"),
+    )
