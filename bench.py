@@ -189,23 +189,48 @@ def main():
 
     fl_reps = rep_arrays["flagship_validate_tokens"]
     seqs_per_sec = round(TOKEN_ROWS / timings["flagship_validate_tokens"], 1)
-    print(
-        json.dumps(
-            {
-                "metric": "validation_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "token_rows": TOKEN_ROWS,
-                "validated_seqs_per_sec": seqs_per_sec,
-                "validated_seqs_per_sec_median": round(TOKEN_ROWS / median(fl_reps), 1),
-                "reps": rep_arrays,
-                "queries_median": {k: round(median(v), 3) for k, v in rep_arrays.items()},
-                "cpus": CPUS,
-            }
-        )
-    )
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # Full per-rep detail: file + stderr ONLY. Round 3 put the rep arrays on
+    # the final stdout line and the ~2.4 KB line overflowed the driver's
+    # ~2000-char stdout tail capture -> BENCH_r03 "parsed": null. stdout must
+    # carry exactly ONE compact JSON line, guaranteed < 1.5 KB.
+    detail = {
+        "metric": "validation_bench_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "token_rows": TOKEN_ROWS,
+        "validated_seqs_per_sec": seqs_per_sec,
+        "validated_seqs_per_sec_median": round(TOKEN_ROWS / median(fl_reps), 1),
+        "queries": timings,
+        "queries_median": {k: round(median(v), 3) for k, v in rep_arrays.items()},
+        "reps": rep_arrays,
+        "cpus": CPUS,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"[bench] detail -> {detail_path}", file=sys.stderr, flush=True)
+    print(json.dumps(detail), file=sys.stderr, flush=True)
+
+    compact = {
+        "metric": "validation_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "token_rows": TOKEN_ROWS,
+        "validated_seqs_per_sec": seqs_per_sec,
+        "validated_seqs_per_sec_median": round(TOKEN_ROWS / median(fl_reps), 1),
+        "flagship_reps": fl_reps,
+        "cpus": CPUS,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guard: never outgrow the driver's tail window
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line, flush=True)
     spark.stop()
 
 
