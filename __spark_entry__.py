@@ -2923,6 +2923,120 @@ FROM documents
 """
 
 
+def q_png_pixel_stats_documents(spark, sf_dir):
+    """REAL PNG PIXEL decode, oracle-checked, zero codec deps (closes the
+    round-3 stub): full valid PNGs — IHDR/IDAT/IEND with real CRCs, zlib
+    deflate, scanline filter type cycling y%5 so None/Sub/Up/Average/Paeth
+    are ALL exercised — are synthesized from doc_id with pixel value
+    (id + 29x + 17y + 54ch) % 256, then ``decode_image_stats`` re-reads
+    the bytes through an independent path (chunk walk, zlib inflate,
+    numpy/scalar unfiltering per PNG spec §9) and emits per-channel pixel
+    sums/mean/std. The oracle recomputes every value closed-form from the
+    (x, y, ch) grid: integer sums are exact; mean/std use the identical
+    float64 expression sqrt(s2/n - (s1/n)^2) with floor-based 1e-6
+    rounding on both sides."""
+    from vldt_spark.functions.multimodal import (
+        decode_image_stats,
+        synthesize_png_pixel_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    stats = decode_image_stats(synthesize_png_pixel_payloads(docs))
+    return stats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "channel",
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        "px_sumsq",
+        "px_mean",
+        "px_std",
+    )
+
+
+SQL_PNG_PIXEL_STATS_DOCUMENTS = """
+WITH grid AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 29 AS INT) AS w,
+         CAST(16 + doc_id % 23 AS INT) AS h,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS c
+  FROM documents
+), px AS (
+  SELECT g.doc_id, g.w, g.h, g.c, ch AS channel,
+         (g.doc_id + 29 * x + 17 * y + 54 * ch) % 256 AS v
+  FROM grid g, range(0, 45) tx(x), range(0, 39) ty(y), range(0, 3) tc(ch)
+  WHERE x < g.w AND y < g.h AND ch < g.c
+), agg AS (
+  SELECT doc_id, channel, w, h, c,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2,
+         COUNT(*) AS n
+  FROM px GROUP BY doc_id, channel, w, h, c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(channel AS INT) AS channel,
+       w AS width, h AS height, c AS n_channels,
+       s1 AS px_sum, s2 AS px_sumsq,
+       floor((CAST(s1 AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS px_mean,
+       floor(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                           0)) * 1e6 + 0.5) / 1e6 AS px_std
+FROM agg
+"""
+
+
+def q_wav_pcm_stats_documents(spark, sf_dir):
+    """REAL WAV PCM sample decode, oracle-checked: WAV files with actual
+    8-bit PCM data bytes (sample t = (id + 13t) % 256, mono 8 kHz,
+    400 + id%500 samples, RIFF word-alignment pad exercised on odd
+    lengths) are synthesized from doc_id; ``decode_audio_stats`` re-reads
+    fmt/data chunks and decodes the samples. Oracle recomputes sums
+    closed-form; same two-sided float expressions as the PNG gate."""
+    from vldt_spark.functions.multimodal import (
+        decode_audio_stats,
+        synthesize_wav_pcm_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    stats = decode_audio_stats(synthesize_wav_pcm_payloads(docs))
+    return stats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "sample_rate",
+        "bits",
+        "n_samples",
+        "s_sum",
+        "s_sumsq",
+        "s_mean",
+        "s_std",
+    )
+
+
+SQL_WAV_PCM_STATS_DOCUMENTS = """
+WITH cfg AS (
+  SELECT doc_id, 400 + doc_id % 500 AS n FROM documents
+), s AS (
+  SELECT c.doc_id, c.n, (c.doc_id + 13 * t) % 256 AS v
+  FROM cfg c, range(0, 900) tt(t) WHERE t < c.n
+), agg AS (
+  SELECT doc_id, n,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM s GROUP BY doc_id, n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(8 AS INT) AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       s1 AS s_sum, s2 AS s_sumsq,
+       floor((CAST(s1 AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS s_mean,
+       floor(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                           0)) * 1e6 + 0.5) / 1e6 AS s_std
+FROM agg
+"""
+
+
 def q_knn_cosine_embeddings(spark, sf_dir):
     from vldt_spark.functions.similarity import cosine_topk_bruteforce
 
@@ -3595,6 +3709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_models_documents": q_union_models_documents,
         "dict_serializer_nested_documents": q_dict_serializer_nested_documents,
         "media_headers_documents": q_media_headers_documents,
+        "png_pixel_stats_documents": q_png_pixel_stats_documents,
+        "wav_pcm_stats_documents": q_wav_pcm_stats_documents,
         "ks_by_event_type": q_ks_by_event_type,
         "psi_lang_by_source": q_psi_lang_by_source,
         "js_events_value": q_js_events_value,
@@ -3700,6 +3816,8 @@ def oracle_sql() -> dict[str, str]:
         "union_models_documents": SQL_UNION_MODELS_DOCUMENTS,
         "dict_serializer_nested_documents": SQL_DICT_SERIALIZER_NESTED_DOCUMENTS,
         "media_headers_documents": SQL_MEDIA_HEADERS_DOCUMENTS,
+        "png_pixel_stats_documents": SQL_PNG_PIXEL_STATS_DOCUMENTS,
+        "wav_pcm_stats_documents": SQL_WAV_PCM_STATS_DOCUMENTS,
         "ks_by_event_type": SQL_KS_BY_EVENT_TYPE,
         "psi_lang_by_source": SQL_PSI_LANG_BY_SOURCE,
         "js_events_value": SQL_JS_EVENTS_VALUE,

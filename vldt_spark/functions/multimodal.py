@@ -2,15 +2,33 @@
 with typed metadata.
 
 The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual codec work is stubbed behind
-``decode_stub`` because image/audio libraries are not in this container —
-swap ``_decode_image_batch``'s body for PIL/torchvision and the pipeline
-is production-shaped. Batches flow through ``mapInPandas`` so each Arrow
-batch carries the binary payloads zero-copy to the Python worker.
+signatures) is real and tested, and so are the codecs this container can
+support with zero new dependencies:
+
+  * PNG  — REAL pixel decode: chunk walk, zlib inflate of IDAT, full
+    None/Sub/Up/Average/Paeth scanline unfiltering (PNG spec §9),
+    bit depth 8, color types 0/2/4/6, non-interlaced. A matching
+    encoder exists so tests round-trip pixels through two independent
+    byte-level code paths.
+  * WAV  — REAL PCM sample decode (8/16-bit LE) from fmt/data chunks.
+  * JPEG — header/dimension parse only (``parse_media_headers``); an
+    entropy decoder is out of scope with no codec libs, so feature
+    extraction falls back to byte statistics for JPEG (documented).
+  * video — frame-TIMESTAMP sampling only (the explode + partitioning
+    plumbing); pixel-level frame decode needs ffmpeg/pyav.
+
+Batches flow through ``mapInPandas`` so each Arrow batch carries the
+binary payloads zero-copy to the Python worker. Scale note: the PNG
+Average/Paeth unfilter is sequential per scanline byte (spec-mandated
+data dependency) and runs as a Python loop here; None/Sub/Up rows are
+numpy-vectorized. A production deployment would swap `_decode_png_pixels`
+for a compiled codec — every signature and batch shape stays the same.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -18,6 +36,194 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4) — scalar, used by the decoder."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png_pixels(b: bytes | None) -> np.ndarray | None:
+    """REAL zero-dependency PNG pixel decode: stdlib ``zlib`` inflate of
+    the IDAT stream + scanline unfiltering per PNG spec §9 (all five
+    filter types). Supports bit depth 8, color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA), interlace 0. Returns ``(h, w, channels)``
+    uint8, or None for anything unsupported/malformed — a bad payload is
+    a validation OUTCOME, never an executor crash.
+
+    Unfiltering strategy: None/Up rows are pure numpy; Sub rows are a
+    per-channel ``cumsum % 256`` (the recurrence r[x]=f[x]+r[x-1] is a
+    prefix sum); Average/Paeth rows carry a true sequential byte
+    dependency and run as Python loops (see module docstring)."""
+    if b is None or len(b) < 45 or b[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    i, n = 8, len(b)
+    w = h = depth = ctype = interlace = None
+    idat: list[bytes] = []
+    while i + 8 <= n:
+        clen = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            return None
+        if typ == b"IHDR":
+            if clen != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype = data[8], data[9]
+            interlace = data[12]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + CRC
+    channels = _PNG_CHANNELS.get(ctype) if ctype is not None else None
+    if not w or not h or depth != 8 or interlace != 0 or channels is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: prefix sum per channel
+            cur = line.copy()
+            for ch in range(bpp):
+                cur[ch::bpp] = np.cumsum(line[ch::bpp]) % 256
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft == 3:  # Average (sequential: needs reconstructed left)
+            cur = line
+            for j in range(stride):
+                left = cur[j - bpp] if j >= bpp else 0
+                cur[j] = (line[j] + ((left + prev[j]) >> 1)) % 256
+        elif ft == 4:  # Paeth (sequential)
+            cur = line
+            for j in range(stride):
+                a = int(cur[j - bpp]) if j >= bpp else 0
+                c = int(prev[j - bpp]) if j >= bpp else 0
+                cur[j] = (line[j] + _paeth(a, int(prev[j]), c)) % 256
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, channels)
+
+
+def encode_png(pixels: np.ndarray, *, cycle_filters: bool = True) -> bytes:
+    """REAL PNG encoder (test/bench fixture source — two independent
+    byte-level code paths: this writer forward-filters with vectorized
+    numpy + ``struct.pack`` big-endian fields + real CRC32 chunks; the
+    decoder above re-reads with ``int.from_bytes`` + its own unfilter
+    kernels). ``cycle_filters`` applies filter type ``y % 5`` per
+    scanline so a round-trip exercises every filter; otherwise filter 0.
+
+    Accepts ``(h, w)`` gray or ``(h, w, c)`` for c in {1,2,3,4} uint8."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int32)
+    zero_px = np.zeros((1, c), dtype=np.int32)
+    for y in range(h):
+        cur = px[y].astype(np.int32)
+        left = np.vstack([zero_px, cur[:-1]])
+        upleft = np.vstack([zero_px, prev[:-1]])
+        ft = (y % 5) if cycle_filters else 0
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_wav_samples(b: bytes | None) -> tuple[np.ndarray, int, int] | None:
+    """REAL WAV PCM decode, zero deps: walks RIFF chunks, requires
+    ``fmt `` audio_format 1 (PCM) with 8 or 16 bits/sample, returns
+    ``(samples, sample_rate, bits)`` where samples are the interleaved
+    channel values (uint8 0..255 for 8-bit per the WAV convention,
+    int16 LE for 16-bit). Truncated data chunks decode the bytes
+    actually present. None for anything unsupported/malformed."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            fmt = b[i + 8 : i + 8 + min(csize, 16)]
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + csize]
+        if fmt is not None and data is not None:
+            break
+        i += 8 + csize + (csize & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        return None
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    else:
+        samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    return samples, sample_rate, bits
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -42,16 +248,17 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_image_batch(payloads: pd.Series) -> np.ndarray:
-    """STUB: deterministic fake decode — real impl would be
-    ``PIL.Image.open(io.BytesIO(b))`` + resize + ``np.asarray``.
-
-    The fake maps each payload to a fixed-size feature derived from byte
-    statistics, so tests exercise exact batch shapes end-to-end."""
+    """Per-payload 8-float feature vector. PNG payloads get REAL pixel
+    decode (``_decode_png_pixels``) and the features are computed over the
+    decoded pixel values; any other payload (JPEG entropy data, opaque
+    binaries) falls back to the same statistics over the raw bytes — the
+    documented fallback for formats that need a codec library."""
     feats = np.zeros((len(payloads), 8), dtype=np.float32)
     for i, b in enumerate(payloads):
         if b is None or len(b) == 0:
             continue
-        arr = np.frombuffer(b, dtype=np.uint8)
+        px = _decode_png_pixels(bytes(b))
+        arr = px.reshape(-1) if px is not None else np.frombuffer(b, dtype=np.uint8)
         feats[i] = [
             len(arr),
             float(arr.mean()),
@@ -101,13 +308,14 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_stub(media: DataFrame, *, width: int = 32, height: int = 32) -> DataFrame:
-    """Image-resize plumbing: STUB decode/resample (real impl:
-    ``PIL.Image.open(...).resize((w, h))``) — the fake deterministically
-    downsamples the payload bytes to ``w*h`` by strided selection so batch
-    shapes, output schema, and the mapInPandas Arrow path are all real.
-    Embarrassingly parallel, no shuffle; payload bytes never leave the
-    executor."""
+def resize_images(media: DataFrame, *, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize via mapInPandas. PNG payloads get REAL pixel-level
+    nearest-neighbor resampling: decode (``_decode_png_pixels``), index
+    rows/cols at ``floor(i * in/out)``, re-encode as PNG — the output
+    payload is a valid PNG of the target size. Non-PNG payloads fall back
+    to deterministic strided byte-downsampling to ``w*h`` bytes (the
+    documented no-codec fallback). Embarrassingly parallel, no shuffle;
+    payload bytes never leave the executor."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
@@ -116,6 +324,13 @@ def resize_stub(media: DataFrame, *, width: int = 32, height: int = 32) -> DataF
             for b in pdf["payload"]:
                 if b is None or len(b) == 0:
                     out_payloads.append(None)
+                    continue
+                px = _decode_png_pixels(bytes(b))
+                if px is not None:
+                    h_in, w_in = px.shape[0], px.shape[1]
+                    ys = (np.arange(height) * h_in) // height
+                    xs = (np.arange(width) * w_in) // width
+                    out_payloads.append(encode_png(px[ys][:, xs], cycle_filters=False))
                     continue
                 arr = np.frombuffer(b, dtype=np.uint8)
                 idx = np.linspace(0, len(arr) - 1, num=target).astype(np.int64)
@@ -133,11 +348,15 @@ def resize_stub(media: DataFrame, *, width: int = 32, height: int = 32) -> DataF
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+# Back-compat alias from the pre-round-4 stub era (the PNG path is real now).
+resize_stub = resize_images
+
+
 def frame_sample_stub(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plumbing: expands each video row into frame
-    timestamps (real impl would decode frames with pyav/ffmpeg). The
-    explode + downstream partitioning is the real scale concern and is
-    exercised here; the pixel decode is the stub."""
+    """Video frame-TIMESTAMP sampling: expands each video row into frame
+    timestamps (pixel-level frame decode would need pyav/ffmpeg — not in
+    this container). The explode + downstream partitioning is the real
+    scale concern and is exercised here."""
     n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return media.where(F.col("kind") == "video").select(
         "media_id",
@@ -268,6 +487,236 @@ def parse_media_headers(
     return media.select(
         F.col(id_col), F.col(payload_col)
     ).mapInPandas(run, schema=HEADER_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("channel", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_sumsq", T.LongType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+        T.StructField("px_std", T.DoubleType(), True),
+    ]
+)
+
+
+def _round6(x: float) -> float:
+    """Deterministic half-up rounding to 6 decimals — `floor(x*1e6+0.5)`
+    on BOTH the Python and SQL side, so the oracle comparison never hinges
+    on banker's-vs-away rounding (Python round vs DuckDB round differ)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def decode_image_stats(
+    media: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PNG pixel decode → one row per (image, channel) with exact
+    integer pixel sums and float mean/std. This is the value-checkable
+    core of the image surface: for a synthesized PNG whose pixels are a
+    closed-form function of the id, an SQL oracle predicts every output
+    (`px_sum`/`px_sumsq` are exact BIGINTs; mean/std use the identical
+    float64 expression `sqrt(s2/n - (s1/n)^2)` on both sides).
+    Undecodable payloads emit a single row of NULL stats (channel NULL).
+    Embarrassingly parallel, no shuffle; only (id, 8 small fields) per
+    channel leave the executor — never pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in PIXEL_STATS_SCHEMA.fields}
+            for mid, b in zip(pdf[id_col].astype(str), pdf[payload_col]):
+                px = _decode_png_pixels(bytes(b) if b is not None else None)
+                if px is None:
+                    out["media_id"].append(mid)
+                    for k in ("channel", "width", "height", "n_channels",
+                              "px_sum", "px_sumsq", "px_mean", "px_std"):
+                        out[k].append(None)
+                    continue
+                h, w, c = px.shape
+                n = h * w
+                px64 = px.astype(np.int64)
+                for ch in range(c):
+                    s1 = int(px64[:, :, ch].sum())
+                    s2 = int((px64[:, :, ch] ** 2).sum())
+                    mean = s1 / n
+                    var = s2 / n - mean * mean
+                    std = float(np.sqrt(max(var, 0.0)))
+                    out["media_id"].append(mid)
+                    out["channel"].append(ch)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(c)
+                    out["px_sum"].append(s1)
+                    out["px_sumsq"].append(s2)
+                    out["px_mean"].append(_round6(mean))
+                    out["px_std"].append(_round6(std))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "channel": pd.array(out["channel"], dtype="Int32"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_channels": pd.array(out["n_channels"], dtype="Int32"),
+                    "px_sum": pd.array(out["px_sum"], dtype="Int64"),
+                    "px_sumsq": pd.array(out["px_sumsq"], dtype="Int64"),
+                    "px_mean": pd.array(out["px_mean"], dtype="Float64"),
+                    "px_std": pd.array(out["px_std"], dtype="Float64"),
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
+    )
+
+
+def synthesize_png_pixel_payloads(
+    ids: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL full PNGs from an id column (test/bench source —
+    no external data): pixel value is the closed form
+    ``(id + 29*x + 17*y + 54*ch) % 256`` over a ``(16+id%29) x (16+id%23)``
+    grid, grayscale for even ids and RGB for odd ids, scanline filter type
+    cycling ``y % 5`` so every PNG filter is exercised. An SQL oracle can
+    predict the decoded per-channel sums exactly."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w = 16 + i % 29
+                h = 16 + i % 23
+                c = 1 if i % 2 == 0 else 3
+                ys = 17 * np.arange(h, dtype=np.int64)[:, None, None]
+                xs = 29 * np.arange(w, dtype=np.int64)[None, :, None]
+                chs = 54 * np.arange(c, dtype=np.int64)[None, None, :]
+                px = ((i + xs + ys + chs) % 256).astype(np.uint8)
+                payloads.append(encode_png(px, cycle_filters=True))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype(str), "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("s_sum", T.LongType(), True),
+        T.StructField("s_sumsq", T.LongType(), True),
+        T.StructField("s_mean", T.DoubleType(), True),
+        T.StructField("s_std", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_stats(
+    media: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL WAV PCM sample decode → per-file sample statistics (exact
+    integer sums + float mean/std, same two-sided expressions as
+    ``decode_image_stats``). Non-WAV / non-PCM payloads emit NULL stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in PCM_STATS_SCHEMA.fields}
+            for mid, b in zip(pdf[id_col].astype(str), pdf[payload_col]):
+                dec = _decode_wav_samples(bytes(b) if b is not None else None)
+                rows["media_id"].append(mid)
+                if dec is None:
+                    for k in ("sample_rate", "bits", "n_samples",
+                              "s_sum", "s_sumsq", "s_mean", "s_std"):
+                        rows[k].append(None)
+                    continue
+                samples, rate, bits = dec
+                s64 = samples.astype(np.int64)
+                n = len(s64)
+                s1 = int(s64.sum())
+                s2 = int((s64 ** 2).sum())
+                rows["sample_rate"].append(rate)
+                rows["bits"].append(bits)
+                rows["n_samples"].append(n)
+                rows["s_sum"].append(s1)
+                rows["s_sumsq"].append(s2)
+                if n:
+                    mean = s1 / n
+                    var = s2 / n - mean * mean
+                    rows["s_mean"].append(_round6(mean))
+                    rows["s_std"].append(_round6(float(np.sqrt(max(var, 0.0)))))
+                else:
+                    rows["s_mean"].append(None)
+                    rows["s_std"].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                    "bits": pd.array(rows["bits"], dtype="Int32"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
+                    "s_sum": pd.array(rows["s_sum"], dtype="Int64"),
+                    "s_sumsq": pd.array(rows["s_sumsq"], dtype="Int64"),
+                    "s_mean": pd.array(rows["s_mean"], dtype="Float64"),
+                    "s_std": pd.array(rows["s_std"], dtype="Float64"),
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=PCM_STATS_SCHEMA
+    )
+
+
+def synthesize_wav_pcm_payloads(
+    ids: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL WAV files with actual 8-bit PCM data bytes
+    (mono, 8 kHz): sample t is ``(id + 13*t) % 256`` over
+    ``400 + id % 500`` samples — closed-form for the SQL oracle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 400 + i % 500
+                data = ((i + 13 * np.arange(n, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                ).tobytes()
+                fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                pad = b"\x00" if n & 1 else b""
+                payloads.append(
+                    b"RIFF"
+                    + struct.pack("<I", 36 + n + len(pad))
+                    + b"WAVE"
+                    + fmt_chunk
+                    + b"data"
+                    + struct.pack("<I", n)
+                    + data
+                    + pad
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype(str), "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=out_schema)
 
 
 def synthesize_header_payloads(
