@@ -181,9 +181,15 @@ def minhash_lsh_pairs(
     # persist so shingling+hashing runs once, not twice (sig is 8B×num_hashes
     # per doc; MEMORY_AND_DISK spills safely at corpus scale)
     sigs = sigs.persist()
+    # the banded exchange carries (id, band, bh) ONLY — 24 bytes/row, not
+    # the full 8B×num_hashes signature on both sides (which would replicate
+    # every signature ×bands through the hottest shuffle in the pipeline;
+    # at 100 TB the payload would dominate the exchange). Signatures are
+    # re-attached AFTER candidate-pair dedup via two equi-joins against the
+    # persisted sigs relation — the candidate set is orders of magnitude
+    # smaller than the banded rows, so AQE broadcasts it into those joins.
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -197,11 +203,11 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -211,10 +217,13 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     est = (
         F.size(
