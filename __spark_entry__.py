@@ -3139,6 +3139,64 @@ def q_ivf_topk_embeddings(spark, sf_dir):
     ).select("query_id", "vec_id", "cosine", "rank")
 
 
+def q_ivf_probe_topk(spark, sf_dir):
+    """IVF ANN with nprobe < n_centroids — the GRADED scale path (the
+    full-probe gate above checks the join machinery at recall 1.0; this
+    one value-checks the actual cluster-pruned search). Centroids are 16
+    one-hot literals, so dot(v, e_i) = v[i] EXACTLY in both engines (the
+    sequential HOF sum adds zeros, which is lossless in IEEE754): corpus
+    bucket = argmax of the first 16 coordinates, query probes its 4 best
+    coordinates, cosine is scored only inside probed buckets. The oracle
+    replays the identical pruning closed-form — bucket membership, probe
+    ranking (v DESC, idx ASC tie-break matching array_sort on
+    struct(-dot, idx)), and rounded-cosine ranking."""
+    from vldt_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    onehot = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(16)]
+    return ivf_topk(
+        emb, queries, k=5, nprobe=4, centroids=onehot, dim=64
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
+SQL_IVF_PROBE_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+assign AS (
+  SELECT vec_id, emb,
+         CAST(list_position(emb[1:16], list_max(emb[1:16])) - 1 AS INT) AS cid
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+qcoord AS (
+  SELECT query_id, qe, CAST(idx - 1 AS INT) AS cid,
+         row_number() OVER (PARTITION BY query_id ORDER BY v DESC, idx ASC) AS rnk
+  FROM (
+    SELECT query_id, qe,
+           generate_subscripts(qe[1:16], 1) AS idx,
+           unnest(qe[1:16]) AS v
+    FROM q
+  )
+),
+probes AS (SELECT query_id, qe, cid FROM qcoord WHERE rnk <= 4),
+s AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(a.emb, p.qe)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(p.qe, p.qe))), 6) AS cosine
+  FROM assign a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id != p.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """The raw embeddings table has no near-duplicate pairs (max pairwise
     cosine ≈ 0.51), so the corpus is augmented with GENUINELY PERTURBED
@@ -3697,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_embeddings": q_knn_cosine_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "ivf_probe_topk": q_ivf_probe_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "json_extract_events": q_json_extract_events,
         "json_corrupt_offsets_events": q_json_corrupt_offsets_events,
@@ -3896,6 +3955,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
         # full-probe IVF has recall 1.0 → must equal the brute-force oracle
         "ivf_topk_embeddings": SQL_KNN_COSINE_EMBEDDINGS,
+        "ivf_probe_topk": SQL_IVF_PROBE_TOPK,
         # hyperplane matrices are literals → whole LSH pipeline in SQL
         "lsh_topk_embeddings": _sql_lsh_topk_embeddings(),
         "embedding_near_dups": _sql_embedding_near_dups(),

@@ -427,3 +427,85 @@ def test_minhash_banded_exchange_ships_ids_only(spark, corpus):
     # behavior unchanged: near-dup variants of the same base doc still pair
     ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert any(a != b for a, b in ids)
+
+
+def test_near_dup_clusters_iteration_cap_and_report(spark):
+    """The one bounded loop in the repo: an adversarial path graph
+    0-1-2-...-11 needs ~diameter rounds; with max_iters=2 the cap hits
+    (report converged=False) and the partial labels are a valid REFINEMENT
+    of the true component (no false merges); with ample iters it converges
+    to a single cluster labelled by the min id."""
+    from vldt_spark.functions.dedup import near_dup_clusters
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    capped: dict = {}
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(path, max_iters=2, report=capped).collect()
+    }
+    assert capped == {"converged": False, "rounds": 2}
+    # refinement property: a node's label is always a smaller-or-equal
+    # member of its own component (here: everything is one component)
+    assert all(lbl <= i for i, lbl in labels.items())
+    assert len(set(labels.values())) > 1  # cap hit -> component still split
+
+    full: dict = {}
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(path, max_iters=30, report=full).collect()
+    }
+    assert full["converged"] and full["rounds"] <= 30
+    assert set(labels.values()) == {0} and len(labels) == 12
+
+
+def test_ivf_probe_recall_on_perturbed_pairs(spark):
+    """Graded scale path: nprobe=3 of 8 k-means centroids must still find
+    ≥ 0.9 of the injected near-duplicates (perturbed copies at cosine
+    ≈ 0.92, the same fixture as embedding_near_dups) — a near-identical
+    vector lands in the same/nearby cluster, so cluster pruning may not
+    lose it."""
+    from vldt_spark.functions.similarity import ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    n_q = 20
+    mult = lambda i: F.when(i % 2 == 0, F.lit(1.425)).otherwise(F.lit(0.575))
+    copies = emb.where(F.col("vec_id") < n_q).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: x * mult(i)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    queries = emb.where(F.col("vec_id") < n_q)
+    top = ivf_topk(
+        corpus, queries, k=5, n_centroids=8, nprobe=3, iters=2, dim=64
+    ).collect()
+    hits = {r["query_id"] for r in top if r["vec_id"] == r["query_id"] + 100000}
+    assert len(hits) / n_q >= 0.9, sorted(hits)
+
+
+def test_ivf_probe_plan_prunes_clusters(spark):
+    """The inverted-file join must key on the cluster id (cid) — candidates
+    come from probed buckets only, never an n×m cross product."""
+    import contextlib
+    import io
+
+    from vldt_spark.functions.similarity import ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    onehot = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(16)]
+    plan_df = ivf_topk(
+        emb, emb.where(F.col("vec_id") < 4), k=5, nprobe=4, centroids=onehot, dim=64
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    txt = buf.getvalue()
+    assert "cid" in txt and "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt

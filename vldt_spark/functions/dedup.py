@@ -345,6 +345,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    report: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate candidate pairs →
     (doc_id, cluster_id) with cluster_id = min doc_id in the component —
@@ -354,11 +355,19 @@ def near_dup_clusters(
     Min-label propagation: each node repeatedly takes the smallest label
     among itself and its neighbours; converges in O(diameter) rounds
     (near-dup components are shallow — a handful of rounds in practice,
-    ``max_iters`` bounds adversarial chains). Each round is one join +
-    one aggregate on the PAIRS table (small relative to the corpus: only
-    docs that collided). At extreme component sizes switch to the
-    large-star/small-star formulation; the interface stays the same.
-    """
+    ``max_iters`` bounds adversarial chains: on a cap hit the labels are
+    a valid REFINEMENT — every emitted cluster is a subset of a true
+    component, so no false merges — just possibly split). Each round is
+    one join + one aggregate on the PAIRS table (small relative to the
+    corpus: only docs that collided). At extreme component sizes switch
+    to the large-star/small-star formulation; the interface stays the
+    same.
+
+    Pass ``report={}`` to receive ``{"converged": bool, "rounds": int}``
+    back — a pipeline that must guarantee full transitive closure should
+    assert ``converged`` (the cap is otherwise silent by design: partial
+    clusters are still useful and the flag keeps the output schema
+    oracle-stable)."""
     a = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         a.unionByName(a.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -367,7 +376,10 @@ def near_dup_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -392,7 +404,11 @@ def near_dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if report is not None:
+        report["converged"] = converged
+        report["rounds"] = rounds
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
