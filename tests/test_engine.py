@@ -285,3 +285,63 @@ def test_result_profile_of_valid_rows(spark, toktab):
     assert prof["n_tok"]["n_null"] == 0  # invalid rows excluded
     assert prof["n_tok"]["mean"] is not None
     assert prof["doc_id"]["mean"] is None  # non-numeric: stats only
+
+
+def test_async_model_level_parity(spark):
+    """A21 model-level parity with the reference's AsyncDataModel protocol
+    (/root/reference/vldt/models.py:163-269, tests/test_async_validators.py):
+    async model BEFORE mutates the raw kwargs -> sync validation/coercion ->
+    async field AFTER -> async model AFTER mutates the validated instance.
+    Stage ordering is pinned by NON-COMMUTING transforms, and an invalid
+    value surviving BEFORE propagates as a violation row with field
+    lineage (the engine's analogue of the awaited TypeError)."""
+    import asyncio
+
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+    from vldt_spark.validators import Mode, field_validator, model_validator
+
+    class AsyncOrder(Model):
+        rid: int
+        total: float = Field(gt=0.0)
+
+        # async model BEFORE: operates on RAW values (string dollar
+        # amounts) — coercion str->float can only succeed if this ran first
+        @model_validator(mode=Mode.BEFORE)
+        async def strip_currency(pdf):
+            await asyncio.sleep(0)
+            pdf["total"] = pdf["total"].str.replace("$", "", regex=False).str.strip()
+            return pdf
+
+        # async field AFTER: runs on the VALIDATED double
+        @field_validator("total", mode=Mode.AFTER)
+        async def add_fee(value):
+            await asyncio.sleep(0)
+            return value + 0.0001 if value is not None else None
+
+        # async model AFTER: runs LAST (reference AsyncOrder.adjust_order
+        # rounds the total after init) — round(123.4567 + 0.0001, 2) ==
+        # 123.46 only if add_fee already ran; the reverse order would give
+        # 123.4601 in the output
+        @model_validator(mode=Mode.AFTER)
+        async def round_total(pdf):
+            await asyncio.sleep(0)
+            pdf["total"] = pdf["total"].round(2)
+            return pdf
+
+    df = spark.createDataFrame(
+        [(1, " $123.4567 "), (2, "$-5.00"), (3, "$abc")],
+        "rid long, total string",
+    )
+    res = ValidationEngine(AsyncOrder).run(df, id_cols=["rid"])
+    rows = {r["rid"]: r for r in res.annotated.collect()}
+    # happy path: BEFORE stripped '$', coercion cast, field AFTER added the
+    # fee, model AFTER rounded — exactly the reference's staged pipeline
+    assert rows[1]["is_valid"] and rows[1]["total"] == 123.46
+    # error propagation: value passed BEFORE but failed the gt constraint
+    viols = {r["rid"]: (r["path"], r["msg"]) for r in res.violations().collect()}
+    assert not rows[2]["is_valid"] and viols[2][0] == "total"
+    # un-coercible after BEFORE -> coercion violation with field lineage
+    assert not rows[3]["is_valid"] and viols[3][0] == "total"
+    assert rows[3]["total"] is None
