@@ -3726,6 +3726,274 @@ FROM documents WHERE doc_id < 50
 
 
 # ---------------------------------------------------------------------------
+# web provenance (URL parse / normalize / registrable domain / blocklist)
+# ---------------------------------------------------------------------------
+# The corpus tables carry no URL column, so a deterministic URL is
+# constructed per document from (doc_id, source) — dirty-fixture pattern:
+# every branch of the construction is keyed on doc_id mod classes, so the
+# SQL oracle predicts the parse/normalize output CLOSED-FORM (no regex in
+# the oracle; the oracle checks that the Spark regex pipeline lands on the
+# structurally-known answer).  Consecutive even/odd ids share host+path
+# and differ only in case / default port / query order / fragment, so
+# normalization must collapse them — except ids with doc_id % 6 == 3,
+# which carry an explicit :8080 and must NOT collapse.
+
+
+def _doc_urls(docs):
+    d = F.col("doc_id")
+    h = F.floor(d / 2) % 5
+    host = (
+        F.when(h == 0, F.lit("News.Example.co.uk"))
+        .when(h == 1, F.lit("cdn.example.com"))
+        .when(h == 2, F.lit("Blog.Sample.org"))
+        .when(h == 3, F.lit("files.example.co.uk"))
+        .otherwise(F.lit("sub.deep.example.com"))
+    )
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    port = (
+        F.when(d % 6 == 3, F.lit(":8080"))
+        .when(d % 2 == 0, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/"), F.col("source"), F.lit("/"), F.floor(d / 2).cast("string")
+    )
+    query = F.when(d % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2"))
+    frag = F.when(d % 2 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+# the identical construction in DuckDB SQL (shared CTE prefix)
+_SQL_DOC_URLS = """
+WITH u AS (
+  SELECT doc_id, source,
+         CASE (doc_id // 2) % 5
+           WHEN 0 THEN 'News.Example.co.uk'
+           WHEN 1 THEN 'cdn.example.com'
+           WHEN 2 THEN 'Blog.Sample.org'
+           WHEN 3 THEN 'files.example.co.uk'
+           ELSE 'sub.deep.example.com' END AS host,
+         CASE WHEN doc_id % 6 = 3 THEN ':8080'
+              WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END AS port,
+         '/' || source || '/' || CAST(doc_id // 2 AS VARCHAR) AS path
+  FROM documents
+),
+n AS (
+  -- closed-form normalized URL: scheme+host lowercased, default :443
+  -- dropped, :8080 kept, query params sorted, fragment dropped
+  SELECT doc_id, source, lower(host) AS lhost,
+         CASE (doc_id // 2) % 5
+           WHEN 1 THEN 'example.com' WHEN 4 THEN 'example.com'
+           WHEN 2 THEN 'sample.org' ELSE 'example.co.uk' END AS domain,
+         'https://' || lower(host)
+           || CASE WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END
+           || path || '?a=1&b=2' AS norm_url
+  FROM u
+)
+"""
+
+
+def q_url_parse_documents(spark, sf_dir):
+    """Row-wise value check of the URL parser + registrable-domain
+    extraction on the first 40 constructed URLs (every mod class hit)."""
+    from vldt_spark.functions.weburl import parse_urls, registrable_domain
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    parsed = parse_urls(_doc_urls(docs))
+    return parsed.select(
+        "doc_id",
+        "scheme",
+        "host",
+        "port",
+        "path",
+        "query",
+        "fragment",
+        registrable_domain(F.col("host")).alias("domain"),
+    )
+
+
+SQL_URL_PARSE_DOCUMENTS = (
+    _SQL_DOC_URLS
+    + """
+SELECT u.doc_id,
+       'https' AS scheme,
+       lower(u.host) AS host,
+       CASE WHEN u.doc_id % 6 = 3 THEN '8080'
+            WHEN u.doc_id % 2 = 0 THEN '443' END AS port,
+       u.path AS path,
+       CASE WHEN u.doc_id % 2 = 0 THEN 'b=2&a=1' ELSE 'a=1&b=2' END AS query,
+       CASE WHEN u.doc_id % 2 = 0 THEN 'sec' END AS fragment,
+       n.domain AS domain
+FROM u JOIN n USING (doc_id)
+WHERE u.doc_id < 40
+"""
+)
+
+
+def q_url_provenance_documents(spark, sf_dir):
+    """Per-registrable-domain provenance: document counts, URL-level
+    dedup size (distinct normalized URLs), duplicate count.  Exercises
+    normalize (case/port/query-order/fragment collapse) end-to-end."""
+    from vldt_spark.functions.weburl import domain_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_report(_doc_urls(docs))
+
+
+SQL_URL_PROVENANCE_DOCUMENTS = (
+    _SQL_DOC_URLS
+    + """
+SELECT domain,
+       count(*) AS n_docs,
+       count(DISTINCT norm_url) AS n_unique_urls,
+       count(*) - count(DISTINCT norm_url) AS n_dup_urls
+FROM n GROUP BY domain
+"""
+)
+
+
+def q_url_blocklist_documents(spark, sf_dir):
+    """Domain-blocklist survivor counts per source (broadcast anti-join
+    variant, the million-domain-list plan shape)."""
+    from vldt_spark.functions.weburl import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = blocklist_filter(
+        _doc_urls(docs), ["example.com"], as_join=True
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+SQL_URL_BLOCKLIST_DOCUMENTS = (
+    _SQL_DOC_URLS
+    + """
+SELECT source, count(*) AS n_kept
+FROM n WHERE domain <> 'example.com'
+GROUP BY source
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# token-vocabulary ops (input_hint token-table shape)
+# ---------------------------------------------------------------------------
+# Tokens are the documents' character codes (the construction proven
+# hash-equal across the corpus by token_equality_documents), so the
+# DuckDB oracle rebuilds the identical arrays and checks exact counts.
+
+
+def _char_tokens(docs):
+    return docs.select(
+        "doc_id",
+        "source",
+        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)).alias(
+            "tokens"
+        ),
+    )
+
+
+_SQL_CHAR_TOKENS = """
+WITH t AS (
+  SELECT doc_id, source,
+         [ascii(c) FOR c IN string_split(text, '')] AS toks
+  FROM documents
+)
+"""
+
+
+def q_token_histogram_documents(spark, sf_dir):
+    """Exact unigram token histogram via the per-partition numpy-bincount
+    fold (the token arrays never ride a shuffle)."""
+    from vldt_spark.functions.tokens import token_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_histogram(_char_tokens(docs), vocab_size=256)
+
+
+SQL_TOKEN_HISTOGRAM_DOCUMENTS = (
+    _SQL_CHAR_TOKENS
+    + """
+SELECT CAST(token AS BIGINT) AS token, count(*) AS cnt
+FROM (SELECT unnest(toks) AS token FROM t)
+GROUP BY token
+"""
+)
+
+
+def q_oov_report_tokens(spark, sf_dir):
+    """Per-source out-of-vocabulary audit at vocab_size=110: codes 110+
+    (letters n..z) are OOV by construction, so every source has a known
+    nonzero rate."""
+    from vldt_spark.functions.tokens import oov_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_report(_char_tokens(docs), vocab_size=110, by="source")
+
+
+SQL_OOV_REPORT_TOKENS = (
+    _SQL_CHAR_TOKENS
+    + """
+SELECT source,
+       CAST(sum(coalesce(len(toks), 0)) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(len(list_filter(toks, x -> x < 0 OR x >= 110)), 0)) AS BIGINT) AS oov_tokens,
+       round(CAST(sum(coalesce(len(list_filter(toks, x -> x < 0 OR x >= 110)), 0)) AS DOUBLE)
+             / greatest(CAST(sum(coalesce(len(toks), 0)) AS DOUBLE), 1.0), 6) AS oov_rate
+FROM t GROUP BY source
+"""
+)
+
+
+def q_vocab_coverage_documents(spark, sf_dir):
+    from vldt_spark.functions.tokens import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(_char_tokens(docs), vocab_size=256)
+
+
+SQL_VOCAB_COVERAGE_DOCUMENTS = (
+    _SQL_CHAR_TOKENS
+    + """
+, u AS (SELECT unnest(toks) AS token FROM t),
+g AS (SELECT token FROM u WHERE token >= 0 AND token < 256 GROUP BY token)
+SELECT CAST(count(*) AS BIGINT) AS distinct_tokens,
+       round(count(*) / CAST(256 AS DOUBLE), 6) AS vocab_coverage,
+       CAST(min(token) AS BIGINT) AS min_token,
+       CAST(max(token) AS BIGINT) AS max_token,
+       (SELECT count(*) FROM u WHERE token >= 0 AND token < 256) AS in_vocab_tokens
+FROM g
+"""
+)
+
+
+def q_token_bigram_topk_documents(spark, sf_dir):
+    """Top-25 token bigrams, deterministic tie-break (cnt DESC, tok_a,
+    tok_b) — bigram keys packed to int64 and folded per partition."""
+    from vldt_spark.functions.tokens import token_bigram_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_bigram_topk(_char_tokens(docs), vocab_size=256, k=25)
+
+
+SQL_TOKEN_BIGRAM_TOPK_DOCUMENTS = (
+    _SQL_CHAR_TOKENS
+    + """
+, p AS (
+  SELECT unnest(toks[1:len(toks)-1]) AS a, unnest(toks[2:len(toks)]) AS b
+  FROM t WHERE len(toks) >= 2
+),
+g AS (SELECT a, b, count(*) AS cnt FROM p GROUP BY a, b),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS INT) AS "rank",
+         CAST(a AS BIGINT) AS tok_a, CAST(b AS BIGINT) AS tok_b, cnt
+  FROM g
+)
+SELECT "rank", tok_a, tok_b, cnt FROM r WHERE "rank" <= 25
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -3745,6 +4013,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks whose value-checked md5 twins are in/near the window);
     tools/check_oracle.py still verifies the full set locally."""
     return {
+        # NEW r4 (late): web-provenance + token-vocabulary families
+        "url_parse_documents": q_url_parse_documents,
+        "url_provenance_documents": q_url_provenance_documents,
+        "url_blocklist_documents": q_url_blocklist_documents,
+        "token_histogram_documents": q_token_histogram_documents,
+        "oov_report_tokens": q_oov_report_tokens,
+        "vocab_coverage_documents": q_vocab_coverage_documents,
+        "token_bigram_topk_documents": q_token_bigram_topk_documents,
         "png_pixel_stats_documents": q_png_pixel_stats_documents,  # NEW r4: real PNG pixel decode
         "wav_pcm_stats_documents": q_wav_pcm_stats_documents,  # NEW r4: real WAV PCM decode
         "ivf_probe_topk": q_ivf_probe_topk,  # NEW r4: cluster-pruned IVF path
@@ -3847,6 +4123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_parse_documents": SQL_URL_PARSE_DOCUMENTS,
+        "url_provenance_documents": SQL_URL_PROVENANCE_DOCUMENTS,
+        "url_blocklist_documents": SQL_URL_BLOCKLIST_DOCUMENTS,
+        "token_histogram_documents": SQL_TOKEN_HISTOGRAM_DOCUMENTS,
+        "oov_report_tokens": SQL_OOV_REPORT_TOKENS,
+        "vocab_coverage_documents": SQL_VOCAB_COVERAGE_DOCUMENTS,
+        "token_bigram_topk_documents": SQL_TOKEN_BIGRAM_TOPK_DOCUMENTS,
         "after_validator_events": SQL_AFTER_VALIDATOR_EVENTS,
         "union_models_documents": SQL_UNION_MODELS_DOCUMENTS,
         "dict_serializer_nested_documents": SQL_DICT_SERIALIZER_NESTED_DOCUMENTS,

@@ -1,0 +1,217 @@
+"""Token-vocabulary operators over pre-tokenized training sequences.
+
+These run on the BASELINE input_hint shape — (doc_id string, tokens
+array<int32>, n_tok int32, source string) — and answer the questions a
+training-data owner asks of a 10^12-sequence corpus: what is the unigram
+token distribution (for sampling temperature / vocab pruning), which
+sequences carry out-of-vocabulary ids (tokenizer/version drift), what
+fraction of the vocab is actually exercised, and what are the dominant
+token bigrams (template/boilerplate detection).
+
+Scale design:
+- `token_histogram` NEVER explodes the token arrays through a shuffle.
+  A naive `explode(tokens)` → groupBy ships n_rows × seq_len rows into
+  the exchange (at 10^12 sequences × 1k tokens that is 10^15 shuffle
+  rows).  Instead an Arrow-batched numpy `bincount` folds each partition
+  into one dense partial histogram, so the exchange carries at most
+  |vocab| rows per PARTITION (not per row) and the final groupBy(token)
+  is a |vocab|-sized aggregate.  Same partial-then-final shape as the
+  salted uniqueness check.
+- `oov_report` / `vocab_coverage` are single hash aggregates over
+  row-local expressions (no HOF in the hot loop for oov: `aggregate`
+  over int comparisons is interpreted but cheap; the histogram path is
+  the vectorized alternative when the whole distribution is needed).
+- `token_bigram_topk` uses the same per-partition numpy fold with
+  bigram keys packed into int64 (a * vocab + b), so the shuffle carries
+  distinct-bigrams-per-partition, bounded by |vocab|², typically ≪ data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _int_tokens(arr) -> "np.ndarray | None":
+    """Normalize one Arrow-delivered token array to int64 with NULL
+    elements mapped to -1.  Arrow hands list<int32> to pandas as an
+    int array, but as float64-with-NaN or object-with-None the moment
+    the list contains nulls — all three shapes land here."""
+    if arr is None or (np.isscalar(arr) and pd.isna(arr)):
+        return None
+    a = np.asarray(arr)
+    if a.dtype == object:
+        return np.array(
+            [-1 if (e is None or e != e) else int(e) for e in a],
+            dtype=np.int64,
+        )
+    if a.dtype.kind == "f":
+        out = np.where(np.isnan(a), -1.0, a)
+        return out.astype(np.int64)
+    return a.astype(np.int64)
+
+
+def token_histogram(
+    df: DataFrame, vocab_size: int, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Exact unigram token counts: (token int, cnt long).
+
+    Per-partition dense numpy bincount (one Arrow batch at a time), then
+    a |vocab|-row final sum.  Tokens outside [0, vocab_size) and NULL
+    elements are counted under token = -1 so the total is conserved
+    (callers can split OOV out; see `oov_report` for the rate view).
+    """
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(vocab_size, dtype=np.int64)
+        oov = 0
+        for pdf in batches:
+            for arr in pdf[tokens_col]:
+                t = _int_tokens(arr)  # NULL elements become -1
+                if t is None:
+                    continue
+                in_range = (t >= 0) & (t < vocab_size)
+                oov += int((~in_range).sum())
+                acc += np.bincount(t[in_range], minlength=vocab_size)
+            del pdf
+        nz = np.nonzero(acc)[0]
+        out = pd.DataFrame(
+            {"token": nz.astype(np.int64), "cnt": acc[nz]}
+        )
+        if oov:
+            out = pd.concat(
+                [out, pd.DataFrame({"token": [-1], "cnt": [oov]})],
+                ignore_index=True,
+            )
+        yield out
+
+    partials = df.select(tokens_col).mapInPandas(
+        fold, schema="token long, cnt long"
+    )
+    return partials.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+
+
+def oov_report(
+    df: DataFrame,
+    vocab_size: int,
+    tokens_col: str = "tokens",
+    by: str = "source",
+) -> DataFrame:
+    """Per-group OOV audit: total tokens, OOV tokens (NULL element or id
+    outside [0, vocab_size)), and the OOV rate.  Row-local expressions +
+    one hash aggregate — partial aggregation makes the shuffle |groups|-
+    sized."""
+    t = F.col(tokens_col)
+    n_tok = F.coalesce(F.size(t), F.lit(0))
+    # size(filter(...)) counts non-NULL out-of-range; NULL elements are
+    # total minus non-null count.
+    non_null = F.size(F.filter(t, lambda x: x.isNotNull()))
+    bad_range = F.size(
+        F.filter(t, lambda x: x.isNotNull() & ((x < 0) | (x >= vocab_size)))
+    )
+    oov = F.when(t.isNull(), F.lit(0)).otherwise(
+        (n_tok - non_null) + bad_range
+    )
+    return (
+        df.select(
+            F.col(by),
+            n_tok.alias("__n"),
+            oov.alias("__oov"),
+        )
+        .groupBy(by)
+        .agg(
+            F.sum("__n").alias("total_tokens"),
+            F.sum("__oov").alias("oov_tokens"),
+            F.round(
+                F.sum("__oov") / F.greatest(F.sum("__n"), F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, vocab_size: int, tokens_col: str = "tokens"
+) -> DataFrame:
+    """One-row corpus summary: distinct in-vocab tokens observed, the
+    coverage fraction, and the observed min/max token id.  Built on the
+    histogram partials, so the full arrays never shuffle."""
+    hist = token_histogram(df, vocab_size, tokens_col=tokens_col)
+    in_vocab = hist.where(F.col("token") >= 0)
+    return in_vocab.agg(
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.round(F.count(F.lit(1)) / F.lit(float(vocab_size)), 6).alias(
+            "vocab_coverage"
+        ),
+        F.min("token").alias("min_token"),
+        F.max("token").alias("max_token"),
+        F.sum("cnt").alias("in_vocab_tokens"),
+    )
+
+
+def token_bigram_topk(
+    df: DataFrame,
+    vocab_size: int,
+    k: int = 25,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Top-k token bigrams by exact count, deterministic tie-break
+    (cnt DESC, tok_a ASC, tok_b ASC).  Bigram keys pack into int64
+    (a * vocab_size + b) and fold per-partition via np.unique, so the
+    exchange carries distinct-bigrams-per-partition rows, never the
+    exploded pair stream.  NULL elements and out-of-vocab ids break the
+    bigram (both pairs containing them are dropped), matching the SQL
+    oracle's NULL/range filter."""
+    V = vocab_size
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys: dict[int, int] = {}
+        for pdf in batches:
+            for arr in pdf[tokens_col]:
+                t = _int_tokens(arr)
+                if t is None or len(t) < 2:
+                    continue
+                ok = (t >= 0) & (t < V)
+                a, b = t[:-1], t[1:]
+                good = ok[:-1] & ok[1:]
+                packed = a[good] * V + b[good]
+                if len(packed):
+                    u, c = np.unique(packed, return_counts=True)
+                    for kk, cc in zip(u.tolist(), c.tolist()):
+                        keys[kk] = keys.get(kk, 0) + cc
+            del pdf
+        if keys:
+            kk = np.fromiter(keys.keys(), dtype=np.int64, count=len(keys))
+            cc = np.fromiter(keys.values(), dtype=np.int64, count=len(keys))
+            yield pd.DataFrame({"key": kk, "cnt": cc})
+        else:
+            yield pd.DataFrame({"key": [], "cnt": []}).astype(
+                {"key": "int64", "cnt": "int64"}
+            )
+
+    partials = df.select(tokens_col).mapInPandas(
+        fold, schema="key long, cnt long"
+    )
+    totals = partials.groupBy("key").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql import Window
+
+    ranked = totals.select(
+        F.floor(F.col("key") / V).cast("long").alias("tok_a"),
+        (F.col("key") % V).cast("long").alias("tok_b"),
+        "cnt",
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("cnt").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+            )
+        ),
+    )
+    # global Window.orderBy is a single-partition sort — fine here because
+    # its input is the |vocab|²-bounded totals, not the corpus.
+    return ranked.where(F.col("rank") <= k).select(
+        "rank", "tok_a", "tok_b", "cnt"
+    )
