@@ -2986,6 +2986,63 @@ FROM agg
 """
 
 
+def q_jpeg_pixel_stats_documents(spark, sf_dir):
+    """REAL baseline JPEG PIXEL decode, oracle-checked, zero codec deps:
+    full interchange-format JPEGs (SOI/DQT/SOF0/DHT/SOS with standard
+    Annex K tables, Huffman-coded entropy data with byte stuffing) are
+    synthesized from doc_id as constant-color images — constant blocks
+    have a DC-only DCT, so for even values the quantize→dequantize→IDCT
+    round trip is BIT-EXACT and the oracle predicts every decoded pixel
+    closed-form (sum = v*w*h, std = 0).  Grayscale for even ids, RGB
+    gray for odd ids (Y=v, Cb=Cr=128 exactly); dims are non-8-multiples
+    so MCU padding + crop are exercised.  Decoder is an independent full
+    T.81 baseline path: marker walk, DQT/DHT canonical-code rebuild,
+    Huffman + byte-unstuffing bit reader, dezigzag, dequantize, float
+    IDCT, YCbCr→RGB.  Cites jpegcodec.py; pytest covers the lossy
+    (gradient) round trip and malformed-degrades-to-null."""
+    from vldt_spark.functions.multimodal import (
+        decode_image_stats,
+        synthesize_jpeg_pixel_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    stats = decode_image_stats(synthesize_jpeg_pixel_payloads(docs))
+    return stats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "channel",
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        "px_sumsq",
+        "px_mean",
+        "px_std",
+    )
+
+
+SQL_JPEG_PIXEL_STATS_DOCUMENTS = """
+WITH cfg AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 13 AS INT) AS w,
+         CAST(16 + doc_id % 11 AS INT) AS h,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS c,
+         2 * ((7 * doc_id) % 128) AS v
+  FROM documents
+), ch AS (
+  SELECT cfg.*, CAST(t.ch AS INT) AS channel
+  FROM cfg, range(0, 3) t(ch) WHERE t.ch < cfg.c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       channel,
+       w AS width, h AS height, c AS n_channels,
+       CAST(v * w * h AS BIGINT) AS px_sum,
+       CAST(v * v * w * h AS BIGINT) AS px_sumsq,
+       floor(CAST(v AS DOUBLE) * 1e6 + 0.5) / 1e6 AS px_mean,
+       CAST(0.0 AS DOUBLE) AS px_std
+FROM ch
+"""
+
+
 def q_wav_pcm_stats_documents(spark, sf_dir):
     """REAL WAV PCM sample decode, oracle-checked: WAV files with actual
     8-bit PCM data bytes (sample t = (id + 13t) % 256, mono 8 kHz,
@@ -4021,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_report_tokens": q_oov_report_tokens,
         "vocab_coverage_documents": q_vocab_coverage_documents,
         "token_bigram_topk_documents": q_token_bigram_topk_documents,
+        "jpeg_pixel_stats_documents": q_jpeg_pixel_stats_documents,  # NEW r4: real baseline JPEG decode
         "png_pixel_stats_documents": q_png_pixel_stats_documents,  # NEW r4: real PNG pixel decode
         "wav_pcm_stats_documents": q_wav_pcm_stats_documents,  # NEW r4: real WAV PCM decode
         "ivf_probe_topk": q_ivf_probe_topk,  # NEW r4: cluster-pruned IVF path
@@ -4134,6 +4192,7 @@ def oracle_sql() -> dict[str, str]:
         "union_models_documents": SQL_UNION_MODELS_DOCUMENTS,
         "dict_serializer_nested_documents": SQL_DICT_SERIALIZER_NESTED_DOCUMENTS,
         "media_headers_documents": SQL_MEDIA_HEADERS_DOCUMENTS,
+        "jpeg_pixel_stats_documents": SQL_JPEG_PIXEL_STATS_DOCUMENTS,
         "png_pixel_stats_documents": SQL_PNG_PIXEL_STATS_DOCUMENTS,
         "wav_pcm_stats_documents": SQL_WAV_PCM_STATS_DOCUMENTS,
         "ks_by_event_type": SQL_KS_BY_EVENT_TYPE,

@@ -282,3 +282,86 @@ def test_wav_pcm_decode_8_and_16_bit(spark):
     assert rows["w16"]["bits"] == 16 and rows["w16"]["n_samples"] == 600
     assert rows["w16"]["s_sum"] == sum(range(-300, 300))
     assert rows["junk"]["bits"] is None and rows["junk"]["n_samples"] is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (jpegcodec.py) — zero-dep T.81 baseline sequential
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_bit_exact():
+    import numpy as np
+    from vldt_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    # even gray values round-trip exactly (DC-only spectrum, Q00=16 at q50)
+    for v in (0, 2, 64, 130, 254):
+        px = np.full((19, 27, 1), v, dtype=np.uint8)  # non-8-multiple dims
+        dec = decode_jpeg(encode_jpeg(px, quality=50))
+        assert dec.shape == (19, 27, 1)
+        assert np.array_equal(dec, px), f"v={v}"
+    # RGB gray (v,v,v): Y=v, Cb=Cr=128 exactly -> bit-exact too
+    rgb = np.full((17, 21, 3), 188, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=50))
+    assert dec.shape == (17, 21, 3)
+    assert np.array_equal(dec, rgb)
+
+
+def test_jpeg_gradient_roundtrip_within_quantization_error():
+    import numpy as np
+    from vldt_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:32, 0:48]
+    smooth = np.clip(x * 2 + y, 0, 255).astype(np.uint8)[:, :, None]
+    dec = decode_jpeg(encode_jpeg(smooth, quality=90))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 3
+    # color gradient stays visually faithful at q90
+    rgb = np.stack(
+        [np.clip(x * 3, 0, 255), np.clip(y * 5, 0, 255), np.full_like(x, 77)],
+        axis=-1,
+    ).astype(np.uint8)
+    dec3 = decode_jpeg(encode_jpeg(rgb, quality=90))
+    err = np.abs(dec3.astype(int) - rgb.astype(int))
+    assert err.mean() < 3 and err.max() <= 40  # edges may ring; mean is tight
+
+
+def test_jpeg_malformed_degrades_to_null():
+    import numpy as np
+    from vldt_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((16, 16, 1), 100, dtype=np.uint8))
+    assert decode_jpeg(None) is None
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8\x00\x01") is None
+    assert decode_jpeg(good[:40]) is None  # truncated mid-header
+    assert decode_jpeg(good[:-30]) is None  # truncated entropy data
+    # progressive SOF2 is detected and refused, not mis-decoded
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def test_jpeg_pixel_stats_spark_path(spark):
+    import numpy as np
+    from vldt_spark.functions.multimodal import (
+        decode_image_stats,
+        synthesize_jpeg_pixel_payloads,
+    )
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = decode_image_stats(
+        synthesize_jpeg_pixel_payloads(ids)
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(int(r["media_id"]), []).append(r)
+    for i in range(12):
+        w, h = 16 + i % 13, 16 + i % 11
+        c = 1 if i % 2 == 0 else 3
+        v = 2 * ((7 * i) % 128)
+        chans = by_id[i]
+        assert len(chans) == c
+        for r in chans:
+            assert (r["width"], r["height"], r["n_channels"]) == (w, h, c)
+            assert r["px_sum"] == v * w * h
+            assert r["px_mean"] == float(v) and r["px_std"] == 0.0

@@ -190,6 +190,21 @@ def encode_png(pixels: np.ndarray, *, cycle_filters: bool = True) -> bytes:
     )
 
 
+def _decode_image_pixels(b: bytes | None) -> np.ndarray | None:
+    """Dispatch REAL pixel decode by container signature: PNG via the
+    zlib-inflate/unfilter path, baseline JPEG via the zero-dep T.81
+    decoder (jpegcodec.py).  Anything else -> None (degrade-to-null)."""
+    if b is None or len(b) < 4:
+        return None
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png_pixels(b)
+    if b[0:2] == b"\xff\xd8":
+        from vldt_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(b)
+    return None
+
+
 def _decode_wav_samples(b: bytes | None) -> tuple[np.ndarray, int, int] | None:
     """REAL WAV PCM decode, zero deps: walks RIFF chunks, requires
     ``fmt `` audio_format 1 (PCM) with 8 or 16 bits/sample, returns
@@ -516,10 +531,12 @@ def _round6(x: float) -> float:
 def decode_image_stats(
     media: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """REAL PNG pixel decode → one row per (image, channel) with exact
-    integer pixel sums and float mean/std. This is the value-checkable
-    core of the image surface: for a synthesized PNG whose pixels are a
-    closed-form function of the id, an SQL oracle predicts every output
+    """REAL pixel decode (PNG or baseline JPEG, by signature) → one row
+    per (image, channel) with exact integer pixel sums and float
+    mean/std. This is the value-checkable core of the image surface: for
+    a synthesized PNG (lossless) or a constant-block JPEG (DC-only DCT,
+    bit-exact round trip) whose pixels are a closed-form function of the
+    id, an SQL oracle predicts every output
     (`px_sum`/`px_sumsq` are exact BIGINTs; mean/std use the identical
     float64 expression `sqrt(s2/n - (s1/n)^2)` on both sides).
     Undecodable payloads emit a single row of NULL stats (channel NULL).
@@ -530,7 +547,7 @@ def decode_image_stats(
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in PIXEL_STATS_SCHEMA.fields}
             for mid, b in zip(pdf[id_col].astype(str), pdf[payload_col]):
-                px = _decode_png_pixels(bytes(b) if b is not None else None)
+                px = _decode_image_pixels(bytes(b) if b is not None else None)
                 if px is None:
                     out["media_id"].append(mid)
                     for k in ("channel", "width", "height", "n_channels",
@@ -603,6 +620,44 @@ def synthesize_png_pixel_payloads(
                 chs = 54 * np.arange(c, dtype=np.int64)[None, None, :]
                 px = ((i + xs + ys + chs) % 256).astype(np.uint8)
                 payloads.append(encode_png(px, cycle_filters=True))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype(str), "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_jpeg_pixel_payloads(
+    ids: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL baseline JPEGs from an id column: constant
+    color value ``v = 2 * ((7 * id) % 128)`` over a
+    ``(16 + id%13) x (16 + id%11)`` grid — grayscale for even ids, RGB
+    gray (v,v,v) for odd ids.  Constant blocks quantize to a DC-only
+    spectrum whose round trip is BIT-EXACT for even v (gray maps to
+    Y=v, Cb=Cr=128 exactly), so the SQL oracle predicts the decoded
+    per-channel sums closed-form: sum = v*w*h, std = 0.  Non-8-multiple
+    dims exercise MCU padding + crop."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vldt_spark.functions.jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w = 16 + i % 13
+                h = 16 + i % 11
+                c = 1 if i % 2 == 0 else 3
+                v = 2 * ((7 * i) % 128)
+                px = np.full((h, w, c), v, dtype=np.uint8)
+                payloads.append(encode_jpeg(px, quality=50))
             yield pd.DataFrame(
                 {"media_id": pdf[id_col].astype(str), "payload": payloads}
             )
