@@ -3043,6 +3043,58 @@ FROM ch
 """
 
 
+def q_video_frame_stats_documents(spark, sf_dir):
+    """REAL video frame sampling + pixel decode, oracle-checked, zero
+    codec deps: spec-shaped AVI/MJPEG containers (RIFF hdrl/movi/idx1,
+    real Huffman-coded JPEG '00dc' chunks — videocodec.py) are
+    synthesized from doc_id with 3 + id%5 constant-gray frames; the
+    independent decode path walks the RIFF tree, samples every 2nd
+    frame (skipped frames never pay JPEG decode), and decodes pixels
+    through the full T.81 baseline path.  Constant frames round-trip
+    bit-exactly, so the oracle predicts every sampled frame's stats
+    closed-form."""
+    from vldt_spark.functions.multimodal import (
+        frame_stats,
+        synthesize_avi_mjpeg_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    stats = frame_stats(synthesize_avi_mjpeg_payloads(docs), every_n=2)
+    return stats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        "px_mean",
+        "px_std",
+    )
+
+
+SQL_VIDEO_FRAME_STATS_DOCUMENTS = """
+WITH cfg AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 9 AS INT) AS w,
+         CAST(16 + doc_id % 7 AS INT) AS h,
+         3 + doc_id % 5 AS nf
+  FROM documents
+), fr AS (
+  SELECT cfg.doc_id, cfg.w, cfg.h,
+         CAST(t.f AS INT) AS frame_idx,
+         2 * ((3 * cfg.doc_id + 11 * t.f) % 128) AS v
+  FROM cfg, range(0, 8, 2) t(f) WHERE t.f < cfg.nf
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       frame_idx,
+       w AS width, h AS height, CAST(1 AS INT) AS n_channels,
+       CAST(v * w * h AS BIGINT) AS px_sum,
+       floor(CAST(v AS DOUBLE) * 1e6 + 0.5) / 1e6 AS px_mean,
+       CAST(0.0 AS DOUBLE) AS px_std
+FROM fr
+"""
+
+
 def q_wav_pcm_stats_documents(spark, sf_dir):
     """REAL WAV PCM sample decode, oracle-checked: WAV files with actual
     8-bit PCM data bytes (sample t = (id + 13t) % 256, mono 8 kHz,
@@ -4079,6 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_documents": q_vocab_coverage_documents,
         "token_bigram_topk_documents": q_token_bigram_topk_documents,
         "jpeg_pixel_stats_documents": q_jpeg_pixel_stats_documents,  # NEW r4: real baseline JPEG decode
+        "video_frame_stats_documents": q_video_frame_stats_documents,  # NEW r4: real AVI/MJPEG frames
         "png_pixel_stats_documents": q_png_pixel_stats_documents,  # NEW r4: real PNG pixel decode
         "wav_pcm_stats_documents": q_wav_pcm_stats_documents,  # NEW r4: real WAV PCM decode
         "ivf_probe_topk": q_ivf_probe_topk,  # NEW r4: cluster-pruned IVF path
@@ -4193,6 +4246,7 @@ def oracle_sql() -> dict[str, str]:
         "dict_serializer_nested_documents": SQL_DICT_SERIALIZER_NESTED_DOCUMENTS,
         "media_headers_documents": SQL_MEDIA_HEADERS_DOCUMENTS,
         "jpeg_pixel_stats_documents": SQL_JPEG_PIXEL_STATS_DOCUMENTS,
+        "video_frame_stats_documents": SQL_VIDEO_FRAME_STATS_DOCUMENTS,
         "png_pixel_stats_documents": SQL_PNG_PIXEL_STATS_DOCUMENTS,
         "wav_pcm_stats_documents": SQL_WAV_PCM_STATS_DOCUMENTS,
         "ks_by_event_type": SQL_KS_BY_EVENT_TYPE,

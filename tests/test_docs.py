@@ -66,6 +66,21 @@ def test_readme_suite_snippet_executes(ns):
     assert rep and all(r["passed"] for r in rep.values())
 
 
+def test_readme_web_token_snippet_executes(ns):
+    exec(compile(_python_blocks()[3], README, "exec"), ns.__dict__)
+    n_docs = ns.docs.count()
+    prov = ns.prov.collect()
+    assert prov and sum(r["n_docs"] for r in prov) == n_docs
+    # the constructed URLs are unique per doc -> dedup keeps everything
+    assert ns.deduped.count() == n_docs
+    assert ns.kept.count() == n_docs  # blocklisted domain absent
+    hist = {r["token"]: r["cnt"] for r in ns.hist.collect()}
+    assert hist.get(ord(" "), 0) > 0 and hist.get(ord("a"), 0) > 0
+    oov = {r["source"]: r["oov_rate"] for r in ns.oov.collect()}
+    assert oov and all(0.0 < v < 1.0 for v in oov.values())
+    assert ns.bigrams.count() == 10
+
+
 def test_readme_pipeline_snippet_executes(ns):
     exec(compile(_python_blocks()[2], README, "exec"), ns.__dict__)
     # force the lazy plans the snippet builds and sanity-check shapes

@@ -365,3 +365,62 @@ def test_jpeg_pixel_stats_spark_path(spark):
             assert (r["width"], r["height"], r["n_channels"]) == (w, h, c)
             assert r["px_sum"] == v * w * h
             assert r["px_mean"] == float(v) and r["px_std"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG video container (videocodec.py) — real frame extraction
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    import numpy as np
+    from vldt_spark.functions.videocodec import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        iter_avi_frames,
+    )
+
+    frames = [
+        np.full((18, 22, 1), 2 * ((11 * f) % 128), np.uint8) for f in range(6)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10)
+    dec = decode_avi_frames(avi)
+    assert [i for i, _ in dec] == list(range(6))
+    assert all(np.array_equal(px, frames[i]) for i, px in dec)
+    # sampling skips decode for unselected frames
+    assert [i for i, _ in decode_avi_frames(avi, every_n=2)] == [0, 2, 4]
+    # RGB gray frames round-trip exactly too
+    rgbf = [np.full((16, 16, 3), 100 + 2 * f, np.uint8) for f in range(3)]
+    d3 = decode_avi_frames(encode_avi_mjpeg(rgbf))
+    assert all(np.array_equal(px, rgbf[i]) for i, px in d3)
+    # malformed degrades to empty, never raises
+    assert decode_avi_frames(None) == []
+    assert decode_avi_frames(b"RIFF\x00\x00\x00\x00AVI ") == []
+    assert decode_avi_frames(avi[:100]) == []
+    assert list(iter_avi_frames(b"not a riff")) == []
+
+
+def test_video_frame_stats_spark_path(spark):
+    from vldt_spark.functions.multimodal import (
+        frame_stats,
+        synthesize_avi_mjpeg_payloads,
+    )
+
+    ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    rows = frame_stats(
+        synthesize_avi_mjpeg_payloads(ids), every_n=2
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(int(r["media_id"]), []).append(r)
+    for i in range(10):
+        nf = 3 + i % 5
+        expect_idx = [f for f in range(0, nf, 2)]
+        got = sorted(by_id[i], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == expect_idx
+        w, h = 16 + i % 9, 16 + i % 7
+        for r in got:
+            v = 2 * ((3 * i + 11 * r["frame_idx"]) % 128)
+            assert (r["width"], r["height"], r["n_channels"]) == (w, h, 1)
+            assert r["px_sum"] == v * w * h
+            assert r["px_mean"] == float(v) and r["px_std"] == 0.0

@@ -169,3 +169,41 @@ def test_catalog_conf_and_resolve_table(spark, tmp_path):
     df.createOrReplaceTempView("catalog_resolve_probe")
     out = resolve_table(spark, "catalog_resolve_probe")  # name → read.table
     assert out.count() == 5 and out.columns == ["doc_id"]
+
+
+def test_read_orc_validated_schema_drift(spark, tmp_path):
+    """ORC reads align to the model: missing columns arrive as typed
+    NULLs (not AnalysisException), lossless type drift is cast, extra
+    columns are pruned, matching is case-insensitive."""
+    from vldt_spark.engine import ValidationEngine
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model
+    from vldt_spark.sources.readers import read_orc_validated
+
+    class OrcSeq(Model):
+        doc_id: str = Field(not_null=True)
+        n_tok: int = Field(ge=1)
+        source: str = Field(not_null=True)
+
+    p = str(tmp_path / "drifted.orc")
+    # file schema: DOC_ID (case drift), n_tok int32 (type drift),
+    # extra_col (pruned), and NO source column (missing)
+    spark.createDataFrame(
+        [("d1", 5, "x"), ("d2", 7, "y")],
+        "DOC_ID string, n_tok int, extra_col string",
+    ).write.mode("overwrite").orc(p)
+
+    df = read_orc_validated(spark, p, OrcSeq)
+    assert df.columns == ["doc_id", "n_tok", "source"]
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+    rows = df.orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in rows] == ["d1", "d2"]
+    assert all(r["source"] is None for r in rows)
+
+    # the missing column becomes not-null violations with lineage
+    ann = ValidationEngine(OrcSeq).annotate(df)
+    assert ann.where(F.col("is_valid")).count() == 0
+    viol = ann.select(F.explode("violations").alias("v")).select(
+        "v.path"
+    ).collect()
+    assert {r["path"] for r in viol} == {"source"}

@@ -46,6 +46,22 @@ from vldt_spark.functions.sampling import (
     mixture_report,
 )
 from vldt_spark.functions.packing import chunk_layout
+from vldt_spark.functions.weburl import (
+    parse_urls,
+    normalize_url,
+    registrable_domain,
+    domain_report,
+    blocklist_filter,
+    url_dedup,
+    domain_cap,
+)
+from vldt_spark.functions.tokens import (
+    token_histogram,
+    oov_report,
+    vocab_coverage,
+    token_bigram_topk,
+)
+from vldt_spark.functions.jpegcodec import encode_jpeg, decode_jpeg
 from vldt_spark.functions.sessions import sessionize, session_stats
 from vldt_spark.functions.multimodal import (
     extract_features,
@@ -67,6 +83,19 @@ __all__ = [
     "ngram_jaccard_pairs",
     "chunk_layout",
     "split_assign",
+    "parse_urls",
+    "normalize_url",
+    "registrable_domain",
+    "domain_report",
+    "blocklist_filter",
+    "url_dedup",
+    "domain_cap",
+    "token_histogram",
+    "oov_report",
+    "vocab_coverage",
+    "token_bigram_topk",
+    "encode_jpeg",
+    "decode_jpeg",
     "contamination_report",
     "decontaminate",
     "cosine_topk_bruteforce",

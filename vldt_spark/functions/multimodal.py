@@ -381,6 +381,119 @@ def frame_sample_stub(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
 
 
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+        T.StructField("px_std", T.DoubleType(), True),
+    ]
+)
+
+
+def frame_stats(
+    media: DataFrame,
+    *,
+    every_n: int = 1,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling + pixel decode over AVI/MJPEG payloads
+    (videocodec.py): one row per sampled frame with decoded pixel stats.
+    Skipped frames never pay JPEG decode (the movi chunk walk is
+    O(bytes), decompression only on selected frames).  Undecodable
+    payloads emit a single NULL-stats row.  Parallelism is across
+    videos; only (id, frame stats) leave the executor — never pixels."""
+    from vldt_spark.functions.videocodec import decode_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FRAME_STATS_SCHEMA.fields}
+            for mid, b in zip(pdf[id_col].astype(str), pdf[payload_col]):
+                frames = decode_avi_frames(
+                    bytes(b) if b is not None else None, every_n=every_n
+                )
+                if not frames:
+                    rows["media_id"].append(mid)
+                    for k in ("frame_idx", "width", "height", "n_channels",
+                              "px_sum", "px_mean", "px_std"):
+                        rows[k].append(None)
+                    continue
+                for idx, px in frames:
+                    h, w, c = px.shape
+                    s1 = int(px.astype(np.int64).sum())
+                    n = h * w * c
+                    s2 = int((px.astype(np.int64) ** 2).sum())
+                    mean = s1 / n
+                    var = s2 / n - mean * mean
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_channels"].append(c)
+                    rows["px_sum"].append(s1)
+                    rows["px_mean"].append(_round6(mean))
+                    rows["px_std"].append(
+                        _round6(float(np.sqrt(max(var, 0.0))))
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "n_channels": pd.array(rows["n_channels"], dtype="Int32"),
+                    "px_sum": pd.array(rows["px_sum"], dtype="Int64"),
+                    "px_mean": pd.array(rows["px_mean"], dtype="Float64"),
+                    "px_std": pd.array(rows["px_std"], dtype="Float64"),
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=FRAME_STATS_SCHEMA
+    )
+
+
+def synthesize_avi_mjpeg_payloads(
+    ids: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL AVI/MJPEG videos from an id column: each video
+    has ``3 + id % 5`` constant-gray frames of value
+    ``v(f) = 2 * ((3*id + 11*f) % 128)`` on a ``(16+id%9) x (16+id%7)``
+    grid.  Constant JPEG frames round-trip bit-exactly (even values), so
+    an SQL oracle predicts per-frame sums closed-form."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vldt_spark.functions.videocodec import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w = 16 + i % 9
+                h = 16 + i % 7
+                frames = [
+                    np.full((h, w, 1), 2 * ((3 * i + 11 * f) % 128), np.uint8)
+                    for f in range(3 + i % 5)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=10))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype(str), "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=out_schema)
+
+
 HEADER_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),

@@ -78,6 +78,44 @@ def read_csv_validated(
     )
 
 
+def read_orc_validated(
+    spark: SparkSession, path: str, model: type[Model]
+) -> DataFrame:
+    """ORC source aligned to a model schema with the same never-raise
+    contract as the CSV/JSON readers.  ORC is self-describing, so there
+    is no PERMISSIVE corrupt-record mode — schema drift shows up as
+    missing/mistyped COLUMNS, not unparseable rows.  This reader:
+
+    - selects the model's fields in model order (extra file columns are
+      pruned at the scan — ORC supports column pruning + predicate
+      pushdown like parquet);
+    - fills fields absent from the file with typed NULLs, which the
+      validation pass then reports as not-null violations with lineage
+      (instead of an AnalysisException aborting the job);
+    - casts losslessly-mismatched columns (e.g. int32 file vs int64
+      model) so the fused pass sees the declared types.
+
+    Case-insensitive name matching, mirroring Spark's resolution rules.
+    """
+    base = model.spark_schema()
+    df = spark.read.orc(path)
+    by_lower = {f.name.lower(): f for f in df.schema.fields}
+    cols = []
+    for field in base.fields:
+        src = by_lower.get(field.name.lower())
+        if src is None:
+            cols.append(
+                F.lit(None).cast(field.dataType).alias(field.name)
+            )
+        elif src.dataType == field.dataType:
+            cols.append(F.col(src.name).alias(field.name))
+        else:
+            cols.append(
+                F.col(src.name).cast(field.dataType).alias(field.name)
+            )
+    return df.select(*cols)
+
+
 def corrupt_record_offsets(
     df: DataFrame, *, record_col: str = "_corrupt_record"
 ) -> DataFrame:
