@@ -419,6 +419,43 @@ FROM lineitem
 """
 
 
+def q_tdigest_quantiles_documents(spark, sf_dir):
+    """REAL t-digest (north star names it): the full distributed sketch
+    pipeline — mapInPandas per-batch k1-scale folds, digest-partial
+    shuffle, applyInPandas merge, quantile interpolation — run in its
+    exact regime (50 values/group <= compression=128 ⇒ singleton
+    centroids, order-statistic interpolation == quantile_cont), so the
+    oracle value-checks every stage bit-exactly.  Compressed-regime
+    accuracy (rank error, tail tightness) and merge associativity are
+    pytest-asserted (tests/test_tdigest.py).  Scale path: the exchange
+    carries |groups|×|batches| bounded centroid lists, never raw rows."""
+    from vldt_spark.checks.tdigest import tdigest_quantiles
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select(
+        (F.col("doc_id") % 8).cast("string").alias("g"),
+        ((F.col("doc_id") * 7) % 97).cast("double").alias("v"),
+    )
+    return tdigest_quantiles(docs, "v", [0.25, 0.5, 0.75], by="g", compression=128)
+
+
+SQL_TDIGEST_QUANTILES_DOCUMENTS = """
+WITH src AS (
+  SELECT CAST(doc_id % 8 AS VARCHAR) AS g,
+         CAST((doc_id * 7) % 97 AS DOUBLE) AS v
+  FROM documents WHERE doc_id < 400
+), q AS (
+  SELECT g,
+         quantile_cont(v, 0.25) AS q25,
+         quantile_cont(v, 0.50) AS q50,
+         quantile_cont(v, 0.75) AS q75
+  FROM src GROUP BY g
+)
+SELECT g, CAST(0.25 AS DOUBLE) AS p, q25 AS q FROM q
+UNION ALL SELECT g, CAST(0.50 AS DOUBLE) AS p, q50 AS q FROM q
+UNION ALL SELECT g, CAST(0.75 AS DOUBLE) AS p, q75 AS q FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # B5 — uniqueness (salted two-stage aggregate)
 # ---------------------------------------------------------------------------
@@ -568,6 +605,52 @@ WHERE c_nationkey IS NOT NULL
   AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
 GROUP BY c_nationkey
 ORDER BY n_rows DESC
+"""
+
+
+def q_ri_bloom_screen_lineitem(spark, sf_dir):
+    """Map-side Bloom RI screen vs the exact anti-join oracle: lineitem
+    FKs are perturbed (every orderkey divisible by 997 shifted out of
+    range) and screened against orders with a 1 MiB dim bitmap — the
+    zero-fact-shuffle path for dims too big to broadcast.  The screen is
+    one-sided (reported rows are ALWAYS true violations; a violation is
+    missed w.p. ≈ fill^k ≈ 5e-6 here), so at this fixture's FP odds the
+    screen equals the exact result — pinned deterministic by xxhash64 and
+    verified at all three scales; the one-sidedness itself is
+    pytest-asserted under a deliberately undersized bitmap
+    (tests/test_bloom_screen.py)."""
+    from vldt_spark.checks.referential import ri_bloom_screen
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").where(
+        F.col("l_orderkey").isNotNull()
+    )
+    fact = li.withColumn(
+        "fk",
+        F.when(
+            F.col("l_orderkey") % 997 == 0,
+            F.col("l_orderkey") + F.lit(10_000_000_000),
+        ).otherwise(F.col("l_orderkey")),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    viol = ri_bloom_screen(fact, "fk", orders, "o_orderkey")
+    return (
+        viol.groupBy("fk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("fk")
+    )
+
+
+SQL_RI_BLOOM_SCREEN_LINEITEM = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 997 = 0
+              THEN l_orderkey + 10000000000
+              ELSE l_orderkey END AS fk
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+)
+SELECT fk, CAST(count(*) AS BIGINT) AS n_rows
+FROM fact
+WHERE fk NOT IN (SELECT o_orderkey FROM orders)
+GROUP BY fk
 """
 
 
@@ -4102,6 +4185,48 @@ SELECT "rank", tok_a, tok_b, cnt FROM r WHERE "rank" <= 25
 )
 
 
+def q_bpe_encode_documents(spark, sf_dir):
+    """REAL BPE tokenizer (the GPT-2 merge algorithm), oracle-checked via
+    a closed-form fixture: doc k (= 1 + doc_id % 15) is the text "ab"×k,
+    and the merge table holds the power-of-two merges ab, abab, abababab,
+    abababababababab — greedy highest-priority-first merging therefore
+    produces exactly k's BINARY DECOMPOSITION as token lengths (largest
+    power first), which SQL predicts with bit arithmetic.  Witnesses the
+    full encode path: rank resolution, merge-all-occurrences, leftover
+    handling (odd k), and the mapInPandas schema plumbing.  Training
+    (learn_bpe) is pytest-checked against an independent naive BPE."""
+    from vldt_spark.functions.bpe import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.repeat(F.lit("ab"), (F.col("doc_id") % 15 + 1).cast("int")).alias("txt")
+    )
+    merges = [("a", "b"), ("ab", "ab"), ("abab", "abab"), ("abababab", "abababab")]
+    enc = bpe_encode(docs, "txt", merges)
+    return enc.select(
+        "doc_id", F.posexplode("bpe_tokens").alias("pos", "token")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "token",
+        F.length("token").cast("int").alias("token_len"),
+    )
+
+
+SQL_BPE_ENCODE_DOCUMENTS = """
+WITH cfg AS (SELECT doc_id, 1 + doc_id % 15 AS k FROM documents),
+bits AS (
+  SELECT cfg.doc_id, CAST(t.j AS INT) AS j
+  FROM cfg, range(0, 4) t(j)
+  WHERE (cfg.k >> t.j) & 1 = 1
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j DESC) - 1 AS INT) AS pos,
+       repeat('ab', 1 << j) AS token,
+       CAST(2 * (1 << j) AS INT) AS token_len
+FROM bits
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4135,6 +4260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_pixel_stats_documents": q_png_pixel_stats_documents,  # NEW r4: real PNG pixel decode
         "wav_pcm_stats_documents": q_wav_pcm_stats_documents,  # NEW r4: real WAV PCM decode
         "ivf_probe_topk": q_ivf_probe_topk,  # NEW r4: cluster-pruned IVF path
+        "tdigest_quantiles_documents": q_tdigest_quantiles_documents,  # NEW r4: real t-digest
+        "ri_bloom_screen_lineitem": q_ri_bloom_screen_lineitem,  # NEW r4: map-side Bloom RI
+        "bpe_encode_documents": q_bpe_encode_documents,  # NEW r4: real BPE tokenizer
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4278,6 +4406,9 @@ def oracle_sql() -> dict[str, str]:
         "suite_token_contract": SQL_SUITE_TOKEN_CONTRACT,
         "distinct_lineitem": SQL_DISTINCT_LINEITEM,
         "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
+        "tdigest_quantiles_documents": SQL_TDIGEST_QUANTILES_DOCUMENTS,
+        "ri_bloom_screen_lineitem": SQL_RI_BLOOM_SCREEN_LINEITEM,
+        "bpe_encode_documents": SQL_BPE_ENCODE_DOCUMENTS,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,

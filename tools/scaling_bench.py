@@ -8,7 +8,8 @@ efficiency = (throughput_4N / throughput_N) / 4.
 Measurement hygiene (this box is a shared VM — single runs are bimodal):
   * each parallelism level runs in a FRESH JVM (subprocess)
   * the parquet input is page-cache-warmed before timing
-  * best of 4 reps (interference-free estimate on a shared VM) per level
+  * lo/hi levels INTERLEAVED in rounds of 2 reps each (a congestion wave
+    hits both levels, not one); best-of-all-reps per level
   * input sized so compute dominates fixed job overheads (default 4M rows)
 
 Core pair defaults to N=2 → 4N=8. The host VM's memory bandwidth saturates
@@ -79,9 +80,31 @@ def measure(cpus: int, tok_path: str, reps: int = 4) -> dict:
     return json.loads(lines[-1])
 
 
+def measure_interleaved(n_lo: int, n_hi: int, tok_path: str, rounds: int) -> tuple[dict, dict]:
+    """Alternate lo/hi measurement rounds (2 reps each, fresh JVM per
+    round) so a host-congestion wave hits BOTH levels instead of biasing
+    one — on a shared VM, back-to-back blocks of reps can land one level
+    entirely inside a wave (observed: 4-rep spreads of 3.8×). Best-of-all
+    reps per level is the interference-free estimate."""
+    lo_reps: list[float] = []
+    hi_reps: list[float] = []
+    lo_last = hi_last = None
+    for _ in range(rounds):
+        lo_last = measure(n_lo, tok_path, reps=2)
+        hi_last = measure(n_hi, tok_path, reps=2)
+        lo_reps.extend(lo_last["wall_sec_reps"])
+        hi_reps.extend(hi_last["wall_sec_reps"])
+    for res, reps in ((lo_last, lo_reps), (hi_last, hi_reps)):
+        res["wall_sec_reps"] = reps
+        res["wall_sec_best"] = min(reps)
+        res["seqs_per_sec"] = round(res["n_rows"] / min(reps), 1)
+    return lo_last, hi_last
+
+
 def main():
     n_rows = int(os.environ.get("VLDT_SCALING_ROWS", "8000000"))
     n_lo = int(os.environ.get("VLDT_SCALING_N", "2"))
+    rounds = int(os.environ.get("VLDT_SCALING_ROUNDS", "3"))
     n_hi = 4 * n_lo
     tok_path = os.path.join(REPO, ".bench_cache", f"tokens_{n_rows}.parquet")
     if not os.path.exists(os.path.join(tok_path, "_SUCCESS")):
@@ -93,8 +116,7 @@ def main():
         bench.ensure_token_table(spark, n_rows)
         spark.stop()
 
-    lo = measure(n_lo, tok_path)
-    hi = measure(n_hi, tok_path)
+    lo, hi = measure_interleaved(n_lo, n_hi, tok_path, rounds)
     eff = round((hi["seqs_per_sec"] / lo["seqs_per_sec"]) / 4.0, 3)
     result = {
         "n_rows": n_rows,
@@ -113,7 +135,9 @@ Job: the full flagship validation pass — schema/type/range/regex/cross-field
 checks + salted uniqueness + RI anti-join + per-source verdict aggregation —
 over a {n_rows:,}-row deterministic synthetic token table (BASELINE.json
 input_hint shape), pre-materialized parquet. Same input at both parallelism
-levels; each level a fresh JVM; page cache warmed; best of 4 reps (interference-free estimate on a shared VM).
+levels; fresh JVM per round; page cache warmed; levels interleaved in
+rounds of 2 reps each (a host-congestion wave lands on both levels, not
+one); best-of-all-reps per level is the interference-free estimate.
 
 | parallelism | wall sec (best) | reps | validated seqs/sec |
 |---|---|---|---|

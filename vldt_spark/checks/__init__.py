@@ -7,7 +7,14 @@ Each check generalizes a reference validation primitive from one object to
 
 from vldt_spark.checks.column_stats import column_profile, column_stats, numeric_quantiles
 from vldt_spark.checks.uniqueness import duplicate_keys, duplicate_rows, uniqueness_report
-from vldt_spark.checks.referential import invalid_fk_values, ri_violation_rows, ri_report
+from vldt_spark.checks.referential import (
+    bloom_build,
+    invalid_fk_values,
+    ri_bloom_screen,
+    ri_violation_rows,
+    ri_report,
+)
+from vldt_spark.checks.tdigest import merge_digests, tdigest_quantiles
 from vldt_spark.checks.drift import (
     histogram,
     kl_divergence,
@@ -40,6 +47,10 @@ __all__ = [
     "invalid_fk_values",
     "ri_violation_rows",
     "ri_report",
+    "bloom_build",
+    "ri_bloom_screen",
+    "tdigest_quantiles",
+    "merge_digests",
     "histogram",
     "kl_divergence",
     "psi",

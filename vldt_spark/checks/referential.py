@@ -54,6 +54,132 @@ def ri_violation_rows(
     return fact.where(F.col(fk).isNotNull()).join(d, fk, "left_anti")
 
 
+def bloom_build(
+    dim: DataFrame,
+    dim_key: str,
+    *,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+    build_partitions: int = 16,
+) -> bytes:
+    """Build a Bloom-filter bitmap of the dimension's key set.
+
+    Distributed build: keys are hashed JVM-side (``xxhash64``), each of
+    ``build_partitions`` partitions folds its hashes into a local bitmap
+    in one vectorized numpy pass (mapInPandas), and the ≤
+    ``build_partitions`` partial bitmaps (n_bits/8 bytes each) are OR-ed
+    driver-side — bounded driver data regardless of dim row count
+    (repartition caps the partial count even on a 10k-split dim scan).
+
+    Bit positions use Kirsch–Mitzenmacher double hashing over the single
+    64-bit key hash: pos_i = (h_lo + i·(h_hi|1)) mod n_bits — k positions
+    from one JVM-side hash, no per-row Python. Keys are hashed by their
+    CANONICAL STRING form so the build and probe sides agree even when
+    the FK and dim-key integer widths differ (``xxhash64`` is
+    type-width-sensitive: int 5 and bigint 5 hash differently raw).
+    """
+    import numpy as np
+
+    hashed = (
+        dim.select(F.xxhash64(F.col(dim_key).cast("string")).alias("__h"))
+        .where(F.col(dim_key).isNotNull())
+        .repartition(build_partitions)
+    )
+    n_bytes = n_bits // 8
+
+    def fold(batches):
+        import pandas as pd
+
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            any_rows = True
+            h = pdf["__h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            lo = h & np.uint64(0xFFFFFFFF)
+            hi = (h >> np.uint64(32)) | np.uint64(1)
+            for i in range(n_hashes):
+                pos = (lo + np.uint64(i) * hi) % np.uint64(n_bits)
+                np.bitwise_or.at(
+                    bitmap, (pos >> np.uint64(3)).astype(np.int64),
+                    np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+                )
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    partials = hashed.mapInPandas(fold, schema="bitmap binary").collect()
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for row in partials:
+        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return merged.tobytes()
+
+
+def ri_bloom_screen(
+    fact: DataFrame,
+    fk: str,
+    dim: DataFrame,
+    dim_key: str,
+    *,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+    build_partitions: int = 16,
+) -> DataFrame:
+    """Map-side Bloom RI screen: fact rows whose FK is DEFINITELY absent
+    from the dimension — zero shuffle of the fact table.
+
+    The 100 TB story this exists for: when the dim's distinct keys are
+    too many to broadcast, the exact check (``ri_violation_rows``) is a
+    sort-merge anti-join that shuffles the ENTIRE fact table on the FK.
+    A Bloom bitmap of the dim (1 MiB default) rides a broadcast instead,
+    and every fact partition screens locally in one vectorized pass.
+
+    Semantics are one-sided, stated precisely:
+    - every reported row IS a true violation (a key that misses any of
+      the k bits cannot be in the dim — Bloom filters have no false
+      negatives on membership);
+    - a true violation can be MISSED with probability ≈ fill^k (the
+      false-positive rate; ~5e-6 at defaults with 150k dim keys), so
+      this is a screen, not the exact check — escalate survivors to
+      ``ri_violation_rows`` when exactness is required.
+
+    Null FKs are not RI violations (they are not_null violations).
+    """
+    import numpy as np
+
+    bitmap_bytes = bloom_build(
+        dim, dim_key, n_bits=n_bits, n_hashes=n_hashes,
+        build_partitions=build_partitions,
+    )
+    spark = fact.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap_bytes)
+    src = fact.where(F.col(fk).isNotNull()).withColumn(
+        "__h", F.xxhash64(F.col(fk).cast("string"))
+    )
+    out_schema = src.drop("__h").schema
+
+    def probe(batches):
+        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = pdf["__h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            lo = h & np.uint64(0xFFFFFFFF)
+            hi = (h >> np.uint64(32)) | np.uint64(1)
+            member = np.ones(len(pdf), dtype=bool)
+            for i in range(n_hashes):
+                pos = (lo + np.uint64(i) * hi) % np.uint64(n_bits)
+                bits = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+                member &= (
+                    bits & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+                ).astype(bool)
+            out = pdf.loc[~member].drop(columns=["__h"])
+            if len(out):
+                yield out
+
+    return src.mapInPandas(probe, schema=out_schema)
+
+
 def ri_report(fact: DataFrame, fk: str, dim: DataFrame, dim_key: str) -> DataFrame:
     """One row per invalid FK value with its row count — the shape the
     verdict/lineage tables ingest."""

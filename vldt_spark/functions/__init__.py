@@ -62,6 +62,7 @@ from vldt_spark.functions.tokens import (
     token_bigram_topk,
 )
 from vldt_spark.functions.jpegcodec import encode_jpeg, decode_jpeg
+from vldt_spark.functions.bpe import bpe_encode, learn_bpe
 from vldt_spark.functions.sessions import sessionize, session_stats
 from vldt_spark.functions.multimodal import (
     extract_features,
@@ -96,6 +97,8 @@ __all__ = [
     "token_bigram_topk",
     "encode_jpeg",
     "decode_jpeg",
+    "bpe_encode",
+    "learn_bpe",
     "contamination_report",
     "decontaminate",
     "cosine_topk_bruteforce",
