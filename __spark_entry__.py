@@ -4185,6 +4185,75 @@ SELECT "rank", tok_a, tok_b, cnt FROM r WHERE "rank" <= 25
 )
 
 
+def q_schema_drift_documents(spark, sf_dir):
+    """Schema-evolution drift between two versions of documents: v2 drops
+    `lang`, adds `score:double`, narrows `n_chars` bigint→int, and starts
+    writing NULL text on every doc_id%10==0 row.  The diff itself is
+    metadata-only (no scan); the null-rate enrichment is one bounded
+    single-pass aggregate per side.  The oracle predicts the change rows
+    structurally and computes both null rates from the same table."""
+    from vldt_spark.checks.schema_drift import schema_drift_report
+
+    old = _t(spark, sf_dir, "documents")
+    new = old.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.lit(0.5).cast("double").alias("score"),
+    )
+    return schema_drift_report(old, new, with_null_rates=True)
+
+
+SQL_SCHEMA_DRIFT_DOCUMENTS = """
+WITH rates AS (
+  SELECT CAST(count(*) FILTER (WHERE text IS NULL) AS DOUBLE) / count(*) AS old_rate,
+         CAST(count(*) FILTER (WHERE text IS NULL OR doc_id % 10 = 0) AS DOUBLE)
+           / count(*) AS new_rate
+  FROM documents
+)
+SELECT 'lang' AS column, 'dropped' AS change,
+       'string' AS old_type, CAST(NULL AS VARCHAR) AS new_type
+UNION ALL
+SELECT 'n_chars', 'retyped', 'bigint', 'int'
+UNION ALL
+SELECT 'score', 'added', CAST(NULL AS VARCHAR), 'double'
+UNION ALL
+SELECT 'text', 'null_rate_shift', printf('%.6f', old_rate), printf('%.6f', new_rate)
+FROM rates WHERE old_rate <> new_rate
+"""
+
+
+def q_cms_heavy_hitters_documents(spark, sf_dir):
+    """Count-min sketch heavy hitters vs the exact aggregate: the
+    bounded-memory top-k path for unbounded-cardinality columns.  On a
+    |distinct| ≪ width fixture the CMS estimate equals the exact count
+    unless a value collides in ALL depth rows (odds ~1e-9, hashing
+    deterministic) — pinned at three scales.  The one-sided
+    never-undercount guarantee under deliberate undersizing is
+    pytest-asserted (tests/test_cms.py)."""
+    from vldt_spark.checks.cms import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, "source", k=10, width=4096, depth=4)
+
+
+SQL_CMS_HEAVY_HITTERS_DOCUMENTS = """
+WITH g AS (
+  SELECT CAST(source AS VARCHAR) AS value, count(*) AS est_count
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+)
+SELECT value,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(row_number() OVER (ORDER BY est_count DESC, value) AS INT) AS "rank"
+FROM g
+ORDER BY "rank"
+LIMIT 10
+"""
+
+
 def q_bpe_encode_documents(spark, sf_dir):
     """REAL BPE tokenizer (the GPT-2 merge algorithm), oracle-checked via
     a closed-form fixture: doc k (= 1 + doc_id % 15) is the text "ab"×k,
@@ -4263,6 +4332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles_documents": q_tdigest_quantiles_documents,  # NEW r4: real t-digest
         "ri_bloom_screen_lineitem": q_ri_bloom_screen_lineitem,  # NEW r4: map-side Bloom RI
         "bpe_encode_documents": q_bpe_encode_documents,  # NEW r4: real BPE tokenizer
+        "cms_heavy_hitters_documents": q_cms_heavy_hitters_documents,  # NEW r4: count-min sketch
+        "schema_drift_documents": q_schema_drift_documents,  # NEW r4: schema-evolution drift
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4409,6 +4480,8 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_quantiles_documents": SQL_TDIGEST_QUANTILES_DOCUMENTS,
         "ri_bloom_screen_lineitem": SQL_RI_BLOOM_SCREEN_LINEITEM,
         "bpe_encode_documents": SQL_BPE_ENCODE_DOCUMENTS,
+        "cms_heavy_hitters_documents": SQL_CMS_HEAVY_HITTERS_DOCUMENTS,
+        "schema_drift_documents": SQL_SCHEMA_DRIFT_DOCUMENTS,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,

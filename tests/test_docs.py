@@ -81,6 +81,17 @@ def test_readme_web_token_snippet_executes(ns):
     assert ns.bigrams.count() == 10
 
 
+def test_readme_sketch_snippet_executes(ns):
+    exec(compile(_python_blocks()[4], README, "exec"), ns.__dict__)
+    qs = ns.q.collect()
+    assert qs and all(r["q"] is not None for r in qs)
+    # every doc's source IS in the dim -> the screen reports nothing
+    assert ns.bad.count() == 0
+    assert len(ns.merges) == 16
+    row = ns.toks_bpe.select(F.size("bpe_tokens").alias("n"), F.length("text").alias("c")).first()
+    assert 0 < row["n"] <= row["c"]
+
+
 def test_readme_pipeline_snippet_executes(ns):
     exec(compile(_python_blocks()[2], README, "exec"), ns.__dict__)
     # force the lazy plans the snippet builds and sanity-check shapes

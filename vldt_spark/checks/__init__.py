@@ -15,6 +15,8 @@ from vldt_spark.checks.referential import (
     ri_report,
 )
 from vldt_spark.checks.tdigest import merge_digests, tdigest_quantiles
+from vldt_spark.checks.cms import cms_heavy_hitters
+from vldt_spark.checks.schema_drift import schema_diff, schema_drift_report
 from vldt_spark.checks.drift import (
     histogram,
     kl_divergence,
@@ -51,6 +53,9 @@ __all__ = [
     "ri_bloom_screen",
     "tdigest_quantiles",
     "merge_digests",
+    "cms_heavy_hitters",
+    "schema_diff",
+    "schema_drift_report",
     "histogram",
     "kl_divergence",
     "psi",
