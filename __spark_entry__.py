@@ -193,6 +193,51 @@ FROM events
 """
 
 
+def q_suite_profile_guards(spark, sf_dir):
+    """The two round-4 contract guards, value-checked end-to-end through
+    Suite.run: schema_stable (vs a snapshot missing the new `extra`
+    column — strict mode fails with metric 1, allow_added passes with 0;
+    both METADATA-ONLY) and heavy_hitter_share_below (top source share
+    must clear 0.9 — passes; top lang share vs an impossible 1e-6 bar —
+    fails).  The oracle recomputes both shares from the same table and
+    hard-predicts the schema rows structurally."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    current = docs.withColumn("extra", F.lit(1))
+    suite = Suite(
+        [
+            expect.schema_stable(docs),
+            expect.schema_stable(docs, allow_added=True),
+            expect.heavy_hitter_share_below("source", 0.9),
+            expect.heavy_hitter_share_below("lang", 0.000001),
+        ]
+    )
+    return suite.run(current)
+
+
+SQL_SUITE_PROFILE_GUARDS = """
+WITH s AS (
+  SELECT round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS share
+  FROM (SELECT count(*) AS n FROM documents WHERE source IS NOT NULL GROUP BY source)
+), l AS (
+  SELECT round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS share
+  FROM (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+)
+SELECT 'schema_stable' AS "check", '*' AS "column",
+       CAST(1.0 AS DOUBLE) AS metric, CAST(0.0 AS DOUBLE) AS threshold,
+       FALSE AS passed
+UNION ALL
+SELECT 'schema_stable', '*', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), TRUE
+UNION ALL
+SELECT 'heavy_hitter_share_below', 'source', share, CAST(0.9 AS DOUBLE),
+       share < 0.9 FROM s
+UNION ALL
+SELECT 'heavy_hitter_share_below', 'lang', share, CAST(0.000001 AS DOUBLE),
+       FALSE FROM l
+"""
+
+
 def q_check_suite_customer(spark, sf_dir):
     """Declarative data-contract suite (checks/suite.py): all row-local
     expectations fuse into one aggregate pass; uniqueness / RI / PSI run
@@ -4397,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters_documents": q_cms_heavy_hitters_documents,  # NEW r4: count-min sketch
         "schema_drift_documents": q_schema_drift_documents,  # NEW r4: schema-evolution drift
         "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r4: per-window CMS in state
+        "suite_profile_guards": q_suite_profile_guards,  # NEW r4: schema_stable + hh-share guards
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4546,6 +4592,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters_documents": SQL_CMS_HEAVY_HITTERS_DOCUMENTS,
         "schema_drift_documents": SQL_SCHEMA_DRIFT_DOCUMENTS,
         "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
+        "suite_profile_guards": SQL_SUITE_PROFILE_GUARDS,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,

@@ -327,3 +327,44 @@ def test_suite_centroid_cosine_expectation(spark):
     zrep = s.run(zero).first()
     assert zrep["passed"] is False and zrep["metric"] != zrep["metric"]
     assert not s.passed(ref.where(F.lit(False)))
+
+
+def test_suite_schema_stable_guard(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    base = spark.createDataFrame([(1, "a")], "i int, v string")
+    evolved = base.withColumn("extra", F.lit(1.0))
+    rep = {
+        (r["check"], r["threshold"], r["passed"]): r
+        for r in Suite(
+            [expect.schema_stable(base), expect.schema_stable(base, allow_added=True)]
+        ).run(evolved).collect()
+    }
+    assert ("schema_stable", 0.0, False) in rep  # strict: added column fails
+    assert ("schema_stable", 0.0, True) in rep  # allow_added tolerates it
+    # dropped columns fail even in allow_added mode
+    rep2 = Suite([expect.schema_stable(base, allow_added=True)]).run(
+        base.drop("v")
+    ).first()
+    assert rep2["passed"] is False and rep2["metric"] == 1.0
+
+
+def test_suite_heavy_hitter_share_guard(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] * 2, "v string"
+    )
+    rows = Suite(
+        [
+            expect.heavy_hitter_share_below("v", 0.9),  # 0.8 < 0.9 -> pass
+            expect.heavy_hitter_share_below("v", 0.5),  # 0.8 >= 0.5 -> fail
+        ]
+    ).run(df).collect()
+    by_thr = {r["threshold"]: r for r in rows}
+    assert by_thr[0.9]["passed"] is True and by_thr[0.9]["metric"] == 0.8
+    assert by_thr[0.5]["passed"] is False
+    # empty column -> NaN metric, failed (never a crash)
+    empty = spark.createDataFrame([(None,)], "v string")
+    r = Suite([expect.heavy_hitter_share_below("v", 0.5)]).run(empty).first()
+    assert r["passed"] is False and r["metric"] != r["metric"]

@@ -246,6 +246,26 @@ class expect:
         )
 
     @staticmethod
+    def schema_stable(previous_df: DataFrame, *, allow_added: bool = False) -> Expectation:
+        """Schema-evolution guard: fails when the table's schema changed
+        vs a previous snapshot (dropped/retyped/nullability always count;
+        ``allow_added=True`` tolerates new columns — the backward-
+        compatible evolution). Metric = number of offending changes.
+        METADATA-ONLY: no job runs against either table."""
+        return Expectation(
+            "schema_stable", "*", {"previous": previous_df, "allow_added": allow_added}
+        )
+
+    @staticmethod
+    def heavy_hitter_share_below(column: str, share: float) -> Expectation:
+        """Degenerate-skew guard: the single most frequent value of
+        ``column`` must hold LESS THAN ``share`` of all non-null rows —
+        catches one domain/source flooding a corpus, a constant column
+        masquerading as data, or a hot key that will skew every downstream
+        join. One bounded aggregate (count per value, max over counts)."""
+        return Expectation("heavy_hitter_share_below", column, {"share": share})
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -522,6 +542,32 @@ class Suite:
                     # same convention as the quantile/ref-range guards above
                     metric = float("nan")
                 passed = metric == metric and metric < thr  # NaN-safe
+        elif e.kind == "schema_stable":
+            from vldt_spark.checks.schema_drift import schema_diff
+
+            changes = schema_diff(p["previous"], df).collect()
+            if p["allow_added"]:
+                changes = [r for r in changes if r["change"] != "added"]
+            metric, thr = float(len(changes)), 0.0
+            passed = not changes
+        elif e.kind == "heavy_hitter_share_below":
+            thr = float(p["share"])
+            row = (
+                df.where(F.col(e.column).isNotNull())
+                .groupBy(e.column)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.max("n").cast("double").alias("top"),
+                    F.sum("n").cast("double").alias("total"),
+                )
+                .first()
+            )
+            if row is None or row["total"] is None or row["total"] == 0.0:
+                # empty / all-null column: no distribution exists to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["top"]) / float(row["total"])
+                passed = metric < thr
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift
 
