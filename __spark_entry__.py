@@ -2453,6 +2453,58 @@ SQL_SIMHASH_PORTABLE_DOCUMENTS = _PORTABLE_SHINGLES_CTE + (
 )
 
 
+def q_dup_ngram_fraction_documents(spark, sf_dir):
+    """Per-document train-train overlap (Lee et al. 2022): the fraction
+    of each doc's distinct word 3-gram shingles appearing in at least one
+    other document — the corpus-duplication diagnostic pairwise dedup
+    can't express.  One shingle-keyed aggregate (exchange bounded by the
+    shingle vocabulary), join-back on the same partitioning, per-doc
+    reduce.  The oracle replays the identical shingling in DuckDB."""
+    from vldt_spark.functions.dedup import duplicated_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicated_ngram_fraction(docs, shingle_k=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_duplicated",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+
+
+SQL_DUP_NGRAM_FRACTION_DOCUMENTS = """
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_filter(
+           list_distinct([array_to_string(ws[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]),
+           s -> len(s) > 0) AS shingles
+  FROM words
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), cnt AS (
+  SELECT shingle, count(*) AS n_docs FROM ex GROUP BY shingle
+), per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(*) FILTER (WHERE n_docs >= 2) AS BIGINT) AS n_duplicated
+  FROM ex JOIN cnt USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(per.n_duplicated, 0) AS BIGINT) AS n_duplicated,
+       CASE WHEN COALESCE(per.n_shingles, 0) > 0
+            THEN round(CAST(per.n_duplicated AS DOUBLE) / per.n_shingles, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_fraction
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
 SQL_NGRAM_JACCARD_PAIRS = """
 WITH words AS (
   SELECT doc_id,
@@ -4443,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_documents": q_schema_drift_documents,  # NEW r4: schema-evolution drift
         "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r4: per-window CMS in state
         "suite_profile_guards": q_suite_profile_guards,  # NEW r4: schema_stable + hh-share guards
+        "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,  # NEW r4: Lee et al. overlap
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4593,6 +4646,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_drift_documents": SQL_SCHEMA_DRIFT_DOCUMENTS,
         "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
         "suite_profile_guards": SQL_SUITE_PROFILE_GUARDS,
+        "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,

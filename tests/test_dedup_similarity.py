@@ -509,3 +509,27 @@ def test_ivf_probe_plan_prunes_clusters(spark):
     txt = buf.getvalue()
     assert "cid" in txt and "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_duplicated_ngram_fraction_known_values(spark):
+    from vldt_spark.functions.dedup import duplicated_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shingles: 3 (k=3)
+            (2, "the quick brown cat sits"),    # shares "the quick brown" with 1
+            (3, "completely different words here"),
+            (4, ""),                            # no shingles -> 0.0, row kept
+            (5, None),                          # null text -> 0.0, row kept
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicated_ngram_fraction(docs).collect()}
+    assert len(rows) == 5
+    # docs 1 and 2 each have 3 shingles, exactly one shared
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_duplicated"] == 1
+    assert rows[2]["n_shingles"] == 3 and rows[2]["n_duplicated"] == 1
+    assert abs(rows[1]["dup_fraction"] - 1 / 3) < 1e-12
+    assert rows[3]["n_duplicated"] == 0 and rows[3]["dup_fraction"] == 0.0
+    for empty_id in (4, 5):
+        assert rows[empty_id]["dup_fraction"] == 0.0

@@ -25,6 +25,7 @@ from vldt_spark.functions.dedup import (
     simhash,
     simhash_near_pairs,
     ngram_jaccard_pairs,
+    duplicated_ngram_fraction,
     near_dup_clusters,
     dedup_near,
     contamination_report,
@@ -82,6 +83,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "duplicated_ngram_fraction",
     "chunk_layout",
     "split_assign",
     "parse_urls",

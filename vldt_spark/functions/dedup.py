@@ -670,3 +670,67 @@ def paragraph_dedup(
         F.count("__para").alias("n_paras"),
         F.sum(F.col("__rm").cast("long")).alias("n_removed"),
     )
+
+
+def duplicated_ngram_fraction(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document train-train overlap (the corpus-duplication metric of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the fraction of each doc's distinct word k-gram shingles
+    that also appear in at least one OTHER document. A corpus-level
+    diagnostic that pair-wise dedup can't give: a doc can be far from any
+    single near-duplicate yet be 90% assembled from corpus-common text.
+
+    Returns (``id_col``, n_shingles, n_duplicated, dup_fraction).
+
+    Plan shape: per-doc DISTINCT shingles explode once; ONE aggregate
+    keyed on shingle counts the docs carrying it (map-side combine; the
+    exchange carries (shingle, partial count), bounded by the shingle
+    vocabulary, not |docs| × |shingles|); the join-back to the exploded
+    relation reuses the same shingle hash partitioning (no second
+    re-partition of the big side), and the per-doc reduce is a count
+    aggregate keyed on the doc id. Docs with no shingles (empty/null
+    text) report a 0.0 fraction rather than dropping out.
+    """
+    base = ensure_min_parallelism(docs.select(id_col, text_col))
+    # empty/null text degenerates to a single "" shingle in word_shingles;
+    # drop it here or every empty doc cross-matches every other empty doc
+    sh = base.select(
+        F.col(id_col),
+        F.filter(
+            word_shingles(F.col(text_col), shingle_k),
+            lambda s: F.length(s) > 0,
+        ).alias("shingles"),
+    )
+    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    counts = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_doc = (
+        exploded.join(counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_duplicated"),
+        )
+    )
+    all_docs = base.select(id_col)
+    return (
+        all_docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_duplicated", F.lit(0)).alias("n_duplicated"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.col("n_duplicated") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
