@@ -89,7 +89,13 @@ def dedup_exact(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of normalized text."""
+    """Distinct word k-gram shingles of normalized text.
+
+    Empty/null text degenerates to a single "" gram in the slice
+    construction; it is filtered here so empty documents have NO
+    shingles — otherwise every empty doc minhash/jaccard-matches every
+    other empty doc at similarity 1.0 (a real corpus has plenty of
+    whitespace-only documents)."""
     words = F.filter(
         F.split(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "),
         lambda w: F.length(w) > 0,
@@ -99,7 +105,7 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(words, i, k)),
     )
-    return F.array_distinct(grams)
+    return F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0)
 
 
 # -- MinHash + LSH ---------------------------------------------------------
@@ -698,14 +704,8 @@ def duplicated_ngram_fraction(
     text) report a 0.0 fraction rather than dropping out.
     """
     base = ensure_min_parallelism(docs.select(id_col, text_col))
-    # empty/null text degenerates to a single "" shingle in word_shingles;
-    # drop it here or every empty doc cross-matches every other empty doc
     sh = base.select(
-        F.col(id_col),
-        F.filter(
-            word_shingles(F.col(text_col), shingle_k),
-            lambda s: F.length(s) > 0,
-        ).alias("shingles"),
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
     )
     exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
     counts = exploded.groupBy("shingle").agg(
