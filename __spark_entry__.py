@@ -3932,6 +3932,69 @@ SELECT window_epoch, value, est_count, "rank" FROM r WHERE "rank" <= 5
 """
 
 
+def q_streaming_tdigest_quantiles(spark, sf_dir):
+    """Streaming t-digest quantiles (the continuous twin of
+    tdigest_quantiles): per-day windows of events.value hold one digest
+    each in keyed state; every window stays ≤ compression points
+    (max 3471 rows/day at sf0.1 < 4096), so the digest is in its
+    singleton-exact regime and each window's (p25, p50, p75) must equal
+    DuckDB's quantile_cont exactly.  All real data arrives in one
+    micro-batch ⇒ one emission per window."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.streaming.tdigest_stream import stream_tdigest_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="vldt_stream_td_")
+    data = ev.select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).where(F.col("value").isNotNull())
+    data.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_tdigest_quantiles(
+        stream, "value", "ts", probs=(0.25, 0.5, 0.75), compression=4096,
+        window="1 day", watermark="1 hour",
+    )
+    name = f"vldt_stream_td_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").cast("long").alias("window_epoch"),
+        "n_rows",
+        "p",
+        "q",
+    )
+
+
+SQL_STREAMING_TDIGEST_QUANTILES = """
+WITH w AS (
+  SELECT date_trunc('day', ts) AS ws, value
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT ws, CAST(count(*) AS BIGINT) AS n_rows,
+         quantile_cont(value, 0.25) AS q25,
+         quantile_cont(value, 0.50) AS q50,
+         quantile_cont(value, 0.75) AS q75
+  FROM w GROUP BY ws
+)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_epoch, n_rows,
+       CAST(0.25 AS DOUBLE) AS p, q25 AS q FROM g
+UNION ALL
+SELECT CAST(epoch(ws) AS BIGINT), n_rows, CAST(0.50 AS DOUBLE), q50 FROM g
+UNION ALL
+SELECT CAST(epoch(ws) AS BIGINT), n_rows, CAST(0.75 AS DOUBLE), q75 FROM g
+"""
+
+
 def q_streaming_centroid_drift(spark, sf_dir):
     """Per-window embedding-centroid drift (streaming twin of
     embedding_drift): vectors stream with a vec_id-derived event time
@@ -4496,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r4: per-window CMS in state
         "suite_profile_guards": q_suite_profile_guards,  # NEW r4: schema_stable + hh-share guards
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,  # NEW r4: Lee et al. overlap
+        "streaming_tdigest_quantiles": q_streaming_tdigest_quantiles,  # NEW r4: per-window digest in state
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4647,6 +4711,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
         "suite_profile_guards": SQL_SUITE_PROFILE_GUARDS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
+        "streaming_tdigest_quantiles": SQL_STREAMING_TDIGEST_QUANTILES,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,

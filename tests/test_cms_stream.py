@@ -63,3 +63,45 @@ def test_matches_batch_cms(spark):
     assert [(r["value"], r["est_count"], r["rank"]) for r in stream_rows] == [
         (r["value"], r["est_count"], r["rank"]) for r in batch_rows
     ]
+
+
+def test_stream_tdigest_cross_batch_and_exact(spark):
+    """Streaming t-digest: state carries across micro-batches, and in the
+    singleton regime the final emission equals the exact percentile of
+    the UNION of both batches."""
+    import numpy as np
+
+    from vldt_spark.streaming.tdigest_stream import stream_tdigest_quantiles
+
+    root = tempfile.mkdtemp(prefix="td_t_")
+    b1 = spark.createDataFrame(
+        [("2024-03-03 01:00:00", float(v)) for v in range(0, 60)],
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    b2 = spark.createDataFrame(
+        [("2024-03-03 02:00:00", float(v)) for v in range(60, 100)],
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    b1.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    b2.coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    schema = b1.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_tdigest_quantiles(
+        stream, "value", "ts", probs=(0.5,), compression=256, window="1 day"
+    )
+    name = f"td_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table(name).collect()
+    # final emission for the window covers all 100 points
+    final = max(rows, key=lambda r: r["n_rows"])
+    assert final["n_rows"] == 100
+    assert final["q"] == np.percentile(np.arange(100.0), 50)  # 49.5 exact
+    # the first-batch emission saw only 60 points (state accumulated later)
+    assert min(r["n_rows"] for r in rows) == 60
