@@ -4473,6 +4473,65 @@ LIMIT 10
 """
 
 
+def q_quality_classifier_documents(spark, sf_dir):
+    """Model-based quality filter (DCLM/fineweb-style classifier shape):
+    five codegen features → dot product with a weights vector → sigmoid →
+    threshold.  The weights are deterministic public heuristics standing
+    in for a trained model (no ML libs in-sandbox); the PLUMBING — feature
+    extraction, calibration, threshold filter, audit score column — is
+    the real thing and the oracle replays the full feature+sigmoid math
+    in SQL.  Shuffle-free: projection + filter at the scan."""
+    from vldt_spark.functions.text import quality_classifier_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    # degrade every 5th doc to shouty digit spam so the REJECT branch is
+    # witnessed too (clean synthetic text otherwise always clears 0.5)
+    fixture = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("1234567890 1234567890 1234567890"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    kept = quality_classifier_filter(fixture, threshold=0.5)
+    return kept.select("doc_id", F.round("quality_prob", 6).alias("quality_prob"))
+
+
+SQL_QUALITY_CLASSIFIER_DOCUMENTS = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN '1234567890 1234567890 1234567890'
+              ELSE text END AS text
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(trim(text), '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / greatest(length(trim(text)), 1) AS alpha_ratio,
+         CASE WHEN
+           (length(trim(text)) / greatest(
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))
+           BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS avg_word_ok,
+         CASE WHEN regexp_matches(trim(text), '[.!?"'']$') THEN 1.0 ELSE 0.0 END AS ends_punct,
+         CAST(length(regexp_replace(trim(text), '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(trim(text)), 1) AS digit_ratio,
+         CAST(length(regexp_replace(trim(text), '[^A-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(trim(text)), 1) AS upper_ratio
+  FROM src
+), s AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(-1.2 + 2.8 * alpha_ratio + 1.4 * avg_word_ok
+                            + 0.7 * ends_punct - 2.5 * digit_ratio
+                            - 1.8 * upper_ratio))) AS p
+  FROM f
+)
+SELECT doc_id, round(p, 6) AS quality_prob FROM s WHERE p >= 0.5
+"""
+
+
 def q_bpe_encode_documents(spark, sf_dir):
     """REAL BPE tokenizer (the GPT-2 merge algorithm), oracle-checked via
     a closed-form fixture: doc k (= 1 + doc_id % 15) is the text "ab"×k,
@@ -4560,6 +4619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_profile_guards": q_suite_profile_guards,  # NEW r4: schema_stable + hh-share guards
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,  # NEW r4: Lee et al. overlap
         "streaming_tdigest_quantiles": q_streaming_tdigest_quantiles,  # NEW r4: per-window digest in state
+        "quality_classifier_documents": q_quality_classifier_documents,  # NEW r4: model-based filter
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4712,6 +4772,7 @@ def oracle_sql() -> dict[str, str]:
         "suite_profile_guards": SQL_SUITE_PROFILE_GUARDS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "streaming_tdigest_quantiles": SQL_STREAMING_TDIGEST_QUANTILES,
+        "quality_classifier_documents": SQL_QUALITY_CLASSIFIER_DOCUMENTS,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,

@@ -533,3 +533,35 @@ def test_duplicated_ngram_fraction_known_values(spark):
     assert rows[3]["n_duplicated"] == 0 and rows[3]["dup_fraction"] == 0.0
     for empty_id in (4, 5):
         assert rows[empty_id]["dup_fraction"] == 0.0
+
+
+def test_quality_classifier_filter_and_plan(spark):
+    from vldt_spark.functions.text import (
+        classifier_quality_score,
+        quality_classifier_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A well formed English sentence with normal words."),
+            (2, "1234567890 1234567890 1234567890"),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    kept = quality_classifier_filter(docs, threshold=0.5)
+    ids = [r["doc_id"] for r in kept.collect()]
+    assert 1 in ids and 2 not in ids and 3 not in ids  # null text scores NULL -> dropped
+    # custom weights apply, unknown features raise at plan time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        classifier_quality_score(F.col("text"), {"bias": 0.0, "nope": 1.0})
+    inverted = quality_classifier_filter(
+        docs, threshold=0.5,
+        weights={"bias": 1.2, "alpha_ratio": -2.8, "digit_ratio": 2.5},
+    )
+    assert 2 in [r["doc_id"] for r in inverted.collect()]
+    # shuffle-free plan: projection + filter only
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

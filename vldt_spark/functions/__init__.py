@@ -10,6 +10,8 @@ from vldt_spark.functions.text import (
     token_count,
     bpe_ish_token_count,
     text_quality,
+    classifier_quality_score,
+    quality_classifier_filter,
     language_score,
     language_id,
     fingerprint,
@@ -75,6 +77,8 @@ __all__ = [
     "tokenize_documents",
     "token_count",
     "text_quality",
+    "classifier_quality_score",
+    "quality_classifier_filter",
     "language_score",
     "fingerprint",
     "exact_duplicates",

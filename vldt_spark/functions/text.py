@@ -325,3 +325,72 @@ def pii_report(
         F.sum(F.col("__pii.has_phone").cast("long")).alias("n_phone"),
     ]
     return base.groupBy(by).agg(*aggs) if by else base.agg(*aggs)
+
+
+# -- model-based quality classification -------------------------------------
+
+# Deterministic public-heuristic weights standing in for a TRAINED quality
+# classifier (fasttext / DCLM-style): the Spark-side plumbing — feature
+# extraction in whole-stage codegen, a weights vector applied as a dot
+# product, sigmoid calibration, threshold filtering — is exactly what a
+# real trained linear model needs; swap these constants for learned ones.
+DEFAULT_QUALITY_WEIGHTS = {
+    "bias": -1.2,
+    "alpha_ratio": 2.8,
+    "avg_word_ok": 1.4,
+    "ends_punct": 0.7,
+    "digit_ratio": -2.5,
+    "upper_ratio": -1.8,
+}
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """The classifier's feature map — every feature a pure Catalyst
+    expression (codegen, no UDF): alphabetic ratio, word-length sanity,
+    terminal punctuation, digit density, uppercase density."""
+    t = F.trim(text)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    n_words = token_count(t)
+    avg_word = F.length(t) / F.greatest(n_words, F.lit(1))
+    return {
+        "alpha_ratio": F.length(F.regexp_replace(t, r"[^A-Za-z ]", "")) / n_chars,
+        "avg_word_ok": F.when((avg_word >= 3) & (avg_word <= 12), F.lit(1.0)).otherwise(F.lit(0.0)),
+        "ends_punct": F.when(t.rlike(r"[.!?\"']$"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        "digit_ratio": F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars,
+        "upper_ratio": F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars,
+    }
+
+
+def classifier_quality_score(
+    text: Column, weights: dict[str, float] | None = None
+) -> Column:
+    """Calibrated quality probability: sigmoid(w·features + bias).
+    ``weights`` maps feature name → coefficient (plus "bias"); unknown
+    names raise at plan time, not mid-job."""
+    w = dict(DEFAULT_QUALITY_WEIGHTS if weights is None else weights)
+    feats = quality_features(text)
+    bias = float(w.pop("bias", 0.0))
+    unknown = set(w) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown quality features: {sorted(unknown)}")
+    z = F.lit(bias)
+    for name, coef in w.items():
+        z = z + F.lit(float(coef)) * feats[name]
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def quality_classifier_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    weights: dict[str, float] | None = None,
+    score_col: str = "quality_prob",
+) -> DataFrame:
+    """Model-based quality filter: keep docs whose calibrated score
+    clears ``threshold``; the score column rides along for auditing.
+    Shuffle-free — one projection + filter pushed into the scan stage."""
+    scored = docs.withColumn(
+        score_col, classifier_quality_score(F.col(text_col), weights)
+    )
+    return scored.where(F.col(score_col) >= F.lit(float(threshold)))
