@@ -4313,6 +4313,51 @@ WITH t AS (
 """
 
 
+def q_special_token_violations_documents(spark, sf_dir):
+    """Sequence-structure validation on the input_hint token shape:
+    BOS-at-0, EOS-at-end, forbidden-id checks over synthesized token
+    arrays (char codes wrapped in BOS=1/EOS=2), with three violation
+    classes injected on disjoint doc_id mod keys — a dangling token after
+    EOS (two violations: mid-sequence EOS + forbidden id), a missing BOS,
+    and a duplicated BOS.  Row-local HOFs only (no explode of clean rows
+    into a shuffle); violations carry exact `tokens.<i>` lineage paths
+    the oracle predicts closed-form from each text's length."""
+    from vldt_spark.functions.tokens import special_token_violations
+
+    docs = _t(spark, sf_dir, "documents")
+    chars = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    base = F.concat(F.array(F.lit(1)), chars, F.array(F.lit(2)))
+    toks = (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(base, F.array(F.lit(0))))
+        .when(F.col("doc_id") % 11 == 0, F.concat(chars, F.array(F.lit(2))))
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.array(F.lit(1), F.lit(1)), chars, F.array(F.lit(2))),
+        )
+        .otherwise(base)
+    )
+    fixture = docs.select("doc_id", toks.alias("tokens"))
+    return special_token_violations(fixture, bos=1, eos=2, forbidden=[0])
+
+
+SQL_SPECIAL_TOKEN_VIOLATIONS_DOCUMENTS = """
+WITH t AS (SELECT doc_id, length(text) AS n FROM documents)
+SELECT doc_id, 'tokens.' || CAST(n + 1 AS VARCHAR) AS path,
+       'special token EOS(2) before sequence end' AS msg
+FROM t WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'tokens.' || CAST(n + 2 AS VARCHAR),
+       'forbidden token id 0 present'
+FROM t WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'tokens.0', 'sequence does not start with BOS(1)'
+FROM t WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+UNION ALL
+SELECT doc_id, 'tokens.1', 'special token BOS(1) not at position 0'
+FROM t WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 = 0
+"""
+
+
 def q_token_histogram_documents(spark, sf_dir):
     """Exact unigram token histogram via the per-partition numpy-bincount
     fold (the token arrays never ride a shuffle)."""
@@ -4620,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,  # NEW r4: Lee et al. overlap
         "streaming_tdigest_quantiles": q_streaming_tdigest_quantiles,  # NEW r4: per-window digest in state
         "quality_classifier_documents": q_quality_classifier_documents,  # NEW r4: model-based filter
+        "special_token_violations_documents": q_special_token_violations_documents,  # NEW r4: BOS/EOS checks
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4773,6 +4819,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "streaming_tdigest_quantiles": SQL_STREAMING_TDIGEST_QUANTILES,
         "quality_classifier_documents": SQL_QUALITY_CLASSIFIER_DOCUMENTS,
+        "special_token_violations_documents": SQL_SPECIAL_TOKEN_VIOLATIONS_DOCUMENTS,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,

@@ -565,3 +565,34 @@ def test_quality_classifier_filter_and_plan(spark):
     # shuffle-free plan: projection + filter only
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_special_token_violations(spark):
+    from vldt_spark.functions.tokens import special_token_violations
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 65, 66, 2]),  # clean
+            (2, [65, 66, 2]),     # missing BOS
+            (3, [1, 1, 65, 2]),   # duplicated BOS
+            (4, [1, 65, 2, 0]),   # mid-sequence EOS + forbidden id
+            (5, []),              # empty -> structure checks are silent
+        ],
+        "doc_id int, tokens array<int>",
+    )
+    rows = [
+        tuple(r)
+        for r in special_token_violations(df, bos=1, eos=2, forbidden=[0])
+        .orderBy("doc_id", "path")
+        .collect()
+    ]
+    assert rows == [
+        (2, "tokens.0", "sequence does not start with BOS(1)"),
+        (3, "tokens.1", "special token BOS(1) not at position 0"),
+        (4, "tokens.2", "special token EOS(2) before sequence end"),
+        (4, "tokens.3", "forbidden token id 0 present"),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        special_token_violations(df)  # no checks requested

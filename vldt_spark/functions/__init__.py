@@ -63,6 +63,7 @@ from vldt_spark.functions.tokens import (
     oov_report,
     vocab_coverage,
     token_bigram_topk,
+    special_token_violations,
 )
 from vldt_spark.functions.jpegcodec import encode_jpeg, decode_jpeg
 from vldt_spark.functions.bpe import bpe_encode, learn_bpe
@@ -101,6 +102,7 @@ __all__ = [
     "oov_report",
     "vocab_coverage",
     "token_bigram_topk",
+    "special_token_violations",
     "encode_jpeg",
     "decode_jpeg",
     "bpe_encode",

@@ -215,3 +215,104 @@ def token_bigram_topk(
     return ranked.where(F.col("rank") <= k).select(
         "rank", "tok_a", "tok_b", "cnt"
     )
+
+
+def special_token_violations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    bos: int | None = None,
+    eos: int | None = None,
+    forbidden: list[int] | None = None,
+) -> DataFrame:
+    """Sequence-structure validation of pre-tokenized rows: the
+    token-native analogue of the engine's per-field constraints, with the
+    same (id, path, msg) violation lineage shape.
+
+    Checks (each optional):
+    - ``bos``: the BOS id must appear at position 0 and NOWHERE else;
+    - ``eos``: the EOS id must appear at the last position and nowhere
+      else (a mid-sequence EOS means two documents were packed without
+      resetting attention — the classic contamination bug);
+    - ``forbidden``: ids that must not appear at all (e.g. special/pad
+      ids leaking into training text).
+
+    Row-local Catalyst HOFs only (filter/exists over the array — no
+    explode, no shuffle, no UDF): violations materialize with
+    ``tokens.<i>`` paths so they union straight into the engine's
+    violation table.
+    """
+    checks = []
+    toks = F.col(tokens_col)
+
+    def bad_positions(pred):
+        # empty sequences yield no positions (and no violations here —
+        # emptiness itself is a min_size field constraint, not a
+        # special-token placement error)
+        idx = F.when(
+            F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.filter(idx, pred)
+
+    if bos is not None:
+        checks.append(
+            (
+                bad_positions(
+                    lambda i: (F.element_at(toks, i + 1) == F.lit(bos)) & (i != 0)
+                ),
+                F.lit(f"special token BOS({bos}) not at position 0"),
+            )
+        )
+        checks.append(
+            (
+                F.when(
+                    (F.size(toks) > 0)
+                    & (F.element_at(toks, 1) != F.lit(bos)),
+                    F.array(F.lit(0)),
+                ).otherwise(F.array().cast("array<int>")),
+                F.lit(f"sequence does not start with BOS({bos})"),
+            )
+        )
+    if eos is not None:
+        checks.append(
+            (
+                bad_positions(
+                    lambda i: (F.element_at(toks, i + 1) == F.lit(eos))
+                    & (i != F.size(toks) - 1)
+                ),
+                F.lit(f"special token EOS({eos}) before sequence end"),
+            )
+        )
+    def _forbidden_pred(fid):
+        # factory, not a defaulted second lambda param — F.filter treats
+        # two-parameter lambdas as (element, index)
+        return lambda i: F.element_at(toks, i + 1) == F.lit(fid)
+
+    for fid in forbidden or []:
+        checks.append(
+            (
+                bad_positions(_forbidden_pred(fid)),
+                F.lit(f"forbidden token id {fid} present"),
+            )
+        )
+    if not checks:
+        raise ValueError("give at least one of bos/eos/forbidden")
+
+    def _arm(pos, msg):
+        # NB: a two-parameter lambda would be interpreted by F.transform
+        # as (element, index) — close over msg with a factory instead
+        return F.transform(
+            pos,
+            lambda i: F.struct(
+                F.concat(F.lit(f"{tokens_col}."), i.cast("string")).alias("path"),
+                msg.alias("msg"),
+            ),
+        )
+
+    arms = F.array(*[_arm(pos, msg) for pos, msg in checks])
+    out = df.select(
+        F.col(id_col),
+        F.explode(F.flatten(arms)).alias("__v"),
+    )
+    return out.select(id_col, F.col("__v.path").alias("path"), F.col("__v.msg").alias("msg"))
