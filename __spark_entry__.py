@@ -1347,6 +1347,54 @@ GROUP BY 1
 """
 
 
+def q_kl_token_length_documents(spark, sf_dir):
+    """KL divergence (the north star names KL alongside PSI) of the
+    TOKEN-LENGTH distribution, even-doc_id half as reference vs odd half
+    — computed through the library path end-to-end: token_count →
+    histogram (shared bin_expr) → _paired_probs (full-outer join, eps) →
+    kl_divergence + psi.  The oracle replays binning, normalization, and
+    both divergences; unobserved bins contribute exactly 0 to either sum
+    (p=q=eps), so observed-bin aggregation matches the full grid."""
+    from vldt_spark.checks.drift import histogram, kl_divergence, psi
+    from vldt_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    cur = docs.where(F.col("doc_id") % 2 == 1)
+    h_ref = histogram(ref, "n_tok", bins=12, lo=0.0, hi=120.0)
+    h_cur = histogram(cur, "n_tok", bins=12, lo=0.0, hi=120.0)
+    kl = round(kl_divergence(h_ref, h_cur), 6)
+    p = round(psi(h_ref, h_cur), 6)
+    return spark.createDataFrame([(kl, p)], "kl double, psi double")
+
+
+SQL_KL_TOKEN_LENGTH_DOCUMENTS = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor(
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE)
+           / 10.0), 0), 11) AS INT) AS bin,
+         doc_id % 2 = 0 AS is_ref
+  FROM documents
+), g AS (
+  SELECT bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM b GROUP BY bin
+), t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM g),
+pq AS (
+  SELECT (CAST(n_ref AS DOUBLE) / tr + 1e-9) AS p,
+         (CAST(n_cur AS DOUBLE) / tc + 1e-9) AS q
+  FROM g, t
+)
+SELECT round(sum(p * ln(p / q)), 6) AS kl,
+       round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM pq
+"""
+
+
 def q_psi_documents_nchars(spark, sf_dir):
     """PSI of the n_chars distribution: lang='en' docs vs the rest
     (fixed bins [0, 600) × 12 so both engines bin identically)."""
@@ -4666,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tdigest_quantiles": q_streaming_tdigest_quantiles,  # NEW r4: per-window digest in state
         "quality_classifier_documents": q_quality_classifier_documents,  # NEW r4: model-based filter
         "special_token_violations_documents": q_special_token_violations_documents,  # NEW r4: BOS/EOS checks
+        "kl_token_length_documents": q_kl_token_length_documents,  # NEW r4: KL gate (north-star literal)
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4820,6 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_tdigest_quantiles": SQL_STREAMING_TDIGEST_QUANTILES,
         "quality_classifier_documents": SQL_QUALITY_CLASSIFIER_DOCUMENTS,
         "special_token_violations_documents": SQL_SPECIAL_TOKEN_VIOLATIONS_DOCUMENTS,
+        "kl_token_length_documents": SQL_KL_TOKEN_LENGTH_DOCUMENTS,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,
