@@ -4652,6 +4652,48 @@ def q_bpe_encode_documents(spark, sf_dir):
     )
 
 
+def q_bpe_ids_roundtrip_documents(spark, sf_dir):
+    """BPE id-level tokenize → detokenize round trip on the same
+    binary-decomposition fixture as bpe_encode_documents: ids follow the
+    deterministic vocab layout (sorted alphabet then merge products, so
+    token "ab"×2^j has id 2+j), and the Catalyst decode (literal-map
+    lookup + array_join) must reproduce the input text exactly — BPE is
+    lossless.  The oracle predicts every (doc, pos, token_id) from bit
+    arithmetic and asserts the round trip structurally."""
+    from vldt_spark.functions.bpe import bpe_decode_ids, bpe_encode_ids, bpe_vocab
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.repeat(F.lit("ab"), (F.col("doc_id") % 15 + 1).cast("int")).alias("txt"),
+    )
+    merges = [("a", "b"), ("ab", "ab"), ("abab", "abab"), ("abababab", "abababab")]
+    vocab = bpe_vocab(merges, ["a", "b"])
+    enc = bpe_encode_ids(docs, "txt", merges, vocab)
+    dec = bpe_decode_ids(enc, "tokens", vocab)
+    return dec.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos", "token_id"),
+        (F.col("text_decoded") == F.col("txt")).alias("roundtrip_ok"),
+    ).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "token_id", "roundtrip_ok"
+    )
+
+
+SQL_BPE_IDS_ROUNDTRIP_DOCUMENTS = """
+WITH cfg AS (SELECT doc_id, 1 + doc_id % 15 AS k FROM documents),
+bits AS (
+  SELECT cfg.doc_id, CAST(t.j AS INT) AS j
+  FROM cfg, range(0, 4) t(j)
+  WHERE (cfg.k >> t.j) & 1 = 1
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j DESC) - 1 AS INT) AS pos,
+       CAST(2 + j AS INT) AS token_id,
+       TRUE AS roundtrip_ok
+FROM bits
+"""
+
+
 SQL_BPE_ENCODE_DOCUMENTS = """
 WITH cfg AS (SELECT doc_id, 1 + doc_id % 15 AS k FROM documents),
 bits AS (
@@ -4715,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_documents": q_quality_classifier_documents,  # NEW r4: model-based filter
         "special_token_violations_documents": q_special_token_violations_documents,  # NEW r4: BOS/EOS checks
         "kl_token_length_documents": q_kl_token_length_documents,  # NEW r4: KL gate (north-star literal)
+        "bpe_ids_roundtrip_documents": q_bpe_ids_roundtrip_documents,  # NEW r4: id-level tokenize+decode
         "js_by_event_type": q_js_by_event_type,
         "chi2_by_event_type": q_chi2_by_event_type,
         "mixture_report_documents": q_mixture_report_documents,
@@ -4870,6 +4913,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_documents": SQL_QUALITY_CLASSIFIER_DOCUMENTS,
         "special_token_violations_documents": SQL_SPECIAL_TOKEN_VIOLATIONS_DOCUMENTS,
         "kl_token_length_documents": SQL_KL_TOKEN_LENGTH_DOCUMENTS,
+        "bpe_ids_roundtrip_documents": SQL_BPE_IDS_ROUNDTRIP_DOCUMENTS,
         "dup_keys_lineitem": SQL_DUP_KEYS_LINEITEM,
         "unique_orderkeys": SQL_UNIQUE_ORDERKEYS,
         "uniqueness_report_lineitem": SQL_UNIQUENESS_REPORT_LINEITEM,

@@ -99,3 +99,30 @@ def test_sampled_training_still_learns(spark):
     merges = learn_bpe(df, "txt", 4, sample_fraction=0.5, checkpoint_every=2)
     assert len(merges) == 4
     assert merges[0][0] != merges[0][1] or merges[0][0]  # well-formed pairs
+
+
+def test_bpe_ids_roundtrip_property(spark):
+    """decode(encode_ids(text)) == text for arbitrary real text with a
+    learned merge table — the lossless-BPE property at id level."""
+    from vldt_spark.functions.bpe import bpe_decode_ids, bpe_encode_ids, bpe_vocab
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "txt string")
+    merges = learn_bpe(df, "txt", 8)
+    alphabet = sorted({c for t in CORPUS for c in t})
+    vocab = bpe_vocab(merges, alphabet)
+    enc = bpe_encode_ids(df, "txt", merges, vocab)
+    dec = bpe_decode_ids(enc, "tokens", vocab)
+    assert dec.where(F.col("text_decoded") != F.col("txt")).count() == 0
+    # ids are dense and in-vocab
+    row = dec.select(F.min(F.array_min("tokens")).alias("lo"),
+                     F.max(F.array_max("tokens")).alias("hi")).first()
+    assert row["lo"] >= 0 and row["hi"] < len(vocab)
+
+
+def test_bpe_encode_ids_unk(spark):
+    from vldt_spark.functions.bpe import bpe_encode_ids, bpe_vocab
+
+    vocab = bpe_vocab([("a", "b")], ["a", "b"])
+    df = spark.createDataFrame([("abz",)], "txt string")
+    row = bpe_encode_ids(df, "txt", [("a", "b")], vocab).first()
+    assert row["tokens"] == [2, -1]  # "ab" merged, "z" -> unk_id

@@ -66,7 +66,13 @@ from vldt_spark.functions.tokens import (
     special_token_violations,
 )
 from vldt_spark.functions.jpegcodec import encode_jpeg, decode_jpeg
-from vldt_spark.functions.bpe import bpe_encode, learn_bpe
+from vldt_spark.functions.bpe import (
+    bpe_encode,
+    learn_bpe,
+    bpe_vocab,
+    bpe_encode_ids,
+    bpe_decode_ids,
+)
 from vldt_spark.functions.sessions import sessionize, session_stats
 from vldt_spark.functions.multimodal import (
     extract_features,
@@ -107,6 +113,9 @@ __all__ = [
     "decode_jpeg",
     "bpe_encode",
     "learn_bpe",
+    "bpe_vocab",
+    "bpe_encode_ids",
+    "bpe_decode_ids",
     "contamination_report",
     "decontaminate",
     "cosine_topk_bruteforce",

@@ -163,3 +163,76 @@ def learn_bpe(
         if (r + 1) % checkpoint_every == 0:
             toks = toks.localCheckpoint(eager=False)
     return merges
+
+
+def bpe_vocab(merges: Sequence[tuple[str, str]], alphabet: Sequence[str]) -> list[str]:
+    """Deterministic vocabulary for a merge table: the sorted base
+    alphabet first (ids 0..|alphabet|-1), then each merge's product in
+    merge order — the id layout GPT-2-style tokenizers persist."""
+    vocab = sorted(set(alphabet))
+    seen = set(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in seen:
+            vocab.append(tok)
+            seen.add(tok)
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+    vocab: Sequence[str],
+    *,
+    out_col: str = "tokens",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Tokenize straight to int32 ids (the input_hint token-table shape):
+    greedy BPE then a vocab lookup, one mapInPandas pass, merge table and
+    vocab shipped by value. Characters outside the vocab map to
+    ``unk_id`` (default -1 — let the validation engine's element_ge
+    constraint flag them rather than silently dropping)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    ids = {tok: i for i, tok in enumerate(vocab)}
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, {out_col} array<int>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                [ids.get(t, unk_id) for t in _encode_one(list(x) if x else [], ranks)]
+                for x in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def bpe_decode_ids(
+    df: DataFrame,
+    tokens_col: str,
+    vocab: Sequence[str],
+    *,
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Inverse of ``bpe_encode_ids``: ids → vocab strings → concatenation.
+    Pure Catalyst (a literal map lookup + array_join), no UDF; unknown /
+    out-of-range ids decode to empty string so a corrupt row degrades
+    instead of killing the job. BPE is lossless, so
+    decode(encode(text)) == text — property-tested."""
+    mapping = F.create_map(
+        *[x for i, tok in enumerate(vocab) for x in (F.lit(i), F.lit(tok))]
+    )
+    return df.withColumn(
+        out_col,
+        F.array_join(
+            F.transform(F.col(tokens_col), lambda i: F.coalesce(mapping[i], F.lit(""))),
+            "",
+        ),
+    )
