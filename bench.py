@@ -170,6 +170,35 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
 
     timed("suite_rowlocal_lineitem", suite_rowlocal)
 
+    # round-4 sketch/overlap additions: the t-digest two-stage fold, the
+    # count-min heavy-hitter pipeline, and the shingle-bounded corpus
+    # overlap — each one action at sf scale
+    from vldt_spark.checks.cms import cms_heavy_hitters
+    from vldt_spark.checks.tdigest import tdigest_quantiles
+    from vldt_spark.functions.dedup import duplicated_ngram_fraction
+
+    def tdigest_bench():
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        return tdigest_quantiles(
+            li, "l_extendedprice", [0.01, 0.5, 0.99], by="l_returnflag"
+        ).collect()
+
+    timed("tdigest_lineitem_price", tdigest_bench)
+
+    def cms_bench():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return cms_heavy_hitters(docs, "source", k=10).collect()
+
+    timed("cms_heavy_hitters_documents", cms_bench)
+
+    def overlap_bench():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return duplicated_ngram_fraction(docs).agg(
+            F.sum("n_duplicated"), F.sum("n_shingles")
+        ).collect()
+
+    timed("dup_ngram_fraction_documents", overlap_bench)
+
     return timings, rep_arrays
 
 
