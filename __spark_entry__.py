@@ -2520,6 +2520,29 @@ def q_dup_ngram_fraction_documents(spark, sf_dir):
     )
 
 
+def q_dup_ngram_screened_documents(spark, sf_dir):
+    """The 100 TB shape of the train-train-overlap metric: duplicated
+    shingles (count >= 2) fold into a broadcast Bloom bitmap and each doc
+    counts its duplicated shingles ROW-LOCALLY — the doc-shingle relation
+    never rides a shuffle (vldt_spark/functions/dedup.py:
+    duplicated_ngram_fraction_screened).  Bloom error is one-sided
+    (overcount-only) and the auto-sized bitmap's FP rate at these corpus
+    sizes is ~1e-17 per probe, so the output is bit-identical to the
+    exact metric here — the oracle IS the exact SQL (verified FP-free at
+    all three gate scales; a pytest separately pins the one-sided bound
+    under a deliberately undersized bitmap)."""
+    from vldt_spark.functions.dedup import duplicated_ngram_fraction_screened
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicated_ngram_fraction_screened(docs, shingle_k=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_duplicated",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+
+
 SQL_DUP_NGRAM_FRACTION_DOCUMENTS = """
 WITH words AS (
   SELECT doc_id,

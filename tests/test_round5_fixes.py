@@ -1,0 +1,164 @@
+"""Round-5 items: Bloom-screened duplicated-n-gram fraction (one-sided
+error + shuffle-free probe plan), bloom bitmap auto-sizing, the
+window-end eviction fix in streaming CMS, IP-literal registrable
+domains, and the suite half-up rounding convention."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely unrelated text with unique words here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dup_ngram_screened_matches_exact_at_default_bitmap(spark):
+    from vldt_spark.functions.dedup import (
+        duplicated_ngram_fraction,
+        duplicated_ngram_fraction_screened,
+    )
+
+    docs = _docs(spark)
+    exact = {
+        r["doc_id"]: (r["n_shingles"], r["n_duplicated"])
+        for r in duplicated_ngram_fraction(docs, shingle_k=3).collect()
+    }
+    scr = {
+        r["doc_id"]: (r["n_shingles"], r["n_duplicated"])
+        for r in duplicated_ngram_fraction_screened(docs, shingle_k=3).collect()
+    }
+    # default (auto-sized, >= 1 MiB floor) bitmap: FP probability per
+    # probe ~ (fill)^5 with fill ~ 1e-5 here — structurally zero
+    assert scr == exact
+    # docs 1 and 4 are identical -> fully duplicated; doc 3 unique
+    assert exact[1][1] == exact[1][0] > 0
+    assert exact[3] == (exact[3][0], 0)
+    assert exact[5] == (0, 0) and exact[6] == (0, 0)
+
+
+def test_dup_ngram_screened_error_is_one_sided(spark):
+    from vldt_spark.functions.dedup import (
+        duplicated_ngram_fraction,
+        duplicated_ngram_fraction_screened,
+    )
+
+    docs = _docs(spark)
+    exact = {
+        r["doc_id"]: r["n_duplicated"]
+        for r in duplicated_ngram_fraction(docs, shingle_k=3).collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # deliberate saturated bitmap
+        scr = duplicated_ngram_fraction_screened(
+            docs, shingle_k=3, n_bits=64, n_hashes=2
+        ).collect()
+    # a saturated bitmap may only OVERcount (Bloom has no false negatives)
+    for r in scr:
+        assert r["n_duplicated"] >= exact[r["doc_id"]]
+        assert r["n_duplicated"] <= r["n_shingles"]
+
+
+def test_dup_ngram_screened_plan_has_no_join(spark):
+    from vldt_spark.functions.dedup import duplicated_ngram_fraction_screened
+
+    docs = _docs(spark)
+    plan = (
+        duplicated_ngram_fraction_screened(docs, shingle_k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the whole probe side is scan -> row-local project -> mapInPandas:
+    # the doc->shingle relation never rides a join or a shuffle
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_bloom_size_bits_scales_with_dim_cardinality(spark):
+    from vldt_spark.checks.referential import bloom_size_bits
+
+    small = spark.range(1000).withColumnRenamed("id", "k")
+    # small dims keep the 1 MiB floor
+    assert bloom_size_bits(small, "k") == 1 << 23
+    big = spark.range(1_500_000).withColumnRenamed("id", "k")
+    bits = bloom_size_bits(big, "k")
+    # 1.5M keys need ~ 5*1.5e6/0.223 = 33.6M bits -> next pow2 = 2^26
+    assert bits >= 1 << 25
+    # power of two
+    assert bits & (bits - 1) == 0
+
+
+def test_bloom_build_warns_on_saturated_bitmap(spark):
+    from vldt_spark.checks.referential import bloom_build
+
+    dim = spark.range(5000).withColumnRenamed("id", "k")
+    with pytest.warns(RuntimeWarning, match="fill"):
+        bloom_build(dim, "k", n_bits=1 << 10)
+    # auto-sized build never warns
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        bm = bloom_build(dim, "k")
+    assert len(bm) * 8 == 1 << 23
+
+
+def test_cms_stream_duration_parser():
+    from vldt_spark.streaming.cms_stream import _duration_ms
+
+    assert _duration_ms("1 day") == 86_400_000
+    assert _duration_ms("30 minutes") == 1_800_000
+    assert _duration_ms("10 seconds") == 10_000
+    assert _duration_ms("2 hours") == 7_200_000
+    assert _duration_ms("1 week") == 604_800_000
+    with pytest.raises(ValueError):
+        _duration_ms("5 fortnights")
+
+
+def test_registrable_domain_ip_literals(spark):
+    from vldt_spark.functions.weburl import registrable_domain
+
+    df = spark.createDataFrame(
+        [
+            ("192.168.0.1",),
+            ("10.0.0.1",),
+            ("[2001:db8::1]",),
+            ("news.example.co.uk",),
+            ("cdn.example.com",),
+            ("localhost",),
+            (None,),
+        ],
+        "host string",
+    )
+    got = {
+        r["host"]: r["d"]
+        for r in df.select("host", registrable_domain(F.col("host")).alias("d")).collect()
+    }
+    # IP literals key on the FULL address — unrelated IPs must not
+    # collapse onto a label suffix like '0.1'
+    assert got["192.168.0.1"] == "192.168.0.1"
+    assert got["10.0.0.1"] == "10.0.0.1"
+    assert got["[2001:db8::1]"] == "[2001:db8::1]"
+    assert got["news.example.co.uk"] == "example.co.uk"
+    assert got["cdn.example.com"] == "example.com"
+    assert got["localhost"] is None
+    assert got[None] is None
+
+
+def test_suite_round6_is_half_up():
+    from vldt_spark.checks.suite import _round6
+
+    # 0.1234565 halves up to 0.123457 (banker's round() gives 0.123456)
+    assert _round6(0.1234565) == 0.123457
+    assert _round6(0.1234555) == 0.123456
+    nan = _round6(float("nan"))
+    assert nan != nan
+    assert _round6(float("inf")) == float("inf")

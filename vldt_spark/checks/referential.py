@@ -54,15 +54,51 @@ def ri_violation_rows(
     return fact.where(F.col(fk).isNotNull()).join(d, fk, "left_anti")
 
 
+def bloom_size_bits(
+    dim: DataFrame,
+    dim_key: str,
+    *,
+    n_hashes: int = 5,
+    target_fill: float = 0.2,
+    min_bits: int = 1 << 23,
+) -> int:
+    """Size a Bloom bitmap from the dim's approximate key cardinality.
+
+    A FIXED bitmap size silently degrades exactly in the regime the
+    screen exists for: at 1.5M keys the old 1<<23 default fills ~59%
+    and misses ~7% of true violations. Solving fill = 1 - exp(-k·n/m)
+    for m at a target fill gives m = ceil(k·n / -ln(1-target_fill));
+    target_fill=0.2 ⇒ fpp = 0.2^k ≈ 3e-4 at k=5, and the miss rate
+    stays bounded as the dim grows instead of decaying with it. The
+    result is rounded up to a power of two and floored at ``min_bits``
+    (1 MiB) so small dims keep the proven default bitmap."""
+    import math
+
+    row = (
+        dim.where(F.col(dim_key).isNotNull())
+        .agg(F.approx_count_distinct(dim_key).alias("n"))
+        .first()
+    )
+    n = int(row["n"]) if row and row["n"] else 1
+    need = int(math.ceil(n_hashes * n / -math.log(1.0 - target_fill)))
+    return max(min_bits, 1 << (need - 1).bit_length())
+
+
 def bloom_build(
     dim: DataFrame,
     dim_key: str,
     *,
-    n_bits: int = 1 << 23,
+    n_bits: int | None = None,
     n_hashes: int = 5,
     build_partitions: int = 16,
 ) -> bytes:
     """Build a Bloom-filter bitmap of the dimension's key set.
+
+    ``n_bits=None`` (default) sizes the bitmap from the dim's
+    approximate key cardinality (``bloom_size_bits``) so the advertised
+    miss rate holds at ANY dim size; pass an explicit power of two to
+    pin the broadcast size. An explicit value whose expected fill
+    exceeds 50% (per-absent-key miss ≥ ~3% at k=5) raises a warning.
 
     Distributed build: keys are hashed JVM-side (``xxhash64``), each of
     ``build_partitions`` partitions folds its hashes into a local bitmap
@@ -80,6 +116,8 @@ def bloom_build(
     """
     import numpy as np
 
+    if n_bits is None:
+        n_bits = bloom_size_bits(dim, dim_key, n_hashes=n_hashes)
     hashed = (
         dim.select(F.xxhash64(F.col(dim_key).cast("string")).alias("__h"))
         .where(F.col(dim_key).isNotNull())
@@ -112,6 +150,17 @@ def bloom_build(
     merged = np.zeros(n_bytes, dtype=np.uint8)
     for row in partials:
         merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    fill = float(np.unpackbits(merged).sum()) / n_bits
+    if fill > 0.5:
+        import warnings
+
+        warnings.warn(
+            f"bloom_build: bitmap fill {fill:.2f} > 0.5 at n_bits={n_bits} "
+            f"(per-absent-key miss ≈ fill^{n_hashes}); pass n_bits=None to "
+            "auto-size from the dim cardinality",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return merged.tobytes()
 
 
@@ -121,7 +170,7 @@ def ri_bloom_screen(
     dim: DataFrame,
     dim_key: str,
     *,
-    n_bits: int = 1 << 23,
+    n_bits: int | None = None,
     n_hashes: int = 5,
     build_partitions: int = 16,
 ) -> DataFrame:
@@ -139,8 +188,10 @@ def ri_bloom_screen(
       the k bits cannot be in the dim — Bloom filters have no false
       negatives on membership);
     - a true violation can be MISSED with probability ≈ fill^k (the
-      false-positive rate; ~5e-6 at defaults with 150k dim keys), so
-      this is a screen, not the exact check — escalate survivors to
+      false-positive rate; the default auto-sized bitmap targets 20%
+      fill ⇒ ≈ 3e-4 at k=5, bounded at ANY dim cardinality — and far
+      lower on small dims where the 1 MiB floor dominates), so this is
+      a screen, not the exact check — escalate survivors to
       ``ri_violation_rows`` when exactness is required.
 
     Null FKs are not RI violations (they are not_null violations).
@@ -151,6 +202,7 @@ def ri_bloom_screen(
         dim, dim_key, n_bits=n_bits, n_hashes=n_hashes,
         build_partitions=build_partitions,
     )
+    n_bits = len(bitmap_bytes) * 8  # auto-sized build picks the width
     spark = fact.sparkSession
     bc = spark.sparkContext.broadcast(bitmap_bytes)
     src = fact.where(F.col(fk).isNotNull()).withColumn(

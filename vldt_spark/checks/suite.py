@@ -29,6 +29,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _round6(x: float) -> float:
+    """Half-up rounding to 6 decimals — same `floor(x*1e6+0.5)` convention
+    as the decode-stats surface (functions/multimodal.py), matching DuckDB
+    `round()` on the non-negative metrics suites report; Python's builtin
+    `round` is banker's and diverges on exact 5e-7 boundaries. NaN/inf pass
+    through unchanged (failed-expectation sentinels)."""
+    import math
+
+    if x != x or math.isinf(x):
+        return x
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 @dataclass(frozen=True)
 class Expectation:
     kind: str
@@ -584,7 +597,7 @@ class Suite:
         else:  # pragma: no cover
             raise ValueError(f"unknown expectation kind {e.kind}")
         return spark.createDataFrame(
-            [(e.kind, e.column, round(float(metric), 6), thr, bool(passed))],
+            [(e.kind, e.column, _round6(float(metric)), thr, bool(passed))],
             "check string, column string, metric double, threshold double, passed boolean",
         )
 

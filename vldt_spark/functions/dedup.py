@@ -697,40 +697,176 @@ def duplicated_ngram_fraction(
     Plan shape: per-doc DISTINCT shingles explode once; ONE aggregate
     keyed on shingle counts the docs carrying it (map-side combine; the
     exchange carries (shingle, partial count), bounded by the shingle
-    vocabulary, not |docs| × |shingles|); the join-back to the exploded
-    relation reuses the same shingle hash partitioning (no second
-    re-partition of the big side), and the per-doc reduce is a count
-    aggregate keyed on the doc id. Docs with no shingles (empty/null
-    text) report a 0.0 fraction rather than dropping out.
+    vocabulary, not |docs| × |shingles|). The join-back only needs
+    MEMBERSHIP in the duplicated subset (count ≥ 2) — a small minority
+    of a web corpus's shingle vocabulary — so the exploded relation
+    LEFT-SEMI joins that subset (AQE turns it into a broadcast join
+    whenever the duplicated set fits) instead of joining the full
+    per-shingle counts; ``n_shingles`` is the row-local array size and
+    never rides a join at all. Docs with no shingles (empty/null text)
+    report a 0.0 fraction rather than dropping out. When even the
+    duplicated subset is too large to broadcast, use
+    ``duplicated_ngram_fraction_screened`` — a one-sided Bloom screen
+    with NO join-back exchange.
     """
     base = ensure_min_parallelism(docs.select(id_col, text_col))
     sh = base.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
     )
     exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
-    counts = exploded.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("n_docs")
+    dups = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("shingle")
     )
     per_doc = (
-        exploded.join(counts, "shingle")
+        exploded.join(dups, "shingle", "left_semi")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_duplicated"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_duplicated"))
     )
-    all_docs = base.select(id_col)
+    sizes = sh.select(
+        id_col, F.size("shingles").cast("long").alias("n_shingles")
+    )
     return (
-        all_docs.join(per_doc, id_col, "left")
+        sizes.join(per_doc, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.col("n_shingles"),
             F.coalesce("n_duplicated", F.lit(0)).alias("n_duplicated"),
             F.when(
-                F.coalesce("n_shingles", F.lit(0)) > 0,
-                F.col("n_duplicated") / F.col("n_shingles"),
+                F.col("n_shingles") > 0,
+                F.coalesce("n_duplicated", F.lit(0)) / F.col("n_shingles"),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_fraction"),
         )
     )
+
+
+def duplicated_ngram_fraction_screened(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    n_bits: int | None = None,
+    n_hashes: int = 5,
+    build_partitions: int = 16,
+) -> DataFrame:
+    """Bloom-screened ``duplicated_ngram_fraction`` — the 100 TB shape.
+
+    The exact form must bring every exploded (doc, shingle) row together
+    with the per-shingle verdict: at corpus scale that join-back is a
+    full-corpus-sized exchange (the one plan the exact metric cannot
+    avoid). This variant folds the DUPLICATED-shingle set (count ≥ 2 —
+    in a web corpus a small minority of the shingle vocabulary) into a
+    broadcast Bloom bitmap (``checks.referential.bloom_build``: bounded
+    partial bitmaps, driver OR, auto-sized from the duplicated-set
+    cardinality), and every document then counts its duplicated shingles
+    ROW-LOCALLY: shingle hashes are computed JVM-side per row
+    (``xxhash64``, identical to the build side) and probed in one
+    vectorized numpy pass per Arrow batch. The only exchange left in the
+    whole job is the per-shingle count aggregate's map-side-combined
+    partials — the doc→shingle relation never rides a shuffle.
+
+    Error is ONE-SIDED: a Bloom false positive can only mark a singleton
+    shingle as duplicated, so ``n_duplicated`` (and ``dup_fraction``)
+    is ≥ the exact value, never under — the safe direction for a
+    corpus-health gate (overlap is never under-reported). The default
+    auto-sized bitmap targets ≈ 3e-4 FP per singleton probe.
+
+    Returns (``id_col``, n_shingles, n_duplicated, dup_fraction) — the
+    same schema as the exact form.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from vldt_spark.checks.referential import bloom_build
+
+    base = ensure_min_parallelism(docs.select(id_col, text_col))
+    sh = base.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    dups = (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("shingle")
+        .persist()
+    )
+    try:
+        bitmap_bytes = bloom_build(
+            dups,
+            "shingle",
+            n_bits=n_bits,
+            n_hashes=n_hashes,
+            build_partitions=build_partitions,
+        )
+    finally:
+        dups.unpersist()
+    n_bits = len(bitmap_bytes) * 8
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap_bytes)
+
+    hashed = sh.select(
+        F.col(id_col),
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__hs"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType, True),
+            T.StructField("n_shingles", T.LongType(), False),
+            T.StructField("n_duplicated", T.LongType(), False),
+            T.StructField("dup_fraction", T.DoubleType(), False),
+        ]
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
+        nb = np.uint64(n_bits)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = np.fromiter(
+                (len(a) for a in pdf["__hs"]), dtype=np.int64, count=len(pdf)
+            )
+            dup_counts = np.zeros(len(pdf), dtype=np.int64)
+            if int(lens.sum()):
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in pdf["__hs"] if len(a)]
+                ).astype(np.uint64)
+                lo = flat & np.uint64(0xFFFFFFFF)
+                hi = (flat >> np.uint64(32)) | np.uint64(1)
+                member = np.ones(len(flat), dtype=bool)
+                for i in range(n_hashes):
+                    pos = (lo + np.uint64(i) * hi) % nb
+                    bits = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+                    member &= (
+                        bits
+                        & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+                    ).astype(bool)
+                starts = np.zeros(len(pdf), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                nonzero = lens > 0
+                # reduceat over nonzero-row starts: zero-length rows add
+                # no flat elements, so consecutive kept starts delimit
+                # exactly their rows' segments
+                dup_counts[nonzero] = np.add.reduceat(
+                    member.astype(np.int64), starts[nonzero]
+                )
+            frac = np.where(lens > 0, dup_counts / np.maximum(lens, 1), 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_shingles": lens,
+                    "n_duplicated": dup_counts,
+                    "dup_fraction": frac,
+                }
+            )
+
+    return hashed.mapInPandas(probe, schema=out_schema)

@@ -92,14 +92,20 @@ def registrable_domain(host: Column) -> Column:
     """eTLD+1 under the embedded two-level-suffix subset: the last two
     host labels, or the last three when the last two form a known
     two-level public suffix.  NULL for hosts with fewer than two labels
-    (bare hostnames, IPs are passed through as-is if dotted)."""
+    (bare hostnames).  IP-literal hosts (dotted-quad IPv4, bracketed
+    IPv6) have no registrable domain — the FULL host is returned so
+    blocklist/cap/report keys stay one-per-address instead of collapsing
+    unrelated IPs onto a label suffix like '0.1'."""
     parts = F.split(host, "\\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.slice(parts, -2, 2))
     last3 = F.concat_ws(".", F.slice(parts, -3, 3))
     is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.rlike(r"^\[[0-9A-Fa-f:]+\]$")
     return (
-        F.when(host.isNull() | (n < 2), F.lit(None).cast("string"))
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_ip, host)
+        .when(n < 2, F.lit(None).cast("string"))
         .when(is_two_level & (n >= 3), last3)
         .otherwise(last2)
     )

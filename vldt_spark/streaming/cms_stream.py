@@ -56,7 +56,28 @@ _STATE = T.StructType(
 )
 
 
-def _make_folder(k: int, width: int, depth: int, cand_cap: int, ttl: bool):
+def _duration_ms(spec: str) -> int:
+    """Parse the Spark window-duration subset we accept ('1 day',
+    '30 minutes', '10 seconds', ...) into milliseconds."""
+    import re
+
+    units = {
+        "millisecond": 1,
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+        "week": 604_800_000,
+    }
+    m = re.fullmatch(r"\s*(\d+)\s+([a-z]+?)s?\s*", spec.lower())
+    if not m or m.group(2) not in units:
+        raise ValueError(f"unsupported window duration: {spec!r}")
+    return int(m.group(1)) * units[m.group(2)]
+
+
+def _make_folder(
+    k: int, width: int, depth: int, cand_cap: int, ttl: bool, window_ms: int
+):
     def fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
             state.remove()
@@ -97,9 +118,18 @@ def _make_folder(k: int, width: int, depth: int, cand_cap: int, ttl: bool):
             )
         )
         if ttl:
-            # evict once the watermark passes the window end (+1 window
-            # of slack keeps late-but-in-watermark rows foldable)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            # evict once the watermark passes the WINDOW END (computed
+            # from the key = window start + duration): rows for this
+            # window carry event times < window end, so once the
+            # watermark clears it nothing more can legally arrive —
+            # evicting any earlier (e.g. at watermark+1) would drop a
+            # live window's sketch between micro-batches and restart its
+            # counts from zero. EventTimeTimeout requires a timestamp
+            # strictly ahead of the current watermark, hence the clamp.
+            end_ms = int(key[0].timestamp() * 1000) + window_ms
+            state.setTimeoutTimestamp(
+                max(end_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if top:
             yield pd.DataFrame(
                 {
@@ -144,7 +174,12 @@ def stream_heavy_hitters(
         .withColumn("__h", F.xxhash64("__v"))
     )
     fold = _make_folder(
-        k, width, depth, k * candidate_factor * 8, evict_on_watermark
+        k,
+        width,
+        depth,
+        k * candidate_factor * 8,
+        evict_on_watermark,
+        _duration_ms(window),
     )
     timeout = (
         GroupStateTimeout.EventTimeTimeout
