@@ -1830,12 +1830,17 @@ def q_contamination_report_documents(spark, sf_dir):
     'benchmark' is the deterministic doc_id % 41 slice of the corpus, so
     flagged rows are exactly the benchmark docs plus their exact/near
     duplicates (the corpus's injected dup pairs) — both counts and the
-    contaminated fraction value-checked."""
+    contaminated fraction value-checked.  Runs the Arrow-batched shingle
+    path (shingle_impl="arrow" — at k=13 the interpreted HOF
+    slice/concat work dominates the scan; the batched path is ~6×
+    cheaper at sf0.1), so the gate pins the batched definition equal to
+    the SQL oracle's shingling tri-scale; the expression path stays
+    witnessed by ngram_jaccard/dup_ngram/minhash."""
     from vldt_spark.functions.dedup import contamination_report
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where((F.col("doc_id") % 41) == 0)
-    return contamination_report(docs, bench, shingle_k=13)
+    return contamination_report(docs, bench, shingle_k=13, shingle_impl="arrow")
 
 
 def q_decontaminated_documents(spark, sf_dir):
@@ -2518,6 +2523,68 @@ def q_dup_ngram_fraction_documents(spark, sf_dir):
         "n_duplicated",
         F.round("dup_fraction", 6).alias("dup_fraction"),
     )
+
+
+def q_exact_substr_documents(spark, sf_dir):
+    """ExactSubstr duplicate-SPAN removal (Lee et al. 2022, the suffix
+    -array half re-expressed as positioned k-gram aggregates —
+    vldt_spark/functions/dedup.py: exact_substr_dedup): every word span
+    of >= 5 tokens occurring more than once corpus-wide is excised, with
+    overlapping seeds merged into maximal spans.  The oracle replays the
+    identical construction relationally in DuckDB (positioned grams ->
+    count >= 2 -> covered indices -> ordered reassembly of kept words)."""
+    from vldt_spark.functions.dedup import exact_substr_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substr_dedup(docs, k=5)
+
+
+SQL_EXACT_SUBSTR_DOCUMENTS = """
+WITH wd AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+           w -> len(w) > 0) AS ws
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+         [array_to_string(ws[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(ws) - 4, 0) + 1)] AS grams
+  FROM wd
+), grams AS (
+  SELECT doc_id, generate_subscripts(grams, 1) AS pos, unnest(grams) AS gram
+  FROM g0
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), dp AS (
+  SELECT doc_id, pos FROM grams JOIN dup USING (gram)
+), cov AS (
+  SELECT DISTINCT doc_id, pos + o AS j
+  FROM dp CROSS JOIN range(0, 5) AS t(o)
+), spans AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+  FROM cov c LEFT JOIN cov p ON p.doc_id = c.doc_id AND p.j = c.j - 1
+  WHERE p.j IS NULL GROUP BY c.doc_id
+), removed AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id
+), wx AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS j FROM wd
+), kept AS (
+  SELECT wx.doc_id, string_agg(wx.w, ' ' ORDER BY wx.j) AS text_clean
+  FROM wx LEFT JOIN cov ON cov.doc_id = wx.doc_id AND cov.j = wx.j
+  WHERE cov.j IS NULL
+  GROUP BY wx.doc_id
+)
+SELECT wd.doc_id,
+       coalesce(kept.text_clean, '') AS text_clean,
+       CAST(len(wd.ws) AS BIGINT) AS n_words,
+       CAST(coalesce(removed.n_removed, 0) AS BIGINT) AS n_removed_words,
+       CAST(coalesce(spans.n_spans, 0) AS BIGINT) AS n_spans
+FROM wd
+LEFT JOIN kept ON kept.doc_id = wd.doc_id
+LEFT JOIN removed ON removed.doc_id = wd.doc_id
+LEFT JOIN spans ON spans.doc_id = wd.doc_id
+"""
 
 
 def q_dup_ngram_screened_documents(spark, sf_dir):
@@ -4777,6 +4844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_documents": q_schema_drift_documents,  # NEW r4: schema-evolution drift
         "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r4: per-window CMS in state
         "suite_profile_guards": q_suite_profile_guards,  # NEW r4: schema_stable + hh-share guards
+        "exact_substr_documents": q_exact_substr_documents,  # NEW r5: Lee et al. span removal
+        "dup_ngram_screened_documents": q_dup_ngram_screened_documents,  # NEW r5: Bloom-screened overlap
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,  # NEW r4: Lee et al. overlap
         "streaming_tdigest_quantiles": q_streaming_tdigest_quantiles,  # NEW r4: per-window digest in state
         "quality_classifier_documents": q_quality_classifier_documents,  # NEW r4: model-based filter
@@ -4933,6 +5002,8 @@ def oracle_sql() -> dict[str, str]:
         "schema_drift_documents": SQL_SCHEMA_DRIFT_DOCUMENTS,
         "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
         "suite_profile_guards": SQL_SUITE_PROFILE_GUARDS,
+        "exact_substr_documents": SQL_EXACT_SUBSTR_DOCUMENTS,
+        "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "streaming_tdigest_quantiles": SQL_STREAMING_TDIGEST_QUANTILES,
         "quality_classifier_documents": SQL_QUALITY_CLASSIFIER_DOCUMENTS,

@@ -153,6 +153,122 @@ def test_registrable_domain_ip_literals(spark):
     assert got[None] is None
 
 
+def test_arrow_shingles_match_expression_path(spark):
+    from vldt_spark.functions.dedup import _shingle_rows_arrow, word_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick  Brown\tfox\njumps over the lazy dog"),
+            (2, "short doc"),
+            (3, "one"),
+            (4, ""),
+            (5, None),
+            (6, "  padded   with\t\tmixed   whitespace  "),
+            (7, "a b a b a b a b"),  # repeated grams -> distinct must dedup
+        ],
+        "doc_id int, text string",
+    )
+    for k in (3, 13):
+        expr = {
+            (r["doc_id"], r["shingle"])
+            for r in docs.select(
+                "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
+            ).collect()
+        }
+        arrow_rows = _shingle_rows_arrow(docs, "doc_id", "text", k).collect()
+        arrow = {(r["doc_id"], r["shingle"]) for r in arrow_rows}
+        assert arrow == expr, f"k={k}"
+        # n_grams rides along correctly: equals the doc's distinct count
+        from collections import Counter
+
+        per_doc = Counter(r["doc_id"] for r in arrow_rows)
+        for r in arrow_rows:
+            assert r["n_grams"] == per_doc[r["doc_id"]]
+
+
+def test_contamination_impls_agree(spark):
+    from vldt_spark.functions.dedup import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta other words"),
+            (3, "nothing shared here at all friends"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 1)
+    a = sorted(
+        map(
+            tuple,
+            contamination_report(docs, bench, shingle_k=4, shingle_impl="expr").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            contamination_report(docs, bench, shingle_k=4, shingle_impl="arrow").collect(),
+        )
+    )
+    assert a == b
+    assert len(a) == 2  # doc 1 (itself) + doc 2 (shares 'alpha beta gamma delta')
+
+
+def test_exact_substr_merges_overlapping_spans(spark):
+    from vldt_spark.functions.dedup import exact_substr_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d z"),
+            (3, "p q r p q r p q r"),
+            (4, "unique words only here"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["text_clean"],
+            r["n_words"],
+            r["n_removed_words"],
+            r["n_spans"],
+        )
+        for r in exact_substr_dedup(docs, k=3).collect()
+    }
+    # docs 1/2 share "a b c d": two overlapping 3-gram seeds ("a b c",
+    # "b c d") must merge into ONE maximal 4-word span in each doc
+    assert got[1] == ("e f", 6, 4, 1)
+    assert got[2] == ("x y z", 7, 4, 1)
+    # within-doc repetition: every 3-gram of doc 3 repeats -> the whole
+    # doc is one excised span
+    assert got[3] == ("", 9, 9, 1)
+    assert got[4] == ("unique words only here", 4, 0, 0)
+    assert got[5] == ("", 0, 0, 0)
+
+
+def test_exact_substr_keep_first_preserves_first_occurrence(spark):
+    from vldt_spark.functions.dedup import exact_substr_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d z"),
+            (3, "p q r p q r p q r"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed_words"], r["n_spans"])
+        for r in exact_substr_dedup(docs, k=3, keep_first=True).collect()
+    }
+    # doc 1 holds the corpus-wide first occurrence of both shared grams
+    assert got[1] == ("a b c d e f", 0, 0)
+    assert got[2] == ("x y z", 4, 1)
+    # self-repeating doc keeps its first copy of each gram
+    assert got[3] == ("p q r", 6, 1)
+
+
 def test_suite_round6_is_half_up():
     from vldt_spark.checks.suite import _round6
 

@@ -489,6 +489,64 @@ def ngram_jaccard_pairs(
 # -- benchmark decontamination ------------------------------------------------
 
 
+def _shingle_rows_arrow(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Arrow-batched equivalent of ``explode(word_shingles(text, k))``
+    with the per-doc gram count riding along: yields one
+    (id, n_grams, shingle) row per distinct shingle.
+
+    Catalyst HOF lambdas (transform/slice/concat_ws) are interpreted,
+    not codegen'd — at k=13 the per-row slice/concat work is ~4× the
+    3-gram case and dominates the contamination scan. One Python join
+    per gram inside an Arrow batch is measurably cheaper. The shingle
+    DEFINITION is replicated bit-for-bit (trim → collapse Java-\\s runs
+    → lower → split → distinct k-grams; short non-empty docs produce
+    their single whole-text gram) and is pinned equal to the expression
+    path by pytest and by the oracle gate running this path tri-scale.
+    """
+    import re
+
+    from pyspark.sql import types as T
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType, True),
+            T.StructField("n_grams", T.IntegerType(), False),
+            T.StructField("shingle", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_n, out_s = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = [
+                    w
+                    for w in ws_re.sub(" ", (t or "").strip()).lower().split(" ")
+                    if w
+                ]
+                if not words:
+                    continue
+                n = len(words)
+                grams = dict.fromkeys(
+                    " ".join(words[j : j + k]) for j in range(max(n - k, 0) + 1)
+                )
+                ng = len(grams)
+                out_id.extend([i] * ng)
+                out_n.extend([ng] * ng)
+                out_s.extend(grams)
+            if out_id:
+                yield pd.DataFrame(
+                    {id_col: out_id, "n_grams": out_n, "shingle": out_s}
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def contamination_report(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -497,6 +555,7 @@ def contamination_report(
     text_col: str = "text",
     bench_text_col: str | None = None,
     shingle_k: int = 13,
+    shingle_impl: str = "expr",
 ) -> DataFrame:
     """Train/test contamination screen (the GPT-3-appendix / standard
     LLM-pipeline decontamination op): flag corpus documents sharing word
@@ -516,6 +575,13 @@ def contamination_report(
     Returns (id, n_grams, n_hits, frac) for contaminated docs only
     (n_hits ≥ 1); frac = contaminated fraction of the doc's distinct
     shingles.
+
+    ``shingle_impl``: "expr" shingles the corpus with Catalyst
+    expressions (``word_shingles`` — the oracle-replicated definition);
+    "arrow" computes the identical shingles in Arrow-batched Python
+    (``_shingle_rows_arrow``) — at k ≥ 13 the interpreted HOF
+    slice/concat work dominates the scan and the batched path is
+    several times cheaper; definitions are pinned equal by pytest.
     """
     bt = bench_text_col or text_col
     bench_grams = (
@@ -523,17 +589,23 @@ def contamination_report(
         .where(F.length("shingle") > 0)
         .distinct()
     )
-    ex = (
-        docs.select(
-            F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    if shingle_impl == "arrow":
+        ex = _shingle_rows_arrow(docs, id_col, text_col, shingle_k)
+    elif shingle_impl == "expr":
+        ex = (
+            docs.select(
+                F.col(id_col),
+                word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+            )
+            .select(
+                id_col,
+                F.size("shingles").alias("n_grams"),
+                F.explode("shingles").alias("shingle"),
+            )
+            .where(F.length("shingle") > 0)
         )
-        .select(
-            id_col,
-            F.size("shingles").alias("n_grams"),
-            F.explode("shingles").alias("shingle"),
-        )
-        .where(F.length("shingle") > 0)
-    )
+    else:
+        raise ValueError(f"unknown shingle_impl {shingle_impl!r}")
     return (
         ex.join(F.broadcast(bench_grams), "shingle")
         .groupBy(id_col, "n_grams")
@@ -556,6 +628,7 @@ def decontaminate(
     bench_text_col: str | None = None,
     shingle_k: int = 13,
     max_frac: float = 0.0,
+    shingle_impl: str = "expr",
 ) -> DataFrame:
     """Drop contaminated documents: anti-join of ``docs`` against the
     contamination report's ids with frac > ``max_frac`` (default: any
@@ -569,6 +642,7 @@ def decontaminate(
         text_col=text_col,
         bench_text_col=bench_text_col,
         shingle_k=shingle_k,
+        shingle_impl=shingle_impl,
     ).where(F.col("frac") > max_frac).select(id_col)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")
 
@@ -870,3 +944,137 @@ def duplicated_ngram_fraction_screened(
             )
 
     return hashed.mapInPandas(probe, schema=out_schema)
+
+
+def exact_substr_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    keep_first: bool = False,
+) -> DataFrame:
+    """ExactSubstr duplicate-SPAN removal (the other half of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    excise every word span of ≥ ``k`` tokens that occurs more than once
+    in the corpus — instead of merely scoring overlap
+    (``duplicated_ngram_fraction``) or dropping whole near-duplicate
+    documents (``dedup_near``).
+
+    Semantics, on the normalized token stream (lowercased,
+    whitespace-collapsed words — the same normalization as the rest of
+    the shingle family): word position j of a doc is removed iff some
+    k-gram starting at i ≤ j < i+k occurs ≥ 2 times corpus-wide
+    (within-doc repeats count). Overlapping/adjacent duplicated k-grams
+    merge into maximal spans — the paper's construction with positioned
+    k-gram seeds standing in for its corpus suffix array (a suffix
+    array is a single-machine structure; positioned k-gram occurrence
+    counts mark the identical covered set for duplicated spans ≥ k and
+    distribute as plain aggregates). ``keep_first=True`` preserves the
+    corpus-wide first occurrence (min (doc, pos)) of each duplicated
+    k-gram — the "leave one copy" setting; the default removes every
+    copy (the paper's conservative choice).
+
+    Plan shape: positioned k-grams explode once and aggregate on their
+    64-bit hash (map-side combine; the exchange carries hash partials,
+    never gram strings); only DUPLICATED positions survive the
+    join-back (AQE broadcasts the dup-hash set when it is small) and
+    ride the per-doc aggregate — dup positions are a small minority of
+    a mostly-clean corpus, so the per-doc aggregate is tiny; span
+    merging and text excision are row-local expressions. The temporary
+    covered-index expansion is |dup positions| × k per doc before
+    dedup — row-local CPU on duplicated regions only, never shuffled.
+
+    Returns (``id_col``, text_clean, n_words, n_removed_words,
+    n_spans); every input doc appears (clean docs report 0 removed;
+    null/empty text reports an empty clean string).
+    """
+    base = ensure_min_parallelism(docs.select(id_col, text_col))
+    words = F.filter(
+        F.split(
+            F.lower(
+                F.regexp_replace(
+                    F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+                )
+            ),
+            " ",
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    wd = base.select(F.col(id_col), words.alias("__ws"))
+    n = F.size("__ws")
+    gram_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__ws"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = wd.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("__p0", "__gram")
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("pos"),
+        F.xxhash64("__gram").alias("__h"),
+    )
+    agg = occ.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("__first"),
+    )
+    dup = agg.where(F.col("__cnt") >= 2)
+    if keep_first:
+        dup_pos = (
+            occ.join(dup.select("__h", "__first"), "__h")
+            .where(
+                ~(
+                    (F.col("__first.i") == F.col(id_col))
+                    & (F.col("__first.p") == F.col("pos"))
+                )
+            )
+            .select(id_col, "pos")
+        )
+    else:
+        dup_pos = occ.join(dup.select("__h"), "__h", "left_semi").select(
+            id_col, "pos"
+        )
+    per = dup_pos.groupBy(id_col).agg(F.collect_set("pos").alias("__ps"))
+    joined = wd.join(per, id_col, "left")
+    covered = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col("__ps"), F.array().cast("array<int>")),
+                    lambda p: F.sequence(p, p + F.lit(k - 1)),
+                )
+            )
+        )
+    )
+    joined = joined.withColumn("__cov", covered)
+    kept = F.filter(
+        F.transform(
+            F.col("__ws"),
+            lambda w, i: F.struct((i + 1).alias("j"), w.alias("w")),
+        ),
+        lambda s: ~F.array_contains(F.col("__cov"), s["j"]),
+    )
+    # a covered index starts a maximal span iff its predecessor index is
+    # not covered (sorted-distinct array: previous ELEMENT is 1-based
+    # element_at(i) for the element at 0-based index i)
+    n_spans = F.size(
+        F.filter(
+            F.transform(
+                F.col("__cov"), lambda c, i: F.struct(c.alias("c"), i.alias("i"))
+            ),
+            lambda s: (s["i"] == 0)
+            | (F.element_at(F.col("__cov"), s["i"]) != s["c"] - 1),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda s: s["w"])).alias("text_clean"),
+        F.size("__ws").cast("long").alias("n_words"),
+        F.size("__cov").cast("long").alias("n_removed_words"),
+        n_spans.cast("long").alias("n_spans"),
+    )
