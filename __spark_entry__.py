@@ -238,6 +238,74 @@ SELECT 'heavy_hitter_share_below', 'lang', share, CAST(0.000001 AS DOUBLE),
 """
 
 
+def q_suite_corpus_guards(spark, sf_dir):
+    """Corpus-health gates as declarative suite expectations (round-5):
+    Lee-et-al. duplicated-n-gram fraction and GPT-3 13-gram benchmark
+    contamination, each with a structurally-passing (thr 1.1) and a
+    structurally-failing (thr 0.0) arm so both verdict directions are
+    value-checked through Suite.run.  The metric VALUES are the real
+    corpus scalars, replayed exactly by the DuckDB oracle."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where((F.col("doc_id") % 41) == 0)
+    suite = Suite(
+        [
+            expect.dup_ngram_fraction_below("text", 1.1, shingle_k=3),
+            expect.dup_ngram_fraction_below("text", 0.0, shingle_k=3),
+            expect.contamination_below("text", bench, 1.1, shingle_k=13),
+            expect.contamination_below("text", bench, 0.0, shingle_k=13),
+        ]
+    )
+    return suite.run(docs)
+
+
+SQL_SUITE_CORPUS_GUARDS = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), s3 AS (
+  SELECT doc_id,
+         list_filter(
+           list_distinct([array_to_string(ws[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]),
+           s -> len(s) > 0) AS shingles
+  FROM words
+), e3 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM s3
+), c3 AS (
+  SELECT shingle, count(*) AS n_docs FROM e3 GROUP BY shingle
+), dupm AS (
+  SELECT round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m
+  FROM e3 JOIN c3 USING (shingle)
+), s13 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+12], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 12, 1) + 1)]) AS shingles
+  FROM words
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM s13 WHERE doc_id % 41 = 0
+), e13 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM s13
+), hits AS (
+  SELECT DISTINCT e13.doc_id FROM e13 JOIN bench USING (shingle)
+  WHERE length(e13.shingle) > 0
+), conm AS (
+  SELECT round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+               / (SELECT count(*) FROM documents), 6) AS m
+)
+SELECT 'dup_ngram_fraction_below' AS "check", 'text' AS "column",
+       m AS metric, CAST(1.1 AS DOUBLE) AS threshold, m < 1.1 AS passed FROM dupm
+UNION ALL
+SELECT 'dup_ngram_fraction_below', 'text', m, CAST(0.0 AS DOUBLE), FALSE FROM dupm
+UNION ALL
+SELECT 'contamination_below', 'text', m, CAST(1.1 AS DOUBLE), m < 1.1 FROM conm
+UNION ALL
+SELECT 'contamination_below', 'text', m, CAST(0.0 AS DOUBLE), FALSE FROM conm
+"""
+
+
 def q_check_suite_customer(spark, sf_dir):
     """Declarative data-contract suite (checks/suite.py): all row-local
     expectations fuse into one aggregate pass; uniqueness / RI / PSI run
@@ -4845,6 +4913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r4: per-window CMS in state
         "suite_profile_guards": q_suite_profile_guards,  # NEW r4: schema_stable + hh-share guards
         "exact_substr_documents": q_exact_substr_documents,  # NEW r5: Lee et al. span removal
+        "suite_corpus_guards": q_suite_corpus_guards,  # NEW r5: dup-ngram/contamination suite gates
         "dup_ngram_screened_documents": q_dup_ngram_screened_documents,  # NEW r5: Bloom-screened overlap
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,  # NEW r4: Lee et al. overlap
         "streaming_tdigest_quantiles": q_streaming_tdigest_quantiles,  # NEW r4: per-window digest in state
@@ -5003,6 +5072,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
         "suite_profile_guards": SQL_SUITE_PROFILE_GUARDS,
         "exact_substr_documents": SQL_EXACT_SUBSTR_DOCUMENTS,
+        "suite_corpus_guards": SQL_SUITE_CORPUS_GUARDS,
         "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "streaming_tdigest_quantiles": SQL_STREAMING_TDIGEST_QUANTILES,

@@ -5,7 +5,7 @@ from pyspark.sql import functions as F
 from vldt_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     extract_features,
-    frame_sample_stub,
+    frame_timestamps,
     synthetic_media,
 )
 
@@ -40,7 +40,7 @@ def test_extract_features_null_payload(spark):
 
 def test_frame_sampling_explode(spark):
     media = synthetic_media(spark, 30)
-    frames = frame_sample_stub(media, every_ms=1000)
+    frames = frame_timestamps(media, every_ms=1000)
     # only video rows expand; duration 5000ms -> 5 frames each
     n_videos = media.where(F.col("kind") == "video").count()
     assert frames.count() == n_videos * 5
@@ -49,18 +49,30 @@ def test_frame_sampling_explode(spark):
     assert ts == [0, 1000, 2000, 3000, 4000]
 
 
-def test_resize_stub_shapes(spark):
-    from vldt_spark.functions.multimodal import resize_stub
+def test_resize_images_shapes(spark):
+    from vldt_spark.functions.multimodal import resize_images
 
     media = synthetic_media(spark, 10)
-    out = resize_stub(media, width=8, height=8)
+    out = resize_images(media, width=8, height=8)
     rows = out.collect()
     assert len(rows) == 10
     assert all(len(r["payload"]) == 64 for r in rows)  # 8x8 deterministic bytes
     assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
     # deterministic: same input -> identical resized payloads
-    again = {r["media_id"]: r["payload"] for r in resize_stub(media, width=8, height=8).collect()}
+    again = {r["media_id"]: r["payload"] for r in resize_images(media, width=8, height=8).collect()}
     assert again[rows[0]["media_id"]] == rows[0]["payload"]
+
+
+def test_stub_era_aliases_still_importable():
+    from vldt_spark.functions.multimodal import (
+        frame_sample_stub,
+        frame_timestamps,
+        resize_images,
+        resize_stub,
+    )
+
+    assert resize_stub is resize_images
+    assert frame_sample_stub is frame_timestamps
 
 
 def test_parse_media_headers_real_formats(spark):

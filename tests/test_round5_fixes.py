@@ -269,6 +269,42 @@ def test_exact_substr_keep_first_preserves_first_occurrence(spark):
     assert got[3] == ("p q r", 6, 1)
 
 
+def test_suite_corpus_guards(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "totally different words in this one friend"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 3)
+    report = {
+        (r["check"], r["threshold"]): (r["metric"], r["passed"])
+        for r in Suite(
+            [
+                expect.dup_ngram_fraction_below("text", 0.9, shingle_k=3),
+                expect.dup_ngram_fraction_below("text", 0.1, shingle_k=3),
+                expect.contamination_below("text", bench, 0.5, shingle_k=3),
+                expect.contamination_below("text", bench, 0.1, shingle_k=3),
+            ]
+        ).run(docs).collect()
+    }
+    # docs 1+2 identical (7 shingles each, all duplicated), doc 3 unique
+    # (5 shingles): 14/19 exploded shingles duplicated
+    m_dup = report[("dup_ngram_fraction_below", 0.9)][0]
+    assert abs(m_dup - 14.0 / 19.0) < 1e-6
+    assert report[("dup_ngram_fraction_below", 0.9)][1] is True
+    assert report[("dup_ngram_fraction_below", 0.1)][1] is False
+    # only doc 3 shares 3-grams with the benchmark (itself): 1/3 docs
+    m_con = report[("contamination_below", 0.5)][0]
+    assert abs(m_con - 1.0 / 3.0) < 1e-6
+    assert report[("contamination_below", 0.5)][1] is True
+    assert report[("contamination_below", 0.1)][1] is False
+
+
 def test_suite_round6_is_half_up():
     from vldt_spark.checks.suite import _round6
 

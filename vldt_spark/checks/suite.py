@@ -279,6 +279,55 @@ class expect:
         return Expectation("heavy_hitter_share_below", column, {"share": share})
 
     @staticmethod
+    def dup_ngram_fraction_below(
+        text_col: str,
+        threshold: float,
+        *,
+        id_col: str = "doc_id",
+        shingle_k: int = 3,
+    ) -> Expectation:
+        """Corpus-duplication guard (Lee et al. 2022 train-train
+        overlap): the corpus-wide duplicated-shingle fraction —
+        sum(n_duplicated) / sum(n_shingles) over
+        ``duplicated_ngram_fraction`` — must stay BELOW the threshold.
+        The declarative form of the dup-n-gram health check: one
+        shingle-keyed aggregate plus a semi-join against the
+        duplicated-only set, reduced to a single scalar."""
+        return Expectation(
+            "dup_ngram_fraction_below",
+            text_col,
+            {"threshold": threshold, "id_col": id_col, "shingle_k": shingle_k},
+        )
+
+    @staticmethod
+    def contamination_below(
+        text_col: str,
+        benchmark: DataFrame,
+        threshold: float,
+        *,
+        id_col: str = "doc_id",
+        shingle_k: int = 13,
+        bench_text_col: str | None = None,
+        shingle_impl: str = "expr",
+    ) -> Expectation:
+        """Eval-contamination guard (GPT-3 13-gram screen): the fraction
+        of corpus documents sharing ANY word ``shingle_k``-gram with the
+        benchmark set must stay BELOW the threshold. Benchmark shingles
+        broadcast; the corpus is scanned once (``contamination_report``)."""
+        return Expectation(
+            "contamination_below",
+            text_col,
+            {
+                "threshold": threshold,
+                "benchmark": benchmark,
+                "id_col": id_col,
+                "shingle_k": shingle_k,
+                "bench_text_col": bench_text_col,
+                "shingle_impl": shingle_impl,
+            },
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -580,6 +629,48 @@ class Suite:
                 metric, passed = float("nan"), False
             else:
                 metric = float(row["top"]) / float(row["total"])
+                passed = metric < thr
+        elif e.kind == "dup_ngram_fraction_below":
+            from vldt_spark.functions.dedup import duplicated_ngram_fraction
+
+            thr = float(p["threshold"])
+            row = (
+                duplicated_ngram_fraction(
+                    df,
+                    text_col=e.column,
+                    id_col=p["id_col"],
+                    shingle_k=p["shingle_k"],
+                )
+                .agg(
+                    F.sum("n_duplicated").alias("d"),
+                    F.sum("n_shingles").alias("n"),
+                )
+                .first()
+            )
+            if row is None or not row["n"]:
+                # shingle-less corpus: no duplication distribution to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["d"]) / float(row["n"])
+                passed = metric < thr
+        elif e.kind == "contamination_below":
+            from vldt_spark.functions.dedup import contamination_report
+
+            thr = float(p["threshold"])
+            n_docs = df.count()
+            if n_docs == 0:
+                metric, passed = float("nan"), False
+            else:
+                n_bad = contamination_report(
+                    df,
+                    p["benchmark"],
+                    id_col=p["id_col"],
+                    text_col=e.column,
+                    bench_text_col=p["bench_text_col"],
+                    shingle_k=p["shingle_k"],
+                    shingle_impl=p["shingle_impl"],
+                ).count()
+                metric = float(n_bad) / float(n_docs)
                 passed = metric < thr
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift

@@ -367,11 +367,12 @@ def resize_images(media: DataFrame, *, width: int = 32, height: int = 32) -> Dat
 resize_stub = resize_images
 
 
-def frame_sample_stub(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+def frame_timestamps(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Video frame-TIMESTAMP sampling: expands each video row into frame
-    timestamps (pixel-level frame decode would need pyav/ffmpeg — not in
-    this container). The explode + downstream partitioning is the real
-    scale concern and is exercised here."""
+    timestamps by metadata alone — no payload decode. Use this to pick
+    WHICH frames to pay decode for; ``frame_stats`` does real pixel
+    decode on sampled frames. The explode + downstream partitioning is
+    the scale concern exercised here."""
     n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return media.where(F.col("kind") == "video").select(
         "media_id",
@@ -379,6 +380,12 @@ def frame_sample_stub(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
         ).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+# Back-compat alias from the pre-round-4 stub era (timestamp sampling was
+# always the intended semantics; real frame pixel decode lives in
+# frame_stats).
+frame_sample_stub = frame_timestamps
 
 
 FRAME_STATS_SCHEMA = T.StructType(
