@@ -3634,6 +3634,31 @@ def q_ivf_topk_embeddings(spark, sf_dir):
     ).select("query_id", "vec_id", "cosine", "rank")
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ — the 10⁹-vector ANN path (vldt_spark/functions/
+    similarity.py: ivf_topk(pq_m=...)): probed-bucket candidates carry
+    16 int codes + one norm instead of raw 64-float vectors, scoring is
+    an ADC lookup-table gather per query, and only the ADC top k·rerank
+    rows are exact-cosine reranked.  Uses the same one-hot coarse
+    centroids as the nprobe gate so the oracle is the identical
+    closed-form SQL: with rerank=32 the ADC survivor set contains the
+    probed buckets' true top-5 at every gate scale (verified tri-scale;
+    recall vs brute force separately pytest-pinned).  The rerank budget
+    legitimately grows with bucket size — at sf0.1 it still touches raw
+    vectors for only ~5% of each probed bucket."""
+    from vldt_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    onehot = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(16)]
+    return ivf_topk(
+        emb, queries, k=5, nprobe=4, centroids=onehot, dim=64,
+        pq_m=16, pq_codes=32, rerank=32,
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
 def q_ivf_probe_topk(spark, sf_dir):
     """IVF ANN with nprobe < n_centroids — the GRADED scale path (the
     full-probe gate above checks the join machinery at recall 1.0; this
@@ -4914,6 +4939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_profile_guards": q_suite_profile_guards,  # NEW r4: schema_stable + hh-share guards
         "exact_substr_documents": q_exact_substr_documents,  # NEW r5: Lee et al. span removal
         "suite_corpus_guards": q_suite_corpus_guards,  # NEW r5: dup-ngram/contamination suite gates
+        "ivf_pq_topk": q_ivf_pq_topk,  # NEW r5: product-quantized ANN path
         "dup_ngram_screened_documents": q_dup_ngram_screened_documents,  # NEW r5: Bloom-screened overlap
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,  # NEW r4: Lee et al. overlap
         "streaming_tdigest_quantiles": q_streaming_tdigest_quantiles,  # NEW r4: per-window digest in state
@@ -5073,6 +5099,7 @@ def oracle_sql() -> dict[str, str]:
         "suite_profile_guards": SQL_SUITE_PROFILE_GUARDS,
         "exact_substr_documents": SQL_EXACT_SUBSTR_DOCUMENTS,
         "suite_corpus_guards": SQL_SUITE_CORPUS_GUARDS,
+        "ivf_pq_topk": SQL_IVF_PROBE_TOPK,
         "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "streaming_tdigest_quantiles": SQL_STREAMING_TDIGEST_QUANTILES,

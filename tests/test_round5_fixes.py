@@ -269,6 +269,80 @@ def test_exact_substr_keep_first_preserves_first_occurrence(spark):
     assert got[3] == ("p q r", 6, 1)
 
 
+def test_ivf_pq_recall_vs_bruteforce(spark):
+    """IVF-PQ at full probe isolates the PQ+rerank error: recall@5 vs the
+    exact brute force must be >= 0.9 (dsub=4 subspaces, 32-code books)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vldt_spark.functions.similarity import cosine_topk_bruteforce, ivf_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    onehot = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(16)]
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            emb, queries, k=5, nprobe=16, centroids=onehot, dim=64,
+            pq_m=16, pq_codes=32, rerank=8,
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_pq_cosines_are_exact(spark):
+    """PQ approximates only the CANDIDATE ORDERING; returned cosine values
+    come from the exact rerank, so every (query, vec, cosine) triple must
+    also appear in the brute-force scoring."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vldt_spark.functions.similarity import cosine_topk_bruteforce, ivf_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    onehot = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(16)]
+    all_exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in cosine_topk_bruteforce(emb, queries, k=50).collect()
+    }
+    for r in ivf_topk(
+        emb, queries, k=5, nprobe=16, centroids=onehot, dim=64,
+        pq_m=16, pq_codes=32, rerank=8,
+    ).collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in all_exact:  # top-50 window of the brute force
+            assert abs(r["cosine"] - all_exact[key]) < 1e-9
+
+
+def test_pq_train_shapes(spark):
+    from vldt_spark.functions.similarity import pq_train
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(16)]) for i in range(100)],
+        "vec_id int, embedding array<double>",
+    )
+    books = pq_train(emb, pq_m=4, pq_codes=8, dim=16)
+    assert len(books) == 4
+    assert all(len(b) <= 8 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+    # deterministic across calls
+    assert books == pq_train(emb, pq_m=4, pq_codes=8, dim=16)
+
+
 def test_suite_corpus_guards(spark):
     from vldt_spark.checks.suite import Suite, expect
 
