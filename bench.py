@@ -32,6 +32,40 @@ REPS = int(os.environ.get("VLDT_BENCH_REPS", "3"))
 FLAGSHIP_REPS = int(os.environ.get("VLDT_BENCH_FLAGSHIP_REPS", "5"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
+# Single source of truth for every timed row. run_benchmarks() asserts its
+# timings match this set exactly, and the pytest length guard builds the
+# worst-case compact line from it — so adding a bench row without checking
+# the driver's stdout-tail budget fails loudly, not silently (round-3
+# lesson: an overgrown final line -> BENCH_r03 "parsed": null).
+BENCH_QUERY_NAMES = [
+    "flagship_validate_tokens",
+    "validate_lineitem_verdicts",
+    "dup_keys_lineitem",
+    "ri_lineitem_orders",
+    "colstats_lineitem",
+    "histogram_events_value",
+    "psi_documents_nchars",
+    "minhash_dedup_pairs",
+    "simhash_near_pairs",
+    "token_count_documents",
+    "text_quality_documents",
+    "knn_cosine_embeddings",
+    "embedding_near_dups",
+    "contamination_report_documents",
+    "chunk_layout_documents",
+    "embedding_drift_by_label",
+    "paragraph_dedup_documents",
+    "temperature_sample_documents",
+    "quantiles_sketch_lineitem",
+    "suite_rowlocal_lineitem",
+    "tdigest_lineitem_price",
+    "cms_heavy_hitters_documents",
+    "dup_ngram_fraction_documents",
+    "dup_ngram_screened",
+    "exact_substr_documents",
+    "ivf_pq_topk",
+]
+
 
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
@@ -199,6 +233,34 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
 
     timed("dup_ngram_fraction_documents", overlap_bench)
 
+    # round-5 additions: the Bloom-screened overlap (the 100 TB shape —
+    # no join-back exchange), ExactSubstr span removal, and the
+    # product-quantized ANN path
+    from vldt_spark.functions.dedup import (
+        duplicated_ngram_fraction_screened,
+        exact_substr_dedup,
+    )
+
+    def overlap_screened_bench():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return duplicated_ngram_fraction_screened(docs).agg(
+            F.sum("n_duplicated"), F.sum("n_shingles")
+        ).collect()
+
+    timed("dup_ngram_screened", overlap_screened_bench)
+
+    def exact_substr_bench():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return exact_substr_dedup(docs, k=5).agg(
+            F.sum("n_removed_words"), F.sum("n_spans")
+        ).collect()
+
+    timed("exact_substr_documents", exact_substr_bench)
+
+    timed("ivf_pq_topk", lambda: qs["ivf_pq_topk"](spark, SF_DIR).collect())
+
+    missing = set(BENCH_QUERY_NAMES) ^ set(timings)
+    assert not missing, f"bench rows drifted from BENCH_QUERY_NAMES: {missing}"
     return timings, rep_arrays
 
 
@@ -243,24 +305,52 @@ def main():
     print(f"[bench] detail -> {detail_path}", file=sys.stderr, flush=True)
     print(json.dumps(detail), file=sys.stderr, flush=True)
 
+    line = compact_line(
+        total=total,
+        timings=timings,
+        sf=sf,
+        token_rows=TOKEN_ROWS,
+        seqs_per_sec=seqs_per_sec,
+        seqs_per_sec_median=round(TOKEN_ROWS / median(fl_reps), 1),
+        flagship_reps=fl_reps,
+        cpus=CPUS,
+    )
+    print(line, flush=True)
+    spark.stop()
+
+
+def compact_line(
+    *,
+    total: float,
+    timings: dict[str, float],
+    sf: str,
+    token_rows: int,
+    seqs_per_sec: float,
+    seqs_per_sec_median: float,
+    flagship_reps: list[float],
+    cpus: int,
+) -> str:
+    """The ONE stdout JSON line the driver parses. Per-query values round
+    to 2 decimals here (full 3-decimal values + rep arrays live in
+    BENCH_DETAIL.json) and a pytest pins the worst-case length of this
+    line under the driver's stdout-tail budget."""
     compact = {
         "metric": "validation_bench_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
-        "token_rows": TOKEN_ROWS,
+        "token_rows": token_rows,
         "validated_seqs_per_sec": seqs_per_sec,
-        "validated_seqs_per_sec_median": round(TOKEN_ROWS / median(fl_reps), 1),
-        "flagship_reps": fl_reps,
-        "cpus": CPUS,
+        "validated_seqs_per_sec_median": seqs_per_sec_median,
+        "flagship_reps": flagship_reps,
+        "cpus": cpus,
     }
     line = json.dumps(compact)
     if len(line) > 1500:  # hard guard: never outgrow the driver's tail window
         compact.pop("queries", None)
         line = json.dumps(compact)
-    print(line, flush=True)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

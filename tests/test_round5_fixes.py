@@ -379,6 +379,30 @@ def test_suite_corpus_guards(spark):
     assert report[("contamination_below", 0.1)][1] is False
 
 
+def test_bench_compact_line_fits_driver_tail():
+    """The driver parses a JSON line from the LAST ~2000 chars of bench
+    stdout; the worst-case compact line over the FULL round-5 bench set
+    must stay well inside that window (round-3 regression guard)."""
+    import bench
+
+    worst_timings = {name: 9999.99 for name in bench.BENCH_QUERY_NAMES}
+    line = bench.compact_line(
+        total=99999.999,
+        timings=worst_timings,
+        sf="0.1",
+        token_rows=1_000_000,
+        seqs_per_sec=9999999.9,
+        seqs_per_sec_median=9999999.9,
+        flagship_reps=[9999.999] * 5,
+        cpus=32,
+    )
+    assert len(line) < 1200, len(line)
+    import json
+
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.BENCH_QUERY_NAMES)
+
+
 def test_suite_round6_is_half_up():
     from vldt_spark.checks.suite import _round6
 
