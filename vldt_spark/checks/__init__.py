@@ -9,6 +9,8 @@ from vldt_spark.checks.column_stats import column_profile, column_stats, numeric
 from vldt_spark.checks.uniqueness import duplicate_keys, duplicate_rows, uniqueness_report
 from vldt_spark.checks.referential import (
     bloom_build,
+    bloom_build_hashed,
+    bloom_size_bits,
     invalid_fk_values,
     ri_bloom_screen,
     ri_violation_rows,
@@ -50,6 +52,8 @@ __all__ = [
     "ri_violation_rows",
     "ri_report",
     "bloom_build",
+    "bloom_build_hashed",
+    "bloom_size_bits",
     "ri_bloom_screen",
     "tdigest_quantiles",
     "merge_digests",

@@ -114,13 +114,34 @@ def bloom_build(
     the FK and dim-key integer widths differ (``xxhash64`` is
     type-width-sensitive: int 5 and bigint 5 hash differently raw).
     """
+    hashed = dim.where(F.col(dim_key).isNotNull()).select(
+        F.xxhash64(F.col(dim_key).cast("string")).alias("__h")
+    )
+    return bloom_build_hashed(
+        hashed, "__h", n_bits=n_bits, n_hashes=n_hashes,
+        build_partitions=build_partitions,
+    )
+
+
+def bloom_build_hashed(
+    df: DataFrame,
+    hash_col: str,
+    *,
+    n_bits: int | None = None,
+    n_hashes: int = 5,
+    build_partitions: int = 16,
+) -> bytes:
+    """``bloom_build`` over a column that ALREADY carries the 64-bit key
+    hashes (``xxhash64`` computed upstream — e.g. when the same hashes
+    also feed the probe side, as in the screened duplicated-n-gram
+    fraction): skips the re-hash select, everything else identical."""
     import numpy as np
 
     if n_bits is None:
-        n_bits = bloom_size_bits(dim, dim_key, n_hashes=n_hashes)
+        n_bits = bloom_size_bits(df, hash_col, n_hashes=n_hashes)
     hashed = (
-        dim.select(F.xxhash64(F.col(dim_key).cast("string")).alias("__h"))
-        .where(F.col(dim_key).isNotNull())
+        df.select(F.col(hash_col).alias("__h"))
+        .where(F.col("__h").isNotNull())
         .repartition(build_partitions)
     )
     n_bytes = n_bits // 8

@@ -835,60 +835,68 @@ def duplicated_ngram_fraction_screened(
     full-corpus-sized exchange (the one plan the exact metric cannot
     avoid). This variant folds the DUPLICATED-shingle set (count ≥ 2 —
     in a web corpus a small minority of the shingle vocabulary) into a
-    broadcast Bloom bitmap (``checks.referential.bloom_build``: bounded
-    partial bitmaps, driver OR, auto-sized from the duplicated-set
-    cardinality), and every document then counts its duplicated shingles
-    ROW-LOCALLY: shingle hashes are computed JVM-side per row
-    (``xxhash64``, identical to the build side) and probed in one
-    vectorized numpy pass per Arrow batch. The only exchange left in the
-    whole job is the per-shingle count aggregate's map-side-combined
-    partials — the doc→shingle relation never rides a shuffle.
+    broadcast Bloom bitmap (``checks.referential.bloom_build_hashed``:
+    bounded partial bitmaps, driver OR, auto-sized from the
+    duplicated-set cardinality), and every document then counts its
+    duplicated shingles ROW-LOCALLY: shingles are hashed JVM-side ONCE
+    (``xxhash64``), and the cached (id, n, hashes) relation feeds both
+    the duplicated-set aggregate (an exchange of LONGS, never shingle
+    strings) and the probe (one vectorized numpy pass per Arrow batch) —
+    the whole job is a single shingling pass plus cached re-reads. The
+    only exchange left is the per-hash count aggregate's
+    map-side-combined partials; the doc→shingle relation never rides a
+    shuffle. The hash relation stays persisted (MEMORY_AND_DISK, ~8
+    bytes/shingle) for the returned DataFrame's lifetime.
 
     Error is ONE-SIDED: a Bloom false positive can only mark a singleton
-    shingle as duplicated, so ``n_duplicated`` (and ``dup_fraction``)
-    is ≥ the exact value, never under — the safe direction for a
-    corpus-health gate (overlap is never under-reported). The default
-    auto-sized bitmap targets ≈ 3e-4 FP per singleton probe.
+    shingle as duplicated, and counting in hash space can only MERGE
+    counts upward on a collision — so ``n_duplicated`` (and
+    ``dup_fraction``) is ≥ the exact value, never under: the safe
+    direction for a corpus-health gate (overlap is never
+    under-reported). The default auto-sized bitmap targets ≈ 3e-4 FP
+    per singleton probe.
 
     Returns (``id_col``, n_shingles, n_duplicated, dup_fraction) — the
     same schema as the exact form.
     """
     import numpy as np
+    from pyspark import StorageLevel
     from pyspark.sql import types as T
 
-    from vldt_spark.checks.referential import bloom_build
+    from vldt_spark.checks.referential import bloom_build_hashed
 
     base = ensure_min_parallelism(docs.select(id_col, text_col))
     sh = base.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
     )
-    dups = (
-        sh.select(F.explode("shingles").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("shingle")
-        .persist()
-    )
-    try:
-        bitmap_bytes = bloom_build(
-            dups,
-            "shingle",
-            n_bits=n_bits,
-            n_hashes=n_hashes,
-            build_partitions=build_partitions,
-        )
-    finally:
-        dups.unpersist()
-    n_bits = len(bitmap_bytes) * 8
-    spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(bitmap_bytes)
-
+    # hash ONCE: the shingling HOF is the expensive row-local work, and
+    # the same 64-bit hashes feed BOTH the duplicated-set aggregate (an
+    # exchange of longs, never shingle strings) and the probe — caching
+    # this relation makes the whole job one shingling pass (+ cached
+    # re-reads), vs two full shinglings for the exact form's two plan
+    # arms. Counting in hash space keeps the one-sided guarantee: a hash
+    # collision can only merge counts UPWARD (overcount, never under).
     hashed = sh.select(
         F.col(id_col),
         F.size("shingles").cast("long").alias("n_shingles"),
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("__hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dups = (
+        hashed.select(F.explode("__hs").alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
     )
+    bitmap_bytes = bloom_build_hashed(
+        dups,
+        "__h",
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        build_partitions=build_partitions,
+    )
+    n_bits = len(bitmap_bytes) * 8
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap_bytes)
     out_schema = T.StructType(
         [
             T.StructField(id_col, docs.schema[id_col].dataType, True),
