@@ -66,8 +66,21 @@ def test_readme_suite_snippet_executes(ns):
     assert rep and all(r["passed"] for r in rep.values())
 
 
-def test_readme_web_token_snippet_executes(ns):
+def test_readme_overlap_snippet_executes(ns):
     exec(compile(_python_blocks()[3], README, "exec"), ns.__dict__)
+    n_docs = ns.docs.count()
+    ov = ns.overlap.collect()
+    assert len(ov) == n_docs
+    assert all(0 <= r["n_duplicated"] <= r["n_shingles"] for r in ov)
+    cl = ns.cleaned.collect()
+    assert len(cl) == n_docs
+    assert all(r["n_removed_words"] <= r["n_words"] for r in cl)
+    # the corpus carries injected exact-dup pairs -> >=50-token spans exist
+    assert any(r["n_spans"] > 0 for r in cl)
+
+
+def test_readme_web_token_snippet_executes(ns):
+    exec(compile(_python_blocks()[4], README, "exec"), ns.__dict__)
     n_docs = ns.docs.count()
     prov = ns.prov.collect()
     assert prov and sum(r["n_docs"] for r in prov) == n_docs
@@ -82,7 +95,7 @@ def test_readme_web_token_snippet_executes(ns):
 
 
 def test_readme_sketch_snippet_executes(ns):
-    exec(compile(_python_blocks()[4], README, "exec"), ns.__dict__)
+    exec(compile(_python_blocks()[5], README, "exec"), ns.__dict__)
     qs = ns.q.collect()
     assert qs and all(r["q"] is not None for r in qs)
     # every doc's source IS in the dim -> the screen reports nothing

@@ -127,6 +127,11 @@ def main():
     }
     print(json.dumps(result))
 
+    if os.environ.get("VLDT_SCALING_NO_WRITE"):
+        # measurement-only rerun: BENCH/BASELINE.md also carries hand-written
+        # cross-round analysis sections that a rewrite would destroy
+        return
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
