@@ -1337,6 +1337,73 @@ FROM d WHERE doc_id % 40 = 13
 
 
 @functools.lru_cache(maxsize=None)
+def _thread_models():
+    from vldt_spark.fields import Field
+    from vldt_spark.model import Model, ModelConfig
+
+    class Thread(Model):
+        vldt_config = ModelConfig(max_recursion_depth=2)
+        id: int = Field(ge=0)
+        note: Optional[str]
+        reply: Optional["Thread"]
+
+    globals()["Thread"] = Thread  # PEP 563: forward ref resolves here
+
+    class ThreadRow(Model):
+        doc_id: int
+        thread: Optional[Thread]
+
+    globals()["ThreadRow"] = ThreadRow
+    return ThreadRow
+
+
+def q_recursive_depth_documents(spark, sf_dir):
+    """Bounded-depth self-recursive model (reference admits cyclic models
+    per-object, /root/reference/vldt/models.py:27-36; a finite StructType
+    cannot — so ``ModelConfig(max_recursion_depth=d)`` unrolls the
+    self-reference d levels as synthesized nested model classes and flags
+    data nested DEEPER than d as a violation at the exact cutoff path).
+    Documents are reshaped into reply-thread rows whose reply-chain length
+    is ``doc_id % 4``; the model allows 2 nested replies, so chains of 3
+    violate at ``thread.reply.reply.reply``; one disjoint key class plants
+    a negative id at nesting level 2 to witness that declarative Field
+    constraints run at synthesized depths too."""
+    docs = _t(spark, sf_dir, "documents")
+    nk = F.col("doc_id")
+    depth = nk % 4  # constructed reply-chain length 0..3
+    l3 = F.when(
+        depth >= 3,
+        F.struct((nk * 10 + 3).alias("id"), F.lit("d3").alias("note")),
+    )
+    l2_id = F.when(nk % 40 == 18, -(nk * 10 + 2)).otherwise(nk * 10 + 2)
+    l2 = F.when(
+        depth >= 2,
+        F.struct(l2_id.alias("id"), F.lit("d2").alias("note"), l3.alias("reply")),
+    )
+    l1 = F.when(
+        depth >= 1,
+        F.struct((nk * 10 + 1).alias("id"), F.lit("d1").alias("note"), l2.alias("reply")),
+    )
+    root = F.struct(nk.alias("id"), F.lit("d0").alias("note"), l1.alias("reply"))
+    nested = docs.select("doc_id", root.alias("thread"))
+    from vldt_spark.engine import ValidationEngine
+
+    res = ValidationEngine(_thread_models()).run(nested, id_cols=["doc_id"])
+    return res.violations()
+
+
+SQL_RECURSIVE_DEPTH_DOCUMENTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'thread.reply.reply.reply' AS path,
+       'Exceeded max recursion depth for model Thread' AS msg
+FROM documents WHERE doc_id % 4 = 3
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'thread.reply.reply.id',
+       'Value out of range: expected >= 0'
+FROM documents WHERE doc_id % 40 = 18
+"""
+
+
+@functools.lru_cache(maxsize=None)
 def _dict_tuple_model():
     from vldt_spark.model import Model
 
@@ -4916,9 +4983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    tools/check_oracle.py verifies the full 121-query set locally."""
+    tools/check_oracle.py verifies the full 122-query set locally."""
     return {
         # --- NEW round 5 ---
+        "recursive_depth_documents": q_recursive_depth_documents,
         "exact_substr_documents": q_exact_substr_documents,
         "suite_corpus_guards": q_suite_corpus_guards,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -4971,10 +5039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
         "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
-        "psi_by_event_type": q_psi_by_event_type,
-        # ---- driver window ends here (position 50: psi_by_event_type) ----
+        # ---- driver window ends here (position 50: zscore_outliers) ----
         # tail: round-3/4-witnessed green, code untouched this round;
         # rows-only entries live here by design
+        "psi_by_event_type": q_psi_by_event_type,
         "validate_lineitem_violations": q_validate_lineitem_violations,
         "alias_resolution_lineitem": q_alias_resolution_lineitem,
         "minhash_portable_signatures": q_minhash_portable_signatures,
@@ -5051,6 +5119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "recursive_depth_documents": SQL_RECURSIVE_DEPTH_DOCUMENTS,
         "url_parse_documents": SQL_URL_PARSE_DOCUMENTS,
         "url_provenance_documents": SQL_URL_PROVENANCE_DOCUMENTS,
         "url_blocklist_documents": SQL_URL_BLOCKLIST_DOCUMENTS,

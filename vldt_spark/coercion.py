@@ -451,6 +451,24 @@ def _model_value(src, src_dtype, node, path, truthy_bool):
         viols.append(v)
         viols.extend(scalar_constraints(c, spec.field, sub_path, spec.dtype))
         parts.append(c.alias(spec.name))
+    for pname in compiled.pruned_fields:
+        # recursion cutoff (ModelConfig.max_recursion_depth): the field is
+        # absent from the target struct; source content under it sits
+        # DEEPER than the unrolled budget — report it, never drop it
+        if pname not in src_dtype.names:
+            continue
+        sub = src[pname]
+        sdt = src_dtype[pname].dataType
+        present = sub.isNotNull()
+        if isinstance(sdt, (T.ArrayType, T.MapType)):
+            present = present & (F.size(sub) > 0)
+        viols.append(
+            violation_if(
+                src.isNotNull() & present,
+                _sub(path, F.lit(pname)),
+                f"Exceeded max recursion depth for model {model.__name__}",
+            )
+        )
     coerced = F.when(src.isNull(), F.lit(None).cast(target)).otherwise(F.struct(*parts))
     # suppress nested violations entirely when the outer struct is null
     all_v = merge_violations(*viols)

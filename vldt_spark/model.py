@@ -16,7 +16,7 @@ resulting expressions / Arrow UDFs.
 from __future__ import annotations
 
 import typing
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, replace as dc_replace
 from typing import Any, ClassVar
 
 from pyspark.sql import types as T
@@ -49,6 +49,18 @@ class ModelConfig:
     # use try_* variants: a factory returning null for a non-null input is
     # recorded as a violation row; a RAISING expression would abort the scan
     deserializers: dict = dc_field(default_factory=dict)
+    # bounded self-recursion (reference admits cyclic models per-object via
+    # forward-ref resolution, /root/reference/vldt/models.py:27-36; a Spark
+    # StructType is a finite tree so the repo bounds the depth instead):
+    # 0 (default) rejects direct self-reference at compile time with
+    # guidance; d >= 1 unrolls the self-reference d levels — each level is a
+    # synthesized nested model class, so the whole existing compile /
+    # coercion / lineage machinery applies per level — and data nested
+    # DEEPER than d becomes a violation row at the cutoff path ("Exceeded
+    # max recursion depth ..."), never a silent drop. Mutual recursion
+    # (A -> B -> A) stays rejected: bounding it needs a joint budget across
+    # classes; model it relationally instead (see the compile-time error).
+    max_recursion_depth: int = 0
 
 
 @dataclass
@@ -74,12 +86,77 @@ class CompiledSchema:
     struct: T.StructType
     validators: dict[str, list]
     config: ModelConfig
+    # field names dropped at a recursion cutoff (max_recursion_depth
+    # exhausted): absent from ``struct``; source data present under one of
+    # these names is reported as a violation by the nested-model coercer
+    pruned_fields: list[str] = dc_field(default_factory=list)
 
     def field(self, name: str) -> FieldSpec:
         for f in self.fields:
             if f.name == name:
                 return f
         raise KeyError(name)
+
+
+def _synth_depth_class(root: type, remaining: int) -> type:
+    """Synthesize (and cache on ``root``) the nested model class standing
+    for ``root`` with ``remaining`` further self-expansions allowed.
+
+    Each depth level of a self-recursive model is its own class with its
+    own compiled schema — the finite unrolling of the recursive type — so
+    nested-model coercion, dotted lineage, unions and serializer hooks all
+    work per level with zero special-casing. The innermost level
+    (remaining == 0) prunes the self-referencing field(s) and records them
+    in ``CompiledSchema.pruned_fields``."""
+    cache = root.__dict__.get("__vldt_depth_classes__")
+    if cache is None:
+        cache = {}
+        setattr(root, "__vldt_depth_classes__", cache)
+    if remaining not in cache:
+        # same __name__ on purpose: violation messages say "Expected type
+        # <Model>" and must read identically at every depth
+        cache[remaining] = ModelMeta(
+            root.__name__,
+            (root,),
+            {
+                "__vldt_recursion_root__": root,
+                "__vldt_remaining_depth__": remaining,
+                "__module__": root.__module__,
+                "__qualname__": f"{root.__qualname__}__depth{remaining}",
+            },
+        )
+    return cache[remaining]
+
+
+def _node_references(node: TypeNode, root: type) -> bool:
+    if node.is_model and node.model_cls is root:
+        return True
+    return any(_node_references(a, root) for a in node.args)
+
+
+def _bound_recursion(node: TypeNode, root: type, remaining: int):
+    """Rewrite direct self-references to depth-bounded synthesized classes.
+
+    Returns ``(node, pruned)``. ``pruned=True`` means the budget is
+    exhausted somewhere in this subtree and the whole field must be dropped
+    (a container/union arm cannot be half-expressed); the caller records it
+    in ``pruned_fields`` so content there becomes a violation, not a drop.
+    """
+    if node.is_model and node.model_cls is root:
+        if remaining <= 0:
+            return node, True
+        nxt = _synth_depth_class(root, remaining - 1)
+        return dc_replace(node, py_type=nxt, model_cls=nxt), False
+    if node.args:
+        new_args = []
+        for a in node.args:
+            na, pruned = _bound_recursion(a, root, remaining)
+            if pruned:
+                return node, True
+            new_args.append(na)
+        if any(na is not a for na, a in zip(new_args, node.args)):
+            return dc_replace(node, args=new_args), False
+    return node, False
 
 
 class ModelMeta(type):
@@ -154,6 +231,14 @@ class Model(metaclass=ModelMeta):
     def __vldt_compile_inner__(cls) -> CompiledSchema:
         hints = typing.get_type_hints(cls, include_extras=True)
         specs: list[FieldSpec] = []
+        pruned_names: list[str] = []
+        cfg = getattr(cls, "vldt_config", ModelConfig())
+        # bounded self-recursion: the root class carries the full budget
+        # from its config; synthesized per-depth classes carry what's left
+        root = getattr(cls, "__vldt_recursion_root__", cls)
+        remaining = cls.__dict__.get("__vldt_remaining_depth__")
+        if remaining is None:
+            remaining = cfg.max_recursion_depth
         reserved = {"violations", "is_valid", "__v0"}
         for fname, ann in hints.items():
             if typing.get_origin(ann) is ClassVar:
@@ -193,7 +278,27 @@ class Model(metaclass=ModelMeta):
             else:
                 # plain class attribute is the default (schema.cpp:442-446)
                 fld = Field(default=raw)
-            specs.append(FieldSpec(name=fname, node=compile_type(ann), field=fld))
+            node = compile_type(ann)
+            if _node_references(node, root):
+                if remaining <= 0 and cls is root:
+                    # max_recursion_depth=0 (default): reject the cycle at
+                    # compile time exactly as before, now with the bounded
+                    # option in the guidance
+                    raise TypeError(
+                        f"Recursive model reference involving {cls.__name__}:"
+                        " a self/cyclically-referential model has no finite "
+                        "Spark StructType. Set vldt_config = ModelConfig("
+                        "max_recursion_depth=d) to unroll the self-reference"
+                        " d levels (deeper data becomes a violation row), "
+                        "model trees relationally (an adjacency table with "
+                        "(id, parent_id) and a join/iterate pass), or bound "
+                        "the depth with explicitly nested distinct models."
+                    )
+                node, pruned = _bound_recursion(node, root, remaining)
+                if pruned:
+                    pruned_names.append(fname)
+                    continue
+            specs.append(FieldSpec(name=fname, node=node, field=fld))
         # every StructField is nullable on purpose: required-ness is a
         # CHECK (violation row), not a schema rejection — a non-nullable
         # field would make Spark error on read instead of quarantining
@@ -204,7 +309,8 @@ class Model(metaclass=ModelMeta):
             fields=specs,
             struct=struct,
             validators=collect_validators(cls),
-            config=getattr(cls, "vldt_config", ModelConfig()),
+            config=cfg,
+            pruned_fields=pruned_names,
         )
         cls.__vldt_schema_cache__ = compiled
         return compiled
