@@ -214,12 +214,17 @@ class Model(metaclass=ModelMeta):
         # trees). Detect the cycle at compile time and say what to do
         # instead of overflowing the stack.
         if cls.__dict__.get("__vldt_compiling__"):
+            # reached by INDIRECT cycles (A -> B -> A); direct self-reference
+            # is intercepted earlier and either unrolled (max_recursion_depth
+            # >= 1) or rejected with the same guidance
             raise TypeError(
                 f"Recursive model reference involving {cls.__name__}: a "
                 "self/cyclically-referential model has no finite Spark "
-                "StructType. Model trees relationally (an adjacency table "
-                "with (id, parent_id) and a join/iterate pass) or bound "
-                "the depth with explicitly nested distinct models."
+                "StructType. A DIRECT self-reference can be unrolled with "
+                "vldt_config = ModelConfig(max_recursion_depth=d); for "
+                "indirect cycles, model trees relationally (an adjacency "
+                "table with (id, parent_id) and a join/iterate pass) or "
+                "bound the depth with explicitly nested distinct models."
             )
         cls.__vldt_compiling__ = True
         try:
