@@ -306,6 +306,157 @@ SELECT 'contamination_below', 'text', m, CAST(0.0 AS DOUBLE), FALSE FROM conm
 """
 
 
+def _char_tokens(docs):
+    return docs.select(
+        "doc_id",
+        "source",
+        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)).alias(
+            "tokens"
+        ),
+    )
+
+
+_SQL_CHAR_TOKENS = """
+WITH t AS (
+  SELECT doc_id, source,
+         [ascii(c) FOR c IN string_split(text, '')] AS toks
+  FROM documents
+)
+"""
+
+
+def q_sequence_stats_documents(spark, sf_dir):
+    """Per-sequence degenerate-content audit (round-5): n_tok, distinct
+    ratio, unigram entropy, longest same-token run, and top-token share
+    for every sequence — the row-local quality gates run before
+    training.  Strictly scan → mapInPandas (zero exchanges); the oracle
+    replays entropy/runs closed-form with unnest + gaps-and-islands."""
+    from vldt_spark.functions.tokens import sequence_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return sequence_stats(_char_tokens(docs).select("doc_id", "tokens"))
+
+
+SQL_SEQUENCE_STATS_DOCUMENTS = (
+    _SQL_CHAR_TOKENS
+    + """
+, e AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t
+), c AS (
+  SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2
+), a AS (
+  SELECT doc_id, CAST(sum(c) AS INT) AS n, CAST(count(*) AS INT) AS nd,
+         sum(c * ln(c)) AS s, max(c) AS mx
+  FROM c GROUP BY 1
+), runs AS (
+  SELECT doc_id, tok,
+         pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS g
+  FROM e
+), rl AS (
+  SELECT doc_id, CAST(max(cnt) AS INT) AS max_run
+  FROM (SELECT doc_id, tok, g, count(*) AS cnt FROM runs GROUP BY 1, 2, 3)
+  GROUP BY 1
+)
+SELECT a.doc_id, n AS n_tok, nd AS n_distinct,
+       round(CAST(nd AS DOUBLE) / n, 6) AS distinct_ratio,
+       round(ln(n) - s / n, 6) AS entropy,
+       rl.max_run,
+       round(CAST(mx AS DOUBLE) / n, 6) AS top_share
+FROM a JOIN rl USING (doc_id)
+"""
+)
+
+
+def q_zipf_report_documents(spark, sf_dir):
+    """Corpus rank-frequency (Zipf) fit over the exact unigram histogram
+    (round-5): OLS slope/intercept/r² of ln(count) on ln(rank).  Built on
+    the bincount-partial histogram, so token arrays never shuffle; the
+    regression runs over the |vocab|-bounded ranked histogram."""
+    from vldt_spark.functions.tokens import zipf_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_report(_char_tokens(docs), 256)
+
+
+SQL_ZIPF_REPORT_DOCUMENTS = (
+    _SQL_CHAR_TOKENS
+    + """
+, h AS (
+  SELECT tok, count(*) AS c FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM h
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+       round(regr_slope(ln(c), ln(rk)), 6) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rk)), 6) AS zipf_intercept,
+       round(regr_r2(ln(c), ln(rk)), 6) AS r2
+FROM r
+"""
+)
+
+
+def q_suite_sequence_guards(spark, sf_dir):
+    """Degenerate-sequence corpus gates as declarative suite expectations
+    (round-5): share of sequences with a ≥3-token same-token run (both
+    verdict directions), plus a combined run/entropy arm — metric VALUES
+    are the real corpus shares, replayed closed-form by the oracle."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = _char_tokens(docs).select("doc_id", "tokens")
+    suite = Suite(
+        [
+            expect.degenerate_sequence_share_below("tokens", 1.1, max_run=3),
+            expect.degenerate_sequence_share_below("tokens", 0.0, max_run=3),
+            expect.degenerate_sequence_share_below(
+                "tokens", 1.1, max_run=10, min_entropy=3.2
+            ),
+        ]
+    )
+    return suite.run(seqs)
+
+
+SQL_SUITE_SEQUENCE_GUARDS = (
+    _SQL_CHAR_TOKENS
+    + """
+, e AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t
+), c AS (
+  SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2
+), a AS (
+  SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s FROM c GROUP BY 1
+), runs AS (
+  SELECT doc_id, tok,
+         pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS g
+  FROM e
+), rl AS (
+  SELECT doc_id, max(cnt) AS max_run
+  FROM (SELECT doc_id, tok, g, count(*) AS cnt FROM runs GROUP BY 1, 2, 3)
+  GROUP BY 1
+), per AS (
+  SELECT a.doc_id, rl.max_run, round(ln(n) - s / n, 6) AS entropy
+  FROM a JOIN rl USING (doc_id)
+), m1 AS (
+  SELECT round(CAST(sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS m
+  FROM per
+), m2 AS (
+  SELECT round(CAST(sum(CASE WHEN max_run >= 10 OR entropy < 3.2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS m
+  FROM per
+)
+SELECT 'degenerate_sequence_share_below' AS "check", 'tokens' AS "column",
+       m AS metric, CAST(1.1 AS DOUBLE) AS threshold, m < 1.1 AS passed FROM m1
+UNION ALL
+SELECT 'degenerate_sequence_share_below', 'tokens', m, CAST(0.0 AS DOUBLE),
+       FALSE FROM m1
+UNION ALL
+SELECT 'degenerate_sequence_share_below', 'tokens', m, CAST(1.1 AS DOUBLE),
+       m < 1.1 FROM m2
+"""
+)
+
+
 def q_check_suite_customer(spark, sf_dir):
     """Declarative data-contract suite (checks/suite.py): all row-local
     expectations fuse into one aggregate pass; uniqueness / RI / PSI run
@@ -4592,25 +4743,6 @@ GROUP BY source
 # DuckDB oracle rebuilds the identical arrays and checks exact counts.
 
 
-def _char_tokens(docs):
-    return docs.select(
-        "doc_id",
-        "source",
-        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)).alias(
-            "tokens"
-        ),
-    )
-
-
-_SQL_CHAR_TOKENS = """
-WITH t AS (
-  SELECT doc_id, source,
-         [ascii(c) FOR c IN string_split(text, '')] AS toks
-  FROM documents
-)
-"""
-
-
 def q_special_token_violations_documents(spark, sf_dir):
     """Sequence-structure validation on the input_hint token shape:
     BOS-at-0, EOS-at-end, forbidden-id checks over synthesized token
@@ -4966,10 +5098,12 @@ FROM bits
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is RISK-FIRST: the grading driver evaluates the
-    first 50 entries, so the round-5 window carries (a) positions 1-4:
-    every query NEW this round — ExactSubstr span removal, the
+    first 50 entries, so the round-5 window carries (a) positions 1-8:
+    every query NEW this round — the sequence-stats degenerate audit,
+    the Zipf rank-frequency fit, the degenerate-sequence suite guards,
+    bounded-depth recursive models, ExactSubstr span removal, the
     dup-ngram/contamination suite guards, the IVF-PQ ANN path, the
-    Bloom-screened train-train overlap; (b) positions 5-17: every query
+    Bloom-screened train-train overlap; (b) next: every query
     whose underlying code changed this round (dup_ngram semi-join rework;
     contamination's Arrow shingle path; referential.py bloom auto-sizing
     -> the Bloom RI screen; suite.py half-up rounding -> all four suite
@@ -4986,6 +5120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py verifies the full 122-query set locally."""
     return {
         # --- NEW round 5 ---
+        "sequence_stats_documents": q_sequence_stats_documents,
+        "zipf_report_documents": q_zipf_report_documents,
+        "suite_sequence_guards": q_suite_sequence_guards,
         "recursive_depth_documents": q_recursive_depth_documents,
         "exact_substr_documents": q_exact_substr_documents,
         "suite_corpus_guards": q_suite_corpus_guards,
@@ -5119,6 +5256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sequence_stats_documents": SQL_SEQUENCE_STATS_DOCUMENTS,
+        "zipf_report_documents": SQL_ZIPF_REPORT_DOCUMENTS,
+        "suite_sequence_guards": SQL_SUITE_SEQUENCE_GUARDS,
         "recursive_depth_documents": SQL_RECURSIVE_DEPTH_DOCUMENTS,
         "url_parse_documents": SQL_URL_PARSE_DOCUMENTS,
         "url_provenance_documents": SQL_URL_PROVENANCE_DOCUMENTS,

@@ -64,6 +64,7 @@ BENCH_QUERY_NAMES = [
     "dup_ngram_screened",
     "exact_substr_documents",
     "ivf_pq_topk",
+    "sequence_stats_tokens",
 ]
 
 
@@ -258,6 +259,25 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     timed("exact_substr_documents", exact_substr_bench)
 
     timed("ivf_pq_topk", lambda: qs["ivf_pq_topk"](spark, SF_DIR).collect())
+
+    # round-5: the per-sequence degenerate audit over the SAME 1M-row
+    # token table the flagship validates — a second full input_hint-shaped
+    # pass (entropy / runs / distinct ratio), zero exchanges
+    from vldt_spark.functions.tokens import sequence_stats
+
+    def seq_stats_bench():
+        return (
+            sequence_stats(toks, id_col="doc_id")
+            .agg(
+                F.count(F.lit(1)),
+                F.avg("entropy"),
+                F.max("max_run"),
+                F.avg("distinct_ratio"),
+            )
+            .collect()
+        )
+
+    timed("sequence_stats_tokens", seq_stats_bench)
 
     missing = set(BENCH_QUERY_NAMES) ^ set(timings)
     assert not missing, f"bench rows drifted from BENCH_QUERY_NAMES: {missing}"

@@ -198,3 +198,126 @@ def test_histogram_never_explodes_tokens_through_shuffle(toks_df):
     )
     assert "Generate explode" not in plan
     assert "MapInPandas" in plan
+
+
+# -- sequence_stats / zipf_report (round 5) ------------------------------
+
+def test_sequence_stats_values(spark):
+    import math
+
+    from vldt_spark.functions.tokens import sequence_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", [7, 7, 7, 7]),          # constant: entropy 0, run 4
+            ("b", [1, 2, 3, 4]),          # uniform: entropy ln(4), run 1
+            ("c", [1, 1, 2, 1, 1, 1]),    # runs 2 and 3 -> max 3
+            ("d", []),                    # empty
+            ("e", None),                  # NULL array
+            ("f", [None, 5, None]),       # NULL elements count as -1
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r["doc_id"]: r for r in sequence_stats(df).collect()}
+    a = got["a"]
+    assert (a["n_tok"], a["n_distinct"], a["max_run"]) == (4, 1, 4)
+    assert a["entropy"] == 0.0 and a["top_share"] == 1.0
+    assert a["distinct_ratio"] == 0.25
+    b = got["b"]
+    assert (b["n_tok"], b["n_distinct"], b["max_run"]) == (4, 4, 1)
+    assert b["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert b["top_share"] == 0.25
+    c = got["c"]
+    assert c["max_run"] == 3
+    assert c["n_distinct"] == 2
+    assert c["top_share"] == pytest.approx(5 / 6, abs=1e-6)
+    for k in ("d", "e"):
+        r = got[k]
+        assert (r["n_tok"], r["n_distinct"], r["max_run"]) == (0, 0, 0)
+        assert r["distinct_ratio"] is None
+        assert r["entropy"] is None and r["top_share"] is None
+    f = got["f"]  # [-1, 5, -1]: two distinct, max run 1
+    assert (f["n_tok"], f["n_distinct"], f["max_run"]) == (3, 2, 1)
+
+
+def test_sequence_stats_is_shuffle_free(toks_df):
+    from vldt_spark.functions.tokens import sequence_stats
+
+    plan = (
+        sequence_stats(toks_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_zipf_report_exact_fit(spark):
+    import math
+
+    from vldt_spark.functions.tokens import zipf_report
+
+    # counts 8,4,2,1 at ranks 1..4: ln(c) = ln(8) - ln(2)/ln(2) * ... a
+    # perfect power law c = 16 * r^(-3/ln-steps)? Use c = 2^(4-r):
+    # ln c = 4 ln 2 - r ln 2 — NOT linear in ln r, so instead construct
+    # c = 64 / r for r in 1,2,4 -> ln c = ln 64 - ln r (slope exactly -1).
+    rows = []
+    did = 0
+    for tok, cnt in [(0, 64), (1, 32), (2, 16)]:
+        for _ in range(cnt):
+            rows.append((str(did), [tok]))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    r = zipf_report(df, 10).collect()[0]
+    # ranks 1,2,3 with counts 64,32,16: ln c = ln 64 - (ln 2 / ?) ... the
+    # three points (ln r, ln c) are NOT collinear; just pin the exact OLS
+    # values computed closed-form here.
+    import numpy as np
+
+    x = np.log(np.array([1.0, 2.0, 3.0]))
+    y = np.log(np.array([64.0, 32.0, 16.0]))
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    inter = y.mean() - slope * x.mean()
+    assert r["n_vocab"] == 3
+    assert r["zipf_slope"] == pytest.approx(slope, abs=1e-6)
+    assert r["zipf_intercept"] == pytest.approx(inter, abs=1e-6)
+    assert 0.9 < r["r2"] <= 1.0
+
+
+def test_zipf_report_single_token_null_slope(spark):
+    from vldt_spark.functions.tokens import zipf_report
+
+    df = spark.createDataFrame(
+        [("a", [3, 3, 3])], "doc_id string, tokens array<int>"
+    )
+    r = zipf_report(df, 10).collect()[0]
+    assert r["n_vocab"] == 1
+    assert r["zipf_slope"] is None and r["zipf_intercept"] is None
+
+
+def test_degenerate_sequence_guard_arms(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3, 4, 5]),      # healthy
+            ("b", [9, 9, 9, 9]),         # run 4 -> degenerate at max_run=3
+            ("c", []),                   # empty -> always degenerate
+            ("d", [1, 2, 1, 2]),         # healthy
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    rep = Suite(
+        [
+            expect.degenerate_sequence_share_below("tokens", 0.6, max_run=3),
+            expect.degenerate_sequence_share_below("tokens", 0.1, max_run=3),
+            expect.degenerate_sequence_share_below(
+                "tokens", 0.9, max_run=100, min_entropy=0.5
+            ),
+        ]
+    ).run(df)
+    rows = rep.collect()
+    assert [r["passed"] for r in rows] == [True, False, True]
+    assert rows[0]["metric"] == 0.5            # b and c of 4
+    assert rows[2]["metric"] == 0.5            # b (entropy 0) and c (empty)

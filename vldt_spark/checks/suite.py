@@ -328,6 +328,28 @@ class expect:
         )
 
     @staticmethod
+    def degenerate_sequence_share_below(
+        tokens_col: str,
+        share: float,
+        *,
+        max_run: int = 100,
+        min_entropy: float | None = None,
+    ) -> Expectation:
+        """Degenerate-sequence guard over the input_hint token shape:
+        the fraction of sequences that are degenerate — empty/NULL, a
+        single token repeated ≥ ``max_run`` times consecutively, or
+        (when ``min_entropy`` is set) unigram entropy below it — must
+        stay BELOW ``share``.  Catches decoder collapse, boilerplate
+        loops, and gibberish before they reach training.  Runs as ONE
+        row-local `sequence_stats` pass (scan → mapInPandas, zero
+        exchanges) reduced to a single scalar."""
+        return Expectation(
+            "degenerate_sequence_share_below",
+            tokens_col,
+            {"share": share, "max_run": max_run, "min_entropy": min_entropy},
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -671,6 +693,34 @@ class Suite:
                     shingle_impl=p["shingle_impl"],
                 ).count()
                 metric = float(n_bad) / float(n_docs)
+                passed = metric < thr
+        elif e.kind == "degenerate_sequence_share_below":
+            from vldt_spark.functions.tokens import sequence_stats
+
+            thr = float(p["share"])
+            bad = (F.col("n_tok") == 0) | (F.col("max_run") >= p["max_run"])
+            if p["min_entropy"] is not None:
+                bad = bad | (F.col("entropy") < float(p["min_entropy"]))
+            row = (
+                sequence_stats(
+                    df.select(
+                        F.monotonically_increasing_id().alias("__sid"),
+                        F.col(e.column),
+                    ),
+                    id_col="__sid",
+                    tokens_col=e.column,
+                )
+                .agg(
+                    F.sum(bad.cast("long")).alias("n_bad"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .first()
+            )
+            if row is None or not row["n"]:
+                # empty table: no sequence population exists to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["n_bad"]) / float(row["n"])
                 passed = metric < thr
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift

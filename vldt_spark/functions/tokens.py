@@ -316,3 +316,144 @@ def special_token_violations(
         F.explode(F.flatten(arms)).alias("__v"),
     )
     return out.select(id_col, F.col("__v.path").alias("path"), F.col("__v.msg").alias("msg"))
+
+
+def _round6(x: float) -> float:
+    """Half-up 6-decimal rounding (Python round() is banker's; DuckDB
+    round() is half-away-from-zero — identical for the non-negative
+    metrics emitted here)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def sequence_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-sequence degenerate-content audit over the input_hint token
+    shape: for each sequence report
+
+    - ``n_tok`` — token count,
+    - ``n_distinct`` — distinct token ids,
+    - ``distinct_ratio`` — n_distinct / n_tok (≈0 for looping output),
+    - ``entropy`` — unigram Shannon entropy in nats
+      (``ln n − Σ c·ln c / n``; 0 for a constant sequence),
+    - ``max_run`` — longest run of one token repeated consecutively
+      (the classic degenerate-generation signature),
+    - ``top_share`` — share held by the single most frequent token.
+
+    These are the sequence-level quality gates a 10^12-sequence corpus
+    owner runs before training: low entropy / distinct_ratio or a long
+    max_run marks gibberish, boilerplate loops, or decoder collapse.
+
+    Scale shape: strictly ROW-LOCAL — one Arrow-batched numpy pass per
+    partition, zero exchanges; the plan is scan → mapInPandas.  At any
+    corpus size the cost is one streaming read of the token column.
+    NULL elements count as token id -1 (the same convention as
+    `token_histogram`); a NULL or empty array yields n_tok = 0 with NULL
+    ratio/entropy/top_share.  Floats use half-up 6-decimal rounding.
+    """
+    id_dtype = df.schema[id_col].dataType.simpleString()
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            n_tok, n_distinct, ratio, ent, max_run, top = [], [], [], [], [], []
+            for arr in pdf[tokens_col]:
+                t = _int_tokens(arr)
+                n = 0 if t is None else int(t.size)
+                if n == 0:
+                    n_tok.append(0)
+                    n_distinct.append(0)
+                    ratio.append(None)
+                    ent.append(None)
+                    max_run.append(0)
+                    top.append(None)
+                    continue
+                _, counts = np.unique(t, return_counts=True)
+                nd = int(counts.size)
+                s = float((counts * np.log(counts)).sum())
+                change = np.flatnonzero(t[1:] != t[:-1])
+                edges = np.concatenate(([-1], change, [n - 1]))
+                n_tok.append(n)
+                n_distinct.append(nd)
+                ratio.append(_round6(nd / n))
+                ent.append(_round6(float(np.log(n)) - s / n))
+                max_run.append(int(np.diff(edges).max()))
+                top.append(_round6(int(counts.max()) / n))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tok": pd.Series(n_tok, dtype="int32"),
+                    "n_distinct": pd.Series(n_distinct, dtype="int32"),
+                    "distinct_ratio": pd.Series(ratio, dtype="object"),
+                    "entropy": pd.Series(ent, dtype="object"),
+                    "max_run": pd.Series(max_run, dtype="int32"),
+                    "top_share": pd.Series(top, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        stats,
+        schema=(
+            f"{id_col} {id_dtype}, n_tok int, n_distinct int,"
+            " distinct_ratio double, entropy double, max_run int,"
+            " top_share double"
+        ),
+    )
+
+
+def zipf_report(
+    df: DataFrame, vocab_size: int, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Corpus rank-frequency sanity check: OLS fit of ln(count) against
+    ln(rank) over the exact unigram histogram (rank 1 = most frequent,
+    ties broken by token id).  Natural text follows Zipf's law with a
+    slope near -1; a much flatter or steeper slope flags synthetic,
+    templated, or corrupted corpora — a distribution-shape validation
+    no single-column stat catches.
+
+    Returns one row: ``n_vocab`` (distinct in-vocab tokens observed),
+    ``zipf_slope``, ``zipf_intercept``, ``r2`` (squared Pearson
+    correlation of the log-log points).
+
+    Scale shape: built on `token_histogram`'s per-partition bincount
+    partials, so token arrays never ride a shuffle; the rank window and
+    the regression aggregate run over the |vocab|-bounded histogram
+    (fine to |vocab| in the millions — it is one narrow sort, not a
+    corpus sort).  Returns NULL slope when fewer than two distinct
+    tokens exist (var(ln rank) = 0).
+    """
+    from pyspark.sql import Window
+
+    hist = token_histogram(df, vocab_size, tokens_col=tokens_col).where(
+        F.col("token") >= 0
+    )
+    ranked = hist.select(
+        F.log(F.col("cnt")).alias("__y"),
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("token").asc()))
+            .cast("double")
+        ).alias("__x"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.covar_pop("__y", "__x").alias("__cov"),
+        F.var_pop("__x").alias("__vx"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+        F.corr("__y", "__x").alias("__r"),
+    )
+    slope = F.when(F.col("__vx") > 0, F.col("__cov") / F.col("__vx"))
+    return agg.select(
+        F.col("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.col("__r") * F.col("__r"), 6).alias("r2"),
+    )
