@@ -457,6 +457,96 @@ SELECT 'degenerate_sequence_share_below', 'tokens', m, CAST(1.1 AS DOUBLE),
 )
 
 
+def q_fd_source_lang_documents(spark, sf_dir):
+    """Functional-dependency audit (round-5): which sources emit MORE
+    than one distinct lang — the table-level consistency contract
+    (determinant -> dependent) checked as ONE hash aggregate with
+    map-side partials; only violating groups survive."""
+    from vldt_spark.checks.dependencies import functional_dependency
+
+    docs = _t(spark, sf_dir, "documents")
+    return functional_dependency(docs, "source", "lang")
+
+
+SQL_FD_SOURCE_LANG_DOCUMENTS = """
+SELECT source,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_values,
+       count(lang) AS n_rows,
+       min(lang) AS min_value,
+       max(lang) AS max_value
+FROM documents
+GROUP BY source
+HAVING count(DISTINCT lang) > 1
+"""
+
+
+def q_fd_conflicts_dirty_documents(spark, sf_dir):
+    """Conflicting-duplicate-content audit (round-5): doc_id -> text as
+    an FD over a dirty fixture — every doc_id % 37 == 0 row is re-emitted
+    with perturbed text (the silent ingestion-poisoning case plain
+    uniqueness counting cannot see: the id count is 2 either way, only
+    the FD sees the payloads differ).  The oracle predicts the report
+    closed-form from the fixture arithmetic."""
+    from vldt_spark.checks.dependencies import fd_report
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.unionByName(
+        docs.where((F.col("doc_id") % 37) == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit("!conflict"))
+        )
+    )
+    return fd_report(dirty, "doc_id", "text")
+
+
+SQL_FD_CONFLICTS_DIRTY_DOCUMENTS = """
+WITH k AS (SELECT count(*) AS nv FROM documents WHERE doc_id % 37 = 0),
+     g AS (SELECT count(DISTINCT doc_id) AS ng FROM documents)
+SELECT CAST(ng AS BIGINT) AS n_groups,
+       CAST(nv AS BIGINT) AS n_violating_groups,
+       CAST(2 * nv AS BIGINT) AS n_conflicting_rows,
+       round(CAST(nv AS DOUBLE) / ng, 6) AS violation_share
+FROM g, k
+"""
+
+
+def q_mad_outliers_lineitem(spark, sf_dir):
+    """Robust (median/MAD) outlier screen (round-5) on two fact-table
+    measures — the threshold family that survives contaminated moments.
+    Exact interpolated percentiles here (what the oracle replays); the
+    100 TB path flips approx=True for mergeable percentile sketches."""
+    from vldt_spark.checks.column_stats import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mad_outliers(li, ["l_quantity", "l_extendedprice"], k=6.0)
+
+
+SQL_MAD_OUTLIERS_LINEITEM = """
+WITH m AS (
+  SELECT quantile_cont(l_quantity, 0.5) AS m1,
+         quantile_cont(l_extendedprice, 0.5) AS m2,
+         count(*) AS n
+  FROM lineitem
+), d AS (
+  SELECT quantile_cont(abs(l_quantity - m.m1), 0.5) AS d1,
+         quantile_cont(abs(l_extendedprice - m.m2), 0.5) AS d2
+  FROM lineitem, m
+)
+SELECT 'l_quantity' AS "column", CAST(m.n AS BIGINT) AS n,
+       round(m.m1, 6) AS median, round(d.d1, 6) AS mad,
+       round(m.m1 - 6 * d.d1, 6) AS lo, round(m.m1 + 6 * d.d1, 6) AS hi,
+       (SELECT count(*) FROM lineitem, m, d WHERE l_quantity < m.m1 - 6 * d.d1) AS n_below,
+       (SELECT count(*) FROM lineitem, m, d WHERE l_quantity > m.m1 + 6 * d.d1) AS n_above
+FROM m, d
+UNION ALL
+SELECT 'l_extendedprice', CAST(m.n AS BIGINT),
+       round(m.m2, 6), round(d.d2, 6),
+       round(m.m2 - 6 * d.d2, 6), round(m.m2 + 6 * d.d2, 6),
+       (SELECT count(*) FROM lineitem, m, d WHERE l_extendedprice < m.m2 - 6 * d.d2),
+       (SELECT count(*) FROM lineitem, m, d WHERE l_extendedprice > m.m2 + 6 * d.d2)
+FROM m, d
+"""
+
+
 def q_check_suite_customer(spark, sf_dir):
     """Declarative data-contract suite (checks/suite.py): all row-local
     expectations fuse into one aggregate pass; uniqueness / RI / PSI run
@@ -5123,6 +5213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_stats_documents": q_sequence_stats_documents,
         "zipf_report_documents": q_zipf_report_documents,
         "suite_sequence_guards": q_suite_sequence_guards,
+        "fd_source_lang_documents": q_fd_source_lang_documents,
+        "fd_conflicts_dirty_documents": q_fd_conflicts_dirty_documents,
+        "mad_outliers_lineitem": q_mad_outliers_lineitem,
         "recursive_depth_documents": q_recursive_depth_documents,
         "exact_substr_documents": q_exact_substr_documents,
         "suite_corpus_guards": q_suite_corpus_guards,
@@ -5259,6 +5352,9 @@ def oracle_sql() -> dict[str, str]:
         "sequence_stats_documents": SQL_SEQUENCE_STATS_DOCUMENTS,
         "zipf_report_documents": SQL_ZIPF_REPORT_DOCUMENTS,
         "suite_sequence_guards": SQL_SUITE_SEQUENCE_GUARDS,
+        "fd_source_lang_documents": SQL_FD_SOURCE_LANG_DOCUMENTS,
+        "fd_conflicts_dirty_documents": SQL_FD_CONFLICTS_DIRTY_DOCUMENTS,
+        "mad_outliers_lineitem": SQL_MAD_OUTLIERS_LINEITEM,
         "recursive_depth_documents": SQL_RECURSIVE_DEPTH_DOCUMENTS,
         "url_parse_documents": SQL_URL_PARSE_DOCUMENTS,
         "url_provenance_documents": SQL_URL_PROVENANCE_DOCUMENTS,

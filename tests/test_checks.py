@@ -317,3 +317,69 @@ def test_embedding_drift_known_values(spark):
     # ungrouped form: one global row
     glob = embedding_drift(cur.where(F.col("grp") == "aligned"), ref).collect()
     assert len(glob) == 1 and abs(glob[0]["centroid_cosine"] - 1.0) < 1e-12
+
+
+# -- functional dependency / MAD outliers (round 5) ----------------------
+
+def test_functional_dependency_flags_only_conflicts(spark):
+    from vldt_spark.checks.dependencies import fd_report, functional_dependency
+
+    df = spark.createDataFrame(
+        [
+            ("z1", "Berlin"),
+            ("z1", "Berlin"),      # re-emitted identical payload: NOT a conflict
+            ("z2", "Paris"),
+            ("z2", "Lyon"),        # conflict
+            ("z3", None),          # NULL dependent ignored
+            ("z3", "Rome"),
+            ("z4", None),          # all-null group never appears
+        ],
+        "zip string, city string",
+    )
+    rows = functional_dependency(df, "zip", "city").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["zip"] == "z2" and r["n_values"] == 2 and r["n_rows"] == 2
+    assert (r["min_value"], r["max_value"]) == ("Lyon", "Paris")
+
+    rep = fd_report(df, "zip", "city").collect()[0]
+    assert rep["n_groups"] == 4
+    assert rep["n_violating_groups"] == 1
+    assert rep["n_conflicting_rows"] == 2
+    assert rep["violation_share"] == 0.25
+
+
+def test_functional_dependency_composite_determinant(spark):
+    from vldt_spark.checks.dependencies import functional_dependency
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"), ("b", 1, "x")],
+        "k1 string, k2 int, v string",
+    )
+    rows = functional_dependency(df, ["k1", "k2"], "v").collect()
+    assert [(r["k1"], r["k2"]) for r in rows] == [("a", 1)]
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    from vldt_spark.checks.column_stats import mad_outliers, zscore_outliers
+
+    # 100 clean values 0..99 plus one 10^9 spike: the spike inflates the
+    # z-score stddev so much the z-screen misses everything, while the
+    # median/MAD thresholds barely move and still flag it.
+    rows = [(float(i),) for i in range(100)] + [(1e9,)]
+    df = spark.createDataFrame(rows, "x double")
+    mad = mad_outliers(df, ["x"], k=6.0).collect()[0]
+    assert mad["n_above"] == 1 and mad["n_below"] == 0
+    assert mad["median"] == 50.0
+    z = zscore_outliers(df, ["x"], z=4.0).collect()[0]
+    assert z["n_above"] + z["n_below"] <= 1  # stddev exploded: ≤ the spike itself
+
+
+def test_mad_outliers_all_null_column(spark):
+    import math
+
+    from vldt_spark.checks.column_stats import mad_outliers
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    r = mad_outliers(df, ["x"]).collect()[0]
+    assert math.isnan(r["median"]) and r["n_below"] == 0 and r["n_above"] == 0

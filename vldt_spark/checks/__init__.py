@@ -39,7 +39,8 @@ from vldt_spark.checks.drift import (
 from vldt_spark.checks.rowinvariant import token_equality_violations
 from vldt_spark.checks.schema_conf import schema_conformance, conforms
 from vldt_spark.checks.suite import Suite, expect
-from vldt_spark.checks.column_stats import frequent_values, zscore_outliers
+from vldt_spark.checks.column_stats import frequent_values, mad_outliers, zscore_outliers
+from vldt_spark.checks.dependencies import fd_report, functional_dependency
 
 __all__ = [
     "column_profile",
@@ -82,4 +83,7 @@ __all__ = [
     "expect",
     "frequent_values",
     "zscore_outliers",
+    "mad_outliers",
+    "functional_dependency",
+    "fd_report",
 ]
