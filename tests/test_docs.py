@@ -94,8 +94,22 @@ def test_readme_web_token_snippet_executes(ns):
     assert ns.bigrams.count() == 10
 
 
-def test_readme_sketch_snippet_executes(ns):
+def test_readme_sequence_gates_snippet_executes(ns):
     exec(compile(_python_blocks()[5], README, "exec"), ns.__dict__)
+    n_docs = ns.docs.count()
+    audit = ns.audit.collect()
+    assert len(audit) == n_docs
+    assert all(r["n_tok"] > 0 and r["max_run"] >= 1 for r in audit)
+    assert all(0.0 < r["entropy"] for r in audit)  # real text is never constant
+    z = ns.zipf.collect()[0]
+    assert z["zipf_slope"] < 0  # rank-frequency always decays
+    assert ns.fd.count() == 0  # doc_id -> text holds on the clean corpus
+    rob = ns.robust.collect()[0]
+    assert rob["n_below"] + rob["n_above"] < n_docs
+
+
+def test_readme_sketch_snippet_executes(ns):
+    exec(compile(_python_blocks()[6], README, "exec"), ns.__dict__)
     qs = ns.q.collect()
     assert qs and all(r["q"] is not None for r in qs)
     # every doc's source IS in the dim -> the screen reports nothing
