@@ -547,6 +547,85 @@ FROM m, d
 """
 
 
+def q_streaming_degenerate_share(spark, sf_dir):
+    """Continuous degenerate-sequence monitor (round-5): per event-time
+    day window, the share of empty / >=3-run sequences — the streaming
+    twin of expect.degenerate_sequence_share_below (same flag, same
+    rounding).  Sentinel-batch watermark technique; the flag is a
+    stateless Arrow-batched expression, so state = |open windows| rows
+    of three numbers and token arrays never enter state."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.streaming.seq_stream import stream_degenerate_share
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = _char_tokens(docs).select(
+        F.expr(
+            "timestamp'2024-01-01 01:00:00'"
+            " + make_dt_interval(CAST(doc_id % 30 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+        "tokens",
+    )
+    root = tempfile.mkdtemp(prefix="vldt_stream_seq_")
+    seqs.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    seqs.limit(1).select(
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+    ).coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    stream = (
+        spark.readStream.schema(seqs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_degenerate_share(
+        stream, "ts", "tokens", max_run=3, window="1 day", watermark="1 hour"
+    )
+    name = f"vldt_seq_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "n_seqs",
+        "n_degenerate",
+        "degenerate_share",
+    )
+
+
+SQL_STREAMING_DEGENERATE_SHARE = (
+    _SQL_CHAR_TOKENS
+    + """
+, e AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t
+), runs AS (
+  SELECT doc_id, tok,
+         pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS g
+  FROM e
+), rl AS (
+  SELECT doc_id, max(cnt) AS max_run
+  FROM (SELECT doc_id, tok, g, count(*) AS cnt FROM runs GROUP BY 1, 2, 3)
+  GROUP BY 1
+), f AS (
+  SELECT doc_id, CASE WHEN max_run >= 3 THEN 1 ELSE 0 END AS bad FROM rl
+)
+SELECT CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT) + (doc_id % 30) * 86400
+         AS window_epoch,
+       count(*) AS n_seqs,
+       CAST(sum(bad) AS BIGINT) AS n_degenerate,
+       round(CAST(sum(bad) AS DOUBLE) / count(*), 6) AS degenerate_share
+FROM f
+GROUP BY doc_id % 30
+"""
+)
+
+
 def q_check_suite_customer(spark, sf_dir):
     """Declarative data-contract suite (checks/suite.py): all row-local
     expectations fuse into one aggregate pass; uniqueness / RI / PSI run
@@ -5216,6 +5295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_source_lang_documents": q_fd_source_lang_documents,
         "fd_conflicts_dirty_documents": q_fd_conflicts_dirty_documents,
         "mad_outliers_lineitem": q_mad_outliers_lineitem,
+        "streaming_degenerate_share": q_streaming_degenerate_share,
         "recursive_depth_documents": q_recursive_depth_documents,
         "exact_substr_documents": q_exact_substr_documents,
         "suite_corpus_guards": q_suite_corpus_guards,
@@ -5355,6 +5435,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_source_lang_documents": SQL_FD_SOURCE_LANG_DOCUMENTS,
         "fd_conflicts_dirty_documents": SQL_FD_CONFLICTS_DIRTY_DOCUMENTS,
         "mad_outliers_lineitem": SQL_MAD_OUTLIERS_LINEITEM,
+        "streaming_degenerate_share": SQL_STREAMING_DEGENERATE_SHARE,
         "recursive_depth_documents": SQL_RECURSIVE_DEPTH_DOCUMENTS,
         "url_parse_documents": SQL_URL_PARSE_DOCUMENTS,
         "url_provenance_documents": SQL_URL_PROVENANCE_DOCUMENTS,

@@ -457,3 +457,46 @@ def zipf_report(
         ),
         F.round(F.col("__r") * F.col("__r"), 6).alias("r2"),
     )
+
+
+def degenerate_flag(
+    tokens_col,
+    *,
+    max_run: int = 100,
+    min_entropy: float | None = None,
+):
+    """Boolean column: True when a sequence is degenerate — NULL/empty,
+    one token repeated ≥ ``max_run`` times consecutively, or (when
+    ``min_entropy`` is set) unigram entropy below it.  The row-local
+    flag underlying `expect.degenerate_sequence_share_below`, exposed
+    as a vectorized (Arrow-batched) expression so it composes into any
+    plan — including STREAMING aggregations, where mapInPandas-shaped
+    reports don't fit but a stateless column does.  Entropy uses the
+    same half-up 6-decimal rounding as `sequence_stats`, so the two
+    surfaces agree on boundary values."""
+    from pyspark.sql import Column
+
+    @F.pandas_udf("boolean")
+    def flag(s: pd.Series) -> pd.Series:
+        out = np.empty(len(s), dtype=bool)
+        for i, arr in enumerate(s):
+            t = _int_tokens(arr)
+            n = 0 if t is None else int(t.size)
+            if n == 0:
+                out[i] = True
+                continue
+            change = np.flatnonzero(t[1:] != t[:-1])
+            edges = np.concatenate(([-1], change, [n - 1]))
+            bad = int(np.diff(edges).max()) >= max_run
+            if not bad and min_entropy is not None:
+                _, counts = np.unique(t, return_counts=True)
+                ent = _round6(
+                    float(np.log(n))
+                    - float((counts * np.log(counts)).sum()) / n
+                )
+                bad = ent < min_entropy
+            out[i] = bad
+        return pd.Series(out)
+
+    col = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
+    return flag(col)

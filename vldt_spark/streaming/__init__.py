@@ -8,6 +8,7 @@ from vldt_spark.streaming.stateful import (
     run_duplicate_monitor,
 )
 from vldt_spark.streaming.drift_stream import stream_psi, run_drift_monitor
+from vldt_spark.streaming.seq_stream import stream_degenerate_share
 
 __all__ = [
     "validated_stream",
@@ -17,4 +18,5 @@ __all__ = [
     "run_duplicate_monitor",
     "stream_psi",
     "run_drift_monitor",
+    "stream_degenerate_share",
 ]
