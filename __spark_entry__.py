@@ -626,6 +626,77 @@ GROUP BY doc_id % 30
 )
 
 
+def q_violations_sample_dirty(spark, sf_dir):
+    """Bounded violation triage (round-5): the SAME five-arm dirty
+    fixture as validate_lineitem_violations_dirty, reduced to at most 3
+    deterministic exemplar rows per (path, msg) via
+    ValidationResult.violations_sample — the rank-limit compiles to
+    partial+final WindowGroupLimit, so the shuffle carries ≤ k rows per
+    constraint per partition, never the violation stream.  The oracle
+    predicts the exact exemplars closed-form (id-smallest per arm)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.col("l_orderkey") % 1000
+    ln1 = F.col("l_linenumber") == 1
+    dirty = (
+        li.withColumn(
+            "l_quantity",
+            F.when((m == 7) & ln1, F.lit(-5.0)).otherwise(F.col("l_quantity")),
+        )
+        .withColumn(
+            "l_returnflag",
+            F.when((m == 11) & ln1, F.lit("Z")).otherwise(F.col("l_returnflag")),
+        )
+        .withColumn(
+            "l_discount",
+            F.when((m == 13) & ln1, F.lit(1.5)).otherwise(F.col("l_discount")),
+        )
+        .withColumn(
+            "l_extendedprice",
+            F.when((m == 17) & ln1, F.lit(0.5)).otherwise(F.col("l_extendedprice")),
+        )
+        .withColumn(
+            "l_tax",
+            F.when((m == 19) & ln1, F.lit(None).cast("double")).otherwise(F.col("l_tax")),
+        )
+    )
+    res = _engine(_lineitem_model()).run(dirty, id_cols=["l_orderkey", "l_linenumber"])
+    return res.violations_sample(k=3)
+
+
+SQL_VIOLATIONS_SAMPLE_DIRTY = """
+WITH k AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_orderkey % 1000 AS m
+  FROM lineitem WHERE l_linenumber = 1
+), v AS (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS path,
+         'Value out of range: expected >= 1' AS msg
+  FROM k WHERE m = 7
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_returnflag', 'Value not in allowed set'
+  FROM k WHERE m = 11
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', 'Value out of range: expected <= 1'
+  FROM k WHERE m = 13
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price_covers_quantity',
+         'Check failed: price_covers_quantity'
+  FROM k WHERE m = 17
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', 'Expected type float, got NoneType'
+  FROM k WHERE m = 19
+), r AS (
+  SELECT l_orderkey, l_linenumber, path, msg,
+         CAST(row_number() OVER (
+           PARTITION BY path, msg ORDER BY l_orderkey, l_linenumber
+         ) AS INT) AS rank
+  FROM v
+)
+SELECT * FROM r WHERE rank <= 3
+"""
+
+
 def q_check_suite_customer(spark, sf_dir):
     """Declarative data-contract suite (checks/suite.py): all row-local
     expectations fuse into one aggregate pass; uniqueness / RI / PSI run
@@ -5296,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_conflicts_dirty_documents": q_fd_conflicts_dirty_documents,
         "mad_outliers_lineitem": q_mad_outliers_lineitem,
         "streaming_degenerate_share": q_streaming_degenerate_share,
+        "violations_sample_dirty": q_violations_sample_dirty,
         "recursive_depth_documents": q_recursive_depth_documents,
         "exact_substr_documents": q_exact_substr_documents,
         "suite_corpus_guards": q_suite_corpus_guards,
@@ -5436,6 +5508,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_conflicts_dirty_documents": SQL_FD_CONFLICTS_DIRTY_DOCUMENTS,
         "mad_outliers_lineitem": SQL_MAD_OUTLIERS_LINEITEM,
         "streaming_degenerate_share": SQL_STREAMING_DEGENERATE_SHARE,
+        "violations_sample_dirty": SQL_VIOLATIONS_SAMPLE_DIRTY,
         "recursive_depth_documents": SQL_RECURSIVE_DEPTH_DOCUMENTS,
         "url_parse_documents": SQL_URL_PARSE_DOCUMENTS,
         "url_provenance_documents": SQL_URL_PROVENANCE_DOCUMENTS,

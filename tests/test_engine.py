@@ -345,3 +345,42 @@ def test_async_model_level_parity(spark):
     # un-coercible after BEFORE -> coercion violation with field lineage
     assert not rows[3]["is_valid"] and viols[3][0] == "total"
     assert rows[3]["total"] is None
+
+
+def test_violations_sample_bounded_and_deterministic(spark, toktab):
+    res = validate_token_table(toktab, sources_dim(spark))
+    sample = res.violations_sample(k=3)
+    rows = sample.collect()
+    assert rows, "dirty fixture must produce violations"
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault((r["path"], r["msg"]), []).append(r)
+    for grp, rs in per_group.items():
+        assert len(rs) <= 3, grp
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+    # deterministic: a second run returns the identical sample
+    again = {tuple(r) for r in res.violations_sample(k=3).collect()}
+    assert again == {tuple(r) for r in rows}
+    # every sampled group exists in the full violation stream with >= as many rows
+    full = {
+        (r["path"], r["msg"]): r["n"]
+        for r in res.violations()
+        .groupBy("path", "msg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for grp, rs in per_group.items():
+        assert full[grp] >= len(rs)
+
+
+def test_violations_sample_uses_window_group_limit(spark, toktab):
+    # the rank<=k filter must push as a group-limit BEFORE the exchange,
+    # so partitions never ship their full violation stream
+    res = validate_token_table(toktab, sources_dim(spark))
+    plan = (
+        res.violations_sample(k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -124,6 +124,31 @@ class ValidationResult:
 
         return column_profile(self.valid, list(columns) if columns else None)
 
+    def violations_sample(self, k: int = 5) -> DataFrame:
+        """Up to ``k`` deterministic exemplar rows PER (path, msg) —
+        the triage surface for 10^12-row runs, where `violations()`
+        itself can be billions of rows but a reviewer needs a handful
+        of concrete ids per failing constraint.
+
+        Exemplars are the k id-smallest violating rows of each
+        constraint, so reruns and the SQL oracle reproduce the same
+        sample bit-for-bit.  The ``row_number() <= k`` filter compiles
+        to Spark's partial+final WindowGroupLimit (same plan shape as
+        `exact_duplicates`' buffer bound): each partition keeps at most
+        k rows per group BEFORE the exchange, so the shuffle carries
+        ≤ k·|constraints| rows per partition — never the full
+        violation stream."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("path", "msg").orderBy(
+            *[F.col(c) for c in self.id_cols]
+        )
+        return (
+            self.violations()
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+        )
+
     def summary(self) -> DataFrame:
         """Per-constraint-path violation counts (one small aggregate)."""
         return (
