@@ -547,6 +547,169 @@ FROM m, d
 """
 
 
+def q_unigram_logprob_documents(spark, sf_dir):
+    """Per-sequence unigram-LM score (round-5): train an add-one-smoothed
+    unigram LM on the corpus's own char tokens, score every sequence's
+    mean token log-prob + perplexity — the cheapest model-based quality
+    signal (CCNet/Gopher trim both perplexity tails).  Train = the
+    token_histogram bincount fold (|vocab| exchange rows per partition);
+    score = ONE mapInPandas scan with the |vocab| log-prob vector closed
+    over — token arrays never ride a shuffle, there is no join.  The
+    oracle replays the naive explode ⋈ logp form DuckDB-side."""
+    from vldt_spark.functions.lm import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        unigram_logprob(_char_tokens(docs), 256)
+        .where(F.col("n_tok") > 0)
+        .select("doc_id", "n_tok", "mean_logp", "ppl")
+    )
+
+
+SQL_UNIGRAM_LOGPROB_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS toks
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT token, count(*) AS cnt FROM e GROUP BY token),
+n AS (SELECT sum(cnt) AS N FROM c),
+lp AS (SELECT token, ln((cnt + 1.0) / (N + 256.0)) AS logp FROM c, n),
+s AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_tok, avg(logp) AS m
+  FROM e JOIN lp USING (token) GROUP BY doc_id
+)
+SELECT doc_id, n_tok, round(m, 6) AS mean_logp, round(exp(-m), 6) AS ppl
+FROM s
+"""
+
+
+def q_asof_clicks_events(spark, sf_dir):
+    """As-of join gate (round-5): every purchase event attached to the
+    SAME user's most recent click at-or-before it ("last click before the
+    purchase" attribution).  The union + single-window plan — one key
+    shuffle, |left|+|right| rows, never their product — vs DuckDB's
+    native ASOF LEFT JOIN as the oracle.  Timestamps are emitted as
+    fixed-width strings (tz-free, microsecond-exact on both engines)."""
+    from vldt_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.round("asof_value", 6).alias("click_value"),
+    )
+
+
+SQL_ASOF_CLICKS_EVENTS = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       round(c.value, 6) AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_skew_report_documents(spark, sf_dir):
+    """Key-skew diagnostic gate (round-5): `key_skew_report` over a dirty
+    fixture with a synthetic hot key (every doc_id % 3 == 0 row re-tagged
+    source='src_hot') — the measurement that SIZES the salt bucket count
+    before a shuffle instead of guessing it.  Two bounded aggregates; the
+    per-key relation never exceeds |distinct keys| rows."""
+    from vldt_spark.plans.skew import key_skew_report
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.unionByName(
+        docs.where((F.col("doc_id") % 3) == 0).withColumn(
+            "source", F.lit("src_hot")
+        )
+    )
+    return key_skew_report(dirty, "source")
+
+
+SQL_SKEW_REPORT_DOCUMENTS = """
+WITH d AS (
+  SELECT source FROM documents
+  UNION ALL
+  SELECT 'src_hot' FROM documents WHERE doc_id % 3 = 0
+),
+per AS (
+  SELECT source AS k, count(*) AS n FROM d WHERE source IS NOT NULL GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+         max(n) AS hot_n
+  FROM per
+),
+hot AS (SELECT k FROM per ORDER BY n DESC, k DESC LIMIT 1)
+SELECT 'source' AS key_col, n_rows, n_keys, (SELECT k FROM hot) AS hot_key,
+       CAST(hot_n AS BIGINT) AS hot_n,
+       round(CAST(hot_n AS DOUBLE) / n_rows, 6) AS hot_share,
+       round(CAST(hot_n AS DOUBLE) * n_keys / n_rows, 6) AS skew_factor,
+       CAST(ceil(CAST(hot_n AS DOUBLE) * n_keys / n_rows) AS BIGINT)
+         AS recommended_buckets
+FROM tot
+"""
+
+
+def q_suite_skew_guard(spark, sf_dir):
+    """Declarative reducer-skew guard (round-5): expect.skew_factor_below
+    through Suite.run on the same hot-key fixture — one passing arm, one
+    failing arm, metric predicted closed-form by the oracle."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.unionByName(
+        docs.where((F.col("doc_id") % 3) == 0).withColumn(
+            "source", F.lit("src_hot")
+        )
+    )
+    return Suite(
+        [
+            expect.skew_factor_below("source", 100.0),
+            expect.skew_factor_below("source", 1.5),
+        ]
+    ).run(dirty)
+
+
+SQL_SUITE_SKEW_GUARD = """
+WITH d AS (
+  SELECT source FROM documents
+  UNION ALL
+  SELECT 'src_hot' FROM documents WHERE doc_id % 3 = 0
+),
+per AS (
+  SELECT source AS k, count(*) AS n FROM d WHERE source IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS metric
+  FROM per
+)
+SELECT 'skew_factor_below' AS "check", 'source' AS "column", metric,
+       CAST(100.0 AS DOUBLE) AS threshold, metric < 100.0 AS passed FROM m
+UNION ALL
+SELECT 'skew_factor_below', 'source', metric,
+       CAST(1.5 AS DOUBLE), metric < 1.5 FROM m
+"""
+
+
 def q_streaming_degenerate_share(spark, sf_dir):
     """Continuous degenerate-sequence monitor (round-5): per event-time
     day window, the share of empty / >=3-run sequences — the streaming
@@ -5357,9 +5520,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    tools/check_oracle.py verifies the full 122-query set locally."""
+    tools/check_oracle.py verifies the full 134-query set locally."""
     return {
         # --- NEW round 5 ---
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        "asof_clicks_events": q_asof_clicks_events,
+        "skew_report_documents": q_skew_report_documents,
+        "suite_skew_guard": q_suite_skew_guard,
         "sequence_stats_documents": q_sequence_stats_documents,
         "zipf_report_documents": q_zipf_report_documents,
         "suite_sequence_guards": q_suite_sequence_guards,
@@ -5501,6 +5668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "unigram_logprob_documents": SQL_UNIGRAM_LOGPROB_DOCUMENTS,
+        "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,
+        "skew_report_documents": SQL_SKEW_REPORT_DOCUMENTS,
+        "suite_skew_guard": SQL_SUITE_SKEW_GUARD,
         "sequence_stats_documents": SQL_SEQUENCE_STATS_DOCUMENTS,
         "zipf_report_documents": SQL_ZIPF_REPORT_DOCUMENTS,
         "suite_sequence_guards": SQL_SUITE_SEQUENCE_GUARDS,

@@ -65,6 +65,8 @@ BENCH_QUERY_NAMES = [
     "exact_substr_documents",
     "ivf_pq_topk",
     "sequence_stats_tokens",
+    "unigram_logprob_tokens",
+    "asof_clicks_events",
 ]
 
 
@@ -278,6 +280,28 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         )
 
     timed("sequence_stats_tokens", seq_stats_bench)
+
+    # round-5: unigram-LM scoring of the SAME 1M-row token table at the
+    # real 50257-id vocab — train (bincount fold, |vocab| exchange rows per
+    # partition) + score (one mapInPandas scan, log-prob vector closed
+    # over); and the as-of join at sf event scale (one key shuffle,
+    # |left|+|right| rows, never their product)
+    from vldt_spark.functions.lm import unigram_logprob
+    from vldt_spark.sources.token_table import VOCAB
+
+    def unigram_bench():
+        return (
+            unigram_logprob(toks, VOCAB)
+            .agg(F.count(F.lit(1)), F.avg("mean_logp"), F.avg("ppl"))
+            .collect()
+        )
+
+    timed("unigram_logprob_tokens", unigram_bench)
+
+    timed(
+        "asof_clicks_events",
+        lambda: qs["asof_clicks_events"](spark, SF_DIR).collect(),
+    )
 
     missing = set(BENCH_QUERY_NAMES) ^ set(timings)
     assert not missing, f"bench rows drifted from BENCH_QUERY_NAMES: {missing}"

@@ -279,6 +279,19 @@ class expect:
         return Expectation("heavy_hitter_share_below", column, {"share": share})
 
     @staticmethod
+    def skew_factor_below(column: str, factor: float) -> Expectation:
+        """Reducer-skew guard for a prospective groupBy/join key: the
+        hottest value of ``column`` must carry LESS THAN ``factor`` × the
+        average per-key row count (the `key_skew_report` skew_factor) —
+        the declarative form of "will one reducer drown when we shuffle
+        on this key".  Complements heavy_hitter_share_below: share is
+        absolute corpus fraction, this is relative to key cardinality, so
+        it still fires on a million-key column whose hot key is only 1%
+        of rows but 10,000× the average reducer load.  Same bounded
+        per-key aggregate as `key_skew_report` (plans/skew.py)."""
+        return Expectation("skew_factor_below", column, {"factor": factor})
+
+    @staticmethod
     def dup_ngram_fraction_below(
         text_col: str,
         threshold: float,
@@ -651,6 +664,19 @@ class Suite:
                 metric, passed = float("nan"), False
             else:
                 metric = float(row["top"]) / float(row["total"])
+                passed = metric < thr
+        elif e.kind == "skew_factor_below":
+            from vldt_spark.plans.skew import key_skew_report
+
+            thr = float(p["factor"])
+            row = key_skew_report(df, e.column).first()
+            if row is None or row["n_rows"] is None or not row["n_rows"]:
+                # empty / all-null key column: no key distribution to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["hot_n"]) * float(row["n_keys"]) / float(
+                    row["n_rows"]
+                )
                 passed = metric < thr
         elif e.kind == "dup_ngram_fraction_below":
             from vldt_spark.functions.dedup import duplicated_ngram_fraction

@@ -89,3 +89,48 @@ def aqe_skew_conf() -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64MB",
     }
+
+
+def key_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Quantified skew diagnostic for a prospective groupBy/join key —
+    the measurement that DECIDES the mitigations above (salt bucket count,
+    whether AQE skew-join will fire) instead of guessing them.
+
+    One row: (key_col, n_rows, n_keys, hot_key, hot_n, hot_share,
+    skew_factor, recommended_buckets) where skew_factor = hot_n /
+    (n_rows / n_keys) — how many × the average reducer load the hottest
+    key carries — and recommended_buckets = ceil(skew_factor), the salt
+    count that levels the hot reducer back to average.  hot_key tie-break:
+    largest count, then lexicographically greatest key (deterministic).
+
+    Scale shape: one hash aggregate per key (map-side partials), then a
+    second aggregate over |keys| rows — the per-key relation never holds
+    more than |distinct keys| rows, so this costs the same as any count-by
+    and is safe to run on every candidate key of a 10^12-row table.  NULL
+    keys are excluded (they hash to one reducer too, but every groupBy
+    treats them as one ordinary group)."""
+    per = (
+        df.where(F.col(key).isNotNull())
+        .groupBy(F.col(key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rep = per.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("hot_n"),
+        F.max_by(F.col("k"), F.struct(F.col("n"), F.col("k"))).alias("hot_key"),
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    factor = F.col("hot_n").cast("double") / avg
+    return rep.select(
+        F.lit(key).alias("key_col"),
+        "n_rows",
+        "n_keys",
+        "hot_key",
+        "hot_n",
+        F.round(F.col("hot_n").cast("double") / F.col("n_rows").cast("double"), 6).alias(
+            "hot_share"
+        ),
+        F.round(factor, 6).alias("skew_factor"),
+        F.ceil(factor).cast("long").alias("recommended_buckets"),
+    )
