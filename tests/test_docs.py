@@ -130,3 +130,17 @@ def test_readme_pipeline_snippet_executes(ns):
     assert {"query_id", "vec_id", "cosine", "rank"} <= set(ns.neighb.columns)
     assert ns.neighb.where(F.col("rank") > 10).count() == 0
     assert ns.pii.count() > 0
+
+
+def test_readme_lm_asof_skew_snippet_executes(ns):
+    exec(compile(_python_blocks()[7], README, "exec"), ns.__dict__)
+    n_docs = ns.docs.count()
+    sc = ns.scored.collect()
+    assert len(sc) == n_docs
+    assert all(r["ppl"] > 1.0 for r in sc if r["n_tok"] > 0)
+    att = ns.attributed.collect()
+    assert att and all(
+        r["asof_ts"] is None or r["asof_ts"] <= r["ts"] for r in att
+    )
+    skew = ns.skew.first()
+    assert skew["n_rows"] == n_docs and skew["skew_factor"] >= 1.0
