@@ -789,6 +789,89 @@ GROUP BY doc_id % 30
 )
 
 
+def q_streaming_ppl_windows(spark, sf_dir):
+    """Continuous perplexity monitor (round-5): score the stream against
+    the batch-trained unigram LM, emit per-day-window mean perplexity and
+    the share above an alert threshold — the streaming twin of
+    unigram_logprob.  Scoring is a stateless Arrow-batched UDF with the
+    |vocab| log-prob vector closed over; state = |open windows| rows of
+    three numbers.  Sentinel-batch watermark technique."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.functions.lm import unigram_lm_vector
+    from vldt_spark.streaming.lm_stream import stream_ppl_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _char_tokens(docs)
+    logp, floor = unigram_lm_vector(toks, 256)
+    seqs = toks.select(
+        F.expr(
+            "timestamp'2024-01-01 01:00:00'"
+            " + make_dt_interval(CAST(doc_id % 30 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+        "tokens",
+    )
+    root = tempfile.mkdtemp(prefix="vldt_stream_lm_")
+    seqs.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    seqs.limit(1).select(
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+    ).coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    stream = (
+        spark.readStream.schema(seqs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_ppl_windows(
+        stream, "ts", "tokens", logp, floor,
+        ppl_threshold=18.0, window="1 day", watermark="1 hour",
+    )
+    name = f"vldt_lm_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "n_seqs",
+        "avg_ppl",
+        "n_high_ppl",
+        "high_ppl_share",
+    )
+
+
+SQL_STREAMING_PPL_WINDOWS = """
+WITH t AS (
+  SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS toks
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT token, count(*) AS cnt FROM e GROUP BY token),
+n AS (SELECT sum(cnt) AS N FROM c),
+lp AS (SELECT token, ln((cnt + 1.0) / (N + 256.0)) AS logp FROM c, n),
+s AS (
+  SELECT doc_id, round(exp(-avg(logp)), 6) AS ppl
+  FROM e JOIN lp USING (token) GROUP BY doc_id
+)
+SELECT CAST(epoch(TIMESTAMP '2024-01-01 01:00:00') AS BIGINT)
+         + (doc_id % 30) * 86400 - 3600 AS window_epoch,
+       count(*) AS n_seqs,
+       round(avg(ppl), 6) AS avg_ppl,
+       CAST(sum(CASE WHEN ppl > 18.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_ppl,
+       round(CAST(sum(CASE WHEN ppl > 18.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS high_ppl_share
+FROM s
+GROUP BY doc_id % 30
+"""
+
+
 def q_violations_sample_dirty(spark, sf_dir):
     """Bounded violation triage (round-5): the SAME five-arm dirty
     fixture as validate_lineitem_violations_dirty, reduced to at most 3
@@ -5524,6 +5607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW round 5 ---
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
         "skew_report_documents": q_skew_report_documents,
         "suite_skew_guard": q_suite_skew_guard,
@@ -5669,6 +5753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "unigram_logprob_documents": SQL_UNIGRAM_LOGPROB_DOCUMENTS,
+        "streaming_ppl_windows": SQL_STREAMING_PPL_WINDOWS,
         "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,
         "skew_report_documents": SQL_SKEW_REPORT_DOCUMENTS,
         "suite_skew_guard": SQL_SUITE_SKEW_GUARD,

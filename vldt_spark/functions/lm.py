@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from vldt_spark.functions.tokens import _int_tokens, token_histogram
 
-__all__ = ["unigram_lm_table", "unigram_logprob"]
+__all__ = ["unigram_lm_table", "unigram_logprob", "unigram_lm_vector"]
 
 
 def _round6(x: float) -> float:
@@ -84,6 +84,18 @@ def unigram_lm_table(
         }
     )
     return spark.createDataFrame(pdf, schema="token long, cnt long, logp double")
+
+
+def unigram_lm_vector(
+    df: DataFrame, vocab_size: int, *, tokens_col: str = "tokens"
+) -> tuple[list[float], float]:
+    """The trained model as plain Python: (logp vector over [0, vocab),
+    unseen/OOV floor) — the hand-off shape for the streaming scorer
+    (`streaming/lm_stream.stream_ppl_windows`), which closes over it."""
+    counts, total = _train_counts(df, vocab_size, tokens_col)
+    denom = float(total + vocab_size)
+    logp = np.log((counts + 1.0) / denom)
+    return logp.tolist(), math.log(1.0 / denom)
 
 
 def unigram_logprob(
