@@ -872,6 +872,47 @@ GROUP BY doc_id % 30
 """
 
 
+def q_suite_ppl_guard(spark, sf_dir):
+    """Declarative model-based quality guard (round-5):
+    expect.mean_ppl_between through Suite.run — the corpus scored against
+    its own unigram LM must keep its mean perplexity inside a band; one
+    passing arm, one failing arm, metric replayed closed-form by the
+    explode-join oracle."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _char_tokens(docs).select("doc_id", "tokens")
+    return Suite(
+        [
+            expect.mean_ppl_between("tokens", 10.0, 30.0, vocab_size=256),
+            expect.mean_ppl_between("tokens", 0.0, 5.0, vocab_size=256),
+        ]
+    ).run(toks)
+
+
+SQL_SUITE_PPL_GUARD = """
+WITH t AS (
+  SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS toks
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT token, count(*) AS cnt FROM e GROUP BY token),
+n AS (SELECT sum(cnt) AS N FROM c),
+lp AS (SELECT token, ln((cnt + 1.0) / (N + 256.0)) AS logp FROM c, n),
+s AS (
+  SELECT doc_id, round(exp(-avg(logp)), 6) AS ppl
+  FROM e JOIN lp USING (token) GROUP BY doc_id
+),
+m AS (SELECT round(avg(ppl), 6) AS metric FROM s)
+SELECT 'mean_ppl_between' AS "check", 'tokens' AS "column", metric,
+       CAST(30.0 AS DOUBLE) AS threshold,
+       metric BETWEEN 10.0 AND 30.0 AS passed FROM m
+UNION ALL
+SELECT 'mean_ppl_between', 'tokens', metric,
+       CAST(5.0 AS DOUBLE), metric BETWEEN 0.0 AND 5.0 FROM m
+"""
+
+
 def q_violations_sample_dirty(spark, sf_dir):
     """Bounded violation triage (round-5): the SAME five-arm dirty
     fixture as validate_lineitem_violations_dirty, reduced to at most 3
@@ -5611,6 +5652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_events": q_asof_clicks_events,
         "skew_report_documents": q_skew_report_documents,
         "suite_skew_guard": q_suite_skew_guard,
+        "suite_ppl_guard": q_suite_ppl_guard,
         "sequence_stats_documents": q_sequence_stats_documents,
         "zipf_report_documents": q_zipf_report_documents,
         "suite_sequence_guards": q_suite_sequence_guards,
@@ -5757,6 +5799,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,
         "skew_report_documents": SQL_SKEW_REPORT_DOCUMENTS,
         "suite_skew_guard": SQL_SUITE_SKEW_GUARD,
+        "suite_ppl_guard": SQL_SUITE_PPL_GUARD,
         "sequence_stats_documents": SQL_SEQUENCE_STATS_DOCUMENTS,
         "zipf_report_documents": SQL_ZIPF_REPORT_DOCUMENTS,
         "suite_sequence_guards": SQL_SUITE_SEQUENCE_GUARDS,

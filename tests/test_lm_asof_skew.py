@@ -195,3 +195,31 @@ def test_asof_join_plan_single_exchange(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_suite_mean_ppl_guard(spark):
+    df = _toks(spark, [("a", [0, 0]), ("e", [])])
+    # c0=2, N=2, vocab=2 -> logp0 = ln(3/4), ppl = 4/3; empty excluded
+    rep = (
+        Suite(
+            [
+                expect.mean_ppl_between("tokens", 1.0, 2.0, vocab_size=2),
+                expect.mean_ppl_between("tokens", 2.0, 3.0, vocab_size=2),
+            ]
+        )
+        .run(df)
+        .collect()
+    )
+    ok, bad = rep[0], rep[1]
+    assert ok["passed"] and ok["metric"] == pytest.approx(4 / 3, abs=1e-5)
+    assert not bad["passed"]
+
+
+def test_suite_mean_ppl_guard_no_scoreable(spark):
+    df = _toks(spark, [("e", []), ("n", None)])
+    row = (
+        Suite([expect.mean_ppl_between("tokens", 1.0, 2.0, vocab_size=2)])
+        .run(df)
+        .first()
+    )
+    assert not row["passed"] and row["metric"] != row["metric"]  # NaN

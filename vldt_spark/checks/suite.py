@@ -279,6 +279,24 @@ class expect:
         return Expectation("heavy_hitter_share_below", column, {"share": share})
 
     @staticmethod
+    def mean_ppl_between(
+        tokens_col: str, lo: float, hi: float, *, vocab_size: int
+    ) -> Expectation:
+        """Model-based corpus-health guard: the mean unigram-LM perplexity
+        over all scoreable sequences (the corpus scored against its OWN
+        add-one-smoothed unigram model, `functions/lm.unigram_logprob`)
+        must lie in [lo, hi].  A corpus drifting ABOVE its usual band is
+        filling with gibberish/binary noise; BELOW means degenerate
+        repetition is taking over — the two tails every published pipeline
+        (CCNet, Gopher, RefinedWeb) trims.  Costs the LM train fold plus
+        one scoring scan; token arrays never shuffle."""
+        return Expectation(
+            "mean_ppl_between",
+            tokens_col,
+            {"lo": lo, "hi": hi, "vocab_size": vocab_size},
+        )
+
+    @staticmethod
     def skew_factor_below(column: str, factor: float) -> Expectation:
         """Reducer-skew guard for a prospective groupBy/join key: the
         hottest value of ``column`` must carry LESS THAN ``factor`` × the
@@ -665,6 +683,30 @@ class Suite:
             else:
                 metric = float(row["top"]) / float(row["total"])
                 passed = metric < thr
+        elif e.kind == "mean_ppl_between":
+            from vldt_spark.functions.lm import unigram_logprob
+
+            lo, hi = float(p["lo"]), float(p["hi"])
+            thr = hi
+            row = (
+                unigram_logprob(
+                    df.select(
+                        F.monotonically_increasing_id().alias("__sid"),
+                        F.col(e.column),
+                    ),
+                    p["vocab_size"],
+                    id_col="__sid",
+                    tokens_col=e.column,
+                )
+                .agg(F.avg("ppl").alias("m"))
+                .first()
+            )
+            if row is None or row["m"] is None:
+                # no scoreable sequence exists: no distribution to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["m"])
+                passed = lo <= metric <= hi
         elif e.kind == "skew_factor_below":
             from vldt_spark.plans.skew import key_skew_report
 
