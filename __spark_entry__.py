@@ -913,6 +913,55 @@ SELECT 'mean_ppl_between', 'tokens', metric,
 """
 
 
+def q_lm_cross_entropy_documents(spark, sf_dir):
+    """Token-level corpus drift through the LM lens (round-5): train on
+    the even-id half of the corpus, measure cross-entropy / KL of the
+    odd-id half against it — same mathematics as the histogram-divergence
+    family but over the token distribution.  NO scoring scan exists:
+    cross-entropy under a unigram model is a function of the two
+    |vocab|-bounded histograms, so the whole op is two bincount folds
+    plus |vocab| driver multiply-adds."""
+    from vldt_spark.functions.lm import lm_cross_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _char_tokens(docs)
+    ref = toks.where((F.col("doc_id") % 2) == 0)
+    cur = toks.where((F.col("doc_id") % 2) == 1)
+    return lm_cross_entropy(ref, cur, 256)
+
+
+SQL_LM_CROSS_ENTROPY_DOCUMENTS = """
+WITH tr AS (
+  SELECT [ascii(c) FOR c IN string_split(text, '')] AS toks
+  FROM documents WHERE doc_id % 2 = 0
+),
+tc AS (
+  SELECT [ascii(c) FOR c IN string_split(text, '')] AS toks
+  FROM documents WHERE doc_id % 2 = 1
+),
+cr AS (SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM tr) GROUP BY token),
+cc AS (SELECT token, count(*) AS cnt FROM (SELECT unnest(toks) AS token FROM tc) GROUP BY token),
+nr AS (SELECT sum(cnt) AS N FROM cr),
+nc AS (SELECT sum(cnt) AS N FROM cc),
+j AS (
+  SELECT cc.token, cc.cnt AS c_cur, coalesce(cr.cnt, 0) AS c_ref
+  FROM cc LEFT JOIN cr USING (token)
+),
+x AS (
+  SELECT sum(c_cur) AS n_tokens,
+         -sum(c_cur * ln((c_ref + 1.0) / (nr.N + 256.0))) / sum(c_cur) AS ce,
+         -sum(c_cur * ln((c_cur + 1.0) / (nc.N + 256.0))) / sum(c_cur) AS se
+  FROM j, nr, nc
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(ce, 6) AS cross_entropy,
+       round(exp(ce), 6) AS ppl,
+       round(se, 6) AS self_entropy,
+       round(ce - se, 6) AS kl
+FROM x
+"""
+
+
 def q_violations_sample_dirty(spark, sf_dir):
     """Bounded violation triage (round-5): the SAME five-arm dirty
     fixture as validate_lineitem_violations_dirty, reduced to at most 3
@@ -5644,7 +5693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    tools/check_oracle.py verifies the full 134-query set locally."""
+    tools/check_oracle.py verifies the full 137-query set locally."""
     return {
         # --- NEW round 5 ---
         "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -5653,6 +5702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_documents": q_skew_report_documents,
         "suite_skew_guard": q_suite_skew_guard,
         "suite_ppl_guard": q_suite_ppl_guard,
+        "lm_cross_entropy_documents": q_lm_cross_entropy_documents,
         "sequence_stats_documents": q_sequence_stats_documents,
         "zipf_report_documents": q_zipf_report_documents,
         "suite_sequence_guards": q_suite_sequence_guards,
@@ -5800,6 +5850,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report_documents": SQL_SKEW_REPORT_DOCUMENTS,
         "suite_skew_guard": SQL_SUITE_SKEW_GUARD,
         "suite_ppl_guard": SQL_SUITE_PPL_GUARD,
+        "lm_cross_entropy_documents": SQL_LM_CROSS_ENTROPY_DOCUMENTS,
         "sequence_stats_documents": SQL_SEQUENCE_STATS_DOCUMENTS,
         "zipf_report_documents": SQL_ZIPF_REPORT_DOCUMENTS,
         "suite_sequence_guards": SQL_SUITE_SEQUENCE_GUARDS,

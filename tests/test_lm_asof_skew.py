@@ -223,3 +223,35 @@ def test_suite_mean_ppl_guard_no_scoreable(spark):
         .first()
     )
     assert not row["passed"] and row["metric"] != row["metric"]  # NaN
+
+
+def test_lm_cross_entropy_closed_form(spark):
+    from vldt_spark.functions.lm import lm_cross_entropy
+
+    ref = _toks(spark, [("r", [0, 0, 1])])   # c_ref=[2,1], N=3, denom 5
+    cur = _toks(spark, [("c", [1, 1])])      # c_cur=[0,2], N=2, denom 4
+    r = lm_cross_entropy(ref, cur, 2, round_to=None).first()
+    assert r["n_tokens"] == 2
+    assert r["cross_entropy"] == pytest.approx(-math.log(2 / 5))
+    assert r["self_entropy"] == pytest.approx(-math.log(3 / 4))
+    assert r["kl"] == pytest.approx(math.log(2.5) - math.log(4 / 3))
+    assert r["ppl"] == pytest.approx(2.5)
+
+
+def test_lm_cross_entropy_identical_and_oov(spark):
+    from vldt_spark.functions.lm import lm_cross_entropy
+
+    a = _toks(spark, [("x", [0, 1, 1, 0])])
+    same = lm_cross_entropy(a, a, 2, round_to=None).first()
+    assert same["kl"] == pytest.approx(0.0, abs=1e-12)
+
+    # an OOV token in cur scores at each model's unseen floor and counts
+    oov = _toks(spark, [("y", [0, 9])])
+    r = lm_cross_entropy(a, oov, 2, round_to=None).first()
+    assert r["n_tokens"] == 2
+    # floor_ref = ln(1/(4+2)); logp_ref[0] = ln(3/6)
+    expect_cross = -(math.log(3 / 6) + math.log(1 / 6)) / 2
+    assert r["cross_entropy"] == pytest.approx(expect_cross)
+
+    empty = lm_cross_entropy(a, _toks(spark, [("e", [])]), 2).first()
+    assert empty["n_tokens"] == 0 and empty["kl"] is None

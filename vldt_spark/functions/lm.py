@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 from vldt_spark.functions.tokens import _int_tokens, token_histogram
 
-__all__ = ["unigram_lm_table", "unigram_logprob", "unigram_lm_vector"]
+__all__ = [
+    "unigram_lm_table",
+    "unigram_logprob",
+    "unigram_lm_vector",
+    "lm_cross_entropy",
+]
 
 
 def _round6(x: float) -> float:
@@ -156,4 +161,76 @@ def unigram_logprob(
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, tokens_col).mapInPandas(
         score, schema=f"{id_col} {id_type}, n_tok int, mean_logp double, ppl double"
+    )
+
+
+def lm_cross_entropy(
+    ref: DataFrame,
+    cur: DataFrame,
+    vocab_size: int,
+    *,
+    tokens_col: str = "tokens",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Token-level corpus drift through the LM lens: how surprised is the
+    REFERENCE corpus's unigram model by the CURRENT corpus?
+
+    One row: (n_tokens, cross_entropy, ppl, self_entropy, kl) in nats —
+    cross_entropy = -E_cur[logp_ref(t)], self_entropy the same under
+    cur's own model, and kl = cross - self — the drift number (≈0 for
+    identical unigram distributions; because the two SMOOTHED models use
+    different denominators it can dip epsilon-negative, unlike true KL
+    against the empirical distribution).  Complements the
+    histogram-divergence family
+    (checks/drift.py): same mathematics, but over the TOKEN distribution
+    of the input_hint shape rather than a binned numeric column.
+
+    Scale shape — the part worth noticing: NO scoring scan exists.
+    Cross-entropy under a unigram model depends on the current corpus
+    only through its token HISTOGRAM (H = -Σ_t p_cur(t)·logp_ref(t)), so
+    the whole op is the two |vocab|-bounded bincount folds plus |vocab|
+    driver-side multiply-adds.  Tokens outside [0, vocab) contribute at
+    the respective model's unseen floor.
+    """
+    c_ref, n_ref = _train_counts(ref, vocab_size, tokens_col)
+    c_cur, n_cur = _train_counts(cur, vocab_size, tokens_col)
+    # OOV mass of cur: token_histogram folds out-of-range under -1; those
+    # tokens are real observations of cur, scored at each model's floor
+    oov_rows = token_histogram(cur, vocab_size, tokens_col=tokens_col).where(
+        F.col("token") == -1
+    ).collect()
+    n_oov = int(oov_rows[0]["cnt"]) if oov_rows else 0
+
+    logp_ref = np.log((c_ref + 1.0) / float(n_ref + vocab_size))
+    logp_cur = np.log((c_cur + 1.0) / float(n_cur + vocab_size))
+    floor_ref = math.log(1.0 / float(n_ref + vocab_size))
+    floor_cur = math.log(1.0 / float(n_cur + vocab_size))
+
+    n_total = n_cur + n_oov
+    spark = cur.sparkSession
+    if n_total == 0:
+        return spark.createDataFrame(
+            [(0, None, None, None, None)],
+            "n_tokens long, cross_entropy double, ppl double,"
+            " self_entropy double, kl double",
+        )
+    cross = -(float(np.dot(c_cur, logp_ref)) + n_oov * floor_ref) / n_total
+    self_e = -(float(np.dot(c_cur, logp_cur)) + n_oov * floor_cur) / n_total
+    ppl = math.exp(cross)
+    kl = cross - self_e
+    if round_to is not None:
+        q = 10.0**round_to
+
+        def r(x: float) -> float:
+            return (
+                math.floor(x * q + 0.5) / q
+                if x >= 0
+                else -math.floor(-x * q + 0.5) / q
+            )
+
+        cross, ppl, self_e, kl = r(cross), r(ppl), r(self_e), r(kl)
+    return spark.createDataFrame(
+        [(n_total, cross, ppl, self_e, kl)],
+        "n_tokens long, cross_entropy double, ppl double,"
+        " self_entropy double, kl double",
     )
