@@ -862,7 +862,8 @@ s AS (
 SELECT CAST(epoch(TIMESTAMP '2024-01-01 01:00:00') AS BIGINT)
          + (doc_id % 30) * 86400 - 3600 AS window_epoch,
        count(*) AS n_seqs,
-       round(avg(ppl), 6) AS avg_ppl,
+       round(CAST(sum(CAST(round(ppl * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS avg_ppl,
        CAST(sum(CASE WHEN ppl > 18.0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_high_ppl,
        round(CAST(sum(CASE WHEN ppl > 18.0 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -903,7 +904,11 @@ s AS (
   SELECT doc_id, round(exp(-avg(logp)), 6) AS ppl
   FROM e JOIN lp USING (token) GROUP BY doc_id
 ),
-m AS (SELECT round(avg(ppl), 6) AS metric FROM s)
+m AS (
+  SELECT round(CAST(sum(CAST(round(ppl * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0), 6) AS metric
+  FROM s
+)
 SELECT 'mean_ppl_between' AS "check", 'tokens' AS "column", metric,
        CAST(30.0 AS DOUBLE) AS threshold,
        metric BETWEEN 10.0 AND 30.0 AS passed FROM m

@@ -698,14 +698,19 @@ class Suite:
                     id_col="__sid",
                     tokens_col=e.column,
                 )
-                .agg(F.avg("ppl").alias("m"))
+                .agg(
+                    # exact micro-ppl long sum: float avg is partition-order
+                    # dependent and would wobble at rounding boundaries
+                    F.sum(F.round(F.col("ppl") * 1e6).cast("long")).alias("s"),
+                    F.count("ppl").alias("n"),
+                )
                 .first()
             )
-            if row is None or row["m"] is None:
+            if row is None or not row["n"]:
                 # no scoreable sequence exists: no distribution to guard
                 metric, passed = float("nan"), False
             else:
-                metric = float(row["m"])
+                metric = float(row["s"]) / (float(row["n"]) * 1e6)
                 passed = lo <= metric <= hi
         elif e.kind == "skew_factor_below":
             from vldt_spark.plans.skew import key_skew_report
