@@ -699,9 +699,13 @@ class Suite:
                     tokens_col=e.column,
                 )
                 .agg(
-                    # exact micro-ppl long sum: float avg is partition-order
-                    # dependent and would wobble at rounding boundaries
-                    F.sum(F.round(F.col("ppl") * 1e6).cast("long")).alias("s"),
+                    # exact micro-ppl integer sum: float avg is partition-
+                    # order dependent and would wobble at rounding
+                    # boundaries; decimal(38,0) because 10^12 rows × ~10^7
+                    # micro-ppl overflows int64
+                    F.sum(
+                        F.round(F.col("ppl") * 1e6).cast("decimal(38,0)")
+                    ).alias("s"),
                     F.count("ppl").alias("n"),
                 )
                 .first()

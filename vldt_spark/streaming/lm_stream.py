@@ -87,14 +87,19 @@ def stream_ppl_windows(
     # avg over EXACT micro-ppl integers, not doubles: float summation is
     # order-dependent across partitions/triggers, so a window's mean
     # sitting near a 5e-7 rounding boundary would flip between runs; the
-    # per-row scores are already 6-decimal, so the long sum is lossless
-    # and the mean is bit-reproducible (and oracle-reproducible)
-    micro = F.sum(F.round(F.col("__ppl") * 1e6).cast("long"))
+    # per-row scores are already 6-decimal, so the integer sum is
+    # lossless and the mean is bit-reproducible (and oracle-
+    # reproducible).  decimal(38,0), not long: 10^12 rows × ~10^7
+    # micro-ppl overflows int64; decimal sums stay exact to 10^38 and
+    # mirror DuckDB's HUGEINT sum
+    micro = F.sum(F.round(F.col("__ppl") * 1e6).cast("decimal(38,0)"))
     win = (
         scored.groupBy(F.window(F.col(ts_col), window).alias("__w"))
         .agg(
             n.alias("n_seqs"),
-            F.round(micro / (n.cast("double") * 1e6), 6).alias("avg_ppl"),
+            F.round(micro.cast("double") / (n.cast("double") * 1e6), 6).alias(
+                "avg_ppl"
+            ),
             high.cast("long").alias("n_high_ppl"),
             F.when(
                 n > 0, F.round(high / n.cast("double"), 6)
