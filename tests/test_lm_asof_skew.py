@@ -255,3 +255,40 @@ def test_lm_cross_entropy_identical_and_oov(spark):
 
     empty = lm_cross_entropy(a, _toks(spark, [("e", [])]), 2).first()
     assert empty["n_tokens"] == 0 and empty["kl"] is None
+
+
+def test_asof_join_forward(spark):
+    left = _ts_df(
+        spark,
+        [(1, "k", "2024-01-01 10:00:00"), (2, "k", "2024-01-01 12:30:00")],
+        "id int, k string, ts string",
+    )
+    right = _ts_df(
+        spark,
+        [("k", "2024-01-01 10:00:00", 1.0), ("k", "2024-01-01 12:00:00", 2.0),
+         ("k", "2024-01-01 12:00:00", 5.0)],
+        "k string, ts string, v double",
+    )
+    out = {
+        r["id"]: r
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            direction="forward",
+        ).collect()
+    }
+    assert out[1]["asof_v"] == 1.0      # inclusive: 10:00 matches itself
+    assert out[2]["asof_v"] is None     # nothing at/after 12:30
+
+    # nearest-after, max payload on same-instant duplicates
+    left2 = _ts_df(spark, [(3, "k", "2024-01-01 11:00:00")], "id int, k string, ts string")
+    row = asof_join(
+        left2, right, key="k", left_ts="ts", right_ts="ts", direction="forward"
+    ).first()
+    assert row["asof_v"] == 5.0
+
+    # forward tolerance voids too-distant matches
+    stale = asof_join(
+        left2, right, key="k", left_ts="ts", right_ts="ts",
+        direction="forward", tolerance=1800,
+    ).first()
+    assert stale["asof_v"] is None

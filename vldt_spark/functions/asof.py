@@ -51,11 +51,21 @@ def asof_join(
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
     tolerance: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left columns + ``{prefix}ts`` (the matched
-    right timestamp, NULL when no right row precedes) + ``{prefix}<col>``
-    for every payload column in ``right_cols`` (default: all right columns
-    except the key and timestamp)."""
+    """As-of join: left columns + ``{prefix}ts`` (the matched right
+    timestamp, NULL when no match exists) + ``{prefix}<col>`` for every
+    payload column in ``right_cols`` (default: all right columns except
+    the key and timestamp).
+
+    ``direction="backward"`` (default) matches the greatest right_ts ≤
+    left_ts; ``"forward"`` matches the SMALLEST right_ts ≥ left_ts ("the
+    next fill after this order") — same single-exchange window plan run
+    over descending time, with the payload tie-break mirrored so equal-
+    instant duplicates still resolve to the lexicographic max."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
 
@@ -77,20 +87,26 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
-    # Order: time, then right-before-left at equal instants (inclusive
-    # match), then the payload struct so the max-payload duplicate at one
-    # (key, ts) sorts last — last() resolves ties without a pre-shuffle.
+    # Order: time (descending for forward), then right-before-left at
+    # equal instants (inclusive match), then the payload struct ASCENDING
+    # — in either time direction the frame ends at the left row, so the
+    # LAST right row of a same-instant duplicate group is the one last()
+    # picks, and ascending payload puts the lexicographic max there.
+    ts_ord = F.col("__ts").asc() if back else F.col("__ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side", "__r")
+        .orderBy(ts_ord, F.col("__side").asc(), F.col("__r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
         F.col("__side") == 1
     )
     if tolerance is not None:
-        fresh = F.col("__m")["ts"] >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance} SECOND"
+        lim = F.expr(f"INTERVAL {tolerance} SECOND")
+        fresh = (
+            F.col("__m")["ts"] >= F.col("__ts") - lim
+            if back
+            else F.col("__m")["ts"] <= F.col("__ts") + lim
         )
         matched = matched.withColumn("__m", F.when(fresh, F.col("__m")))
 
