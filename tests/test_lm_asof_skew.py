@@ -292,3 +292,17 @@ def test_asof_join_forward(spark):
         direction="forward", tolerance=1800,
     ).first()
     assert stale["asof_v"] is None
+
+
+def test_unigram_score_pass_is_shuffle_free(spark):
+    """The scoring scan must stay scan → mapInPandas with ZERO exchanges
+    (the log-prob vector travels as a closure, never as a join side)."""
+    df = _toks(spark, [("a", [0, 1]), ("b", [1, 1])])
+    plan = (
+        unigram_logprob(df, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
