@@ -306,3 +306,14 @@ def test_unigram_score_pass_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    left = _ts_df(
+        spark, [(1, "k", "2024-01-01 10:00:00")], "id int, k string, ts string"
+    ).withColumn("__ts", F.lit(1))
+    right = _ts_df(
+        spark, [("k", "2024-01-01 09:00:00", 1.0)], "k string, ts string, v double"
+    )
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(left, right, key="k", left_ts="ts", right_ts="ts")

@@ -65,6 +65,12 @@ def asof_join(
     instant duplicates still resolve to the lexicographic max."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"__ts", "__r", "__side", "__m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        # a silent duplicate column would make the window ordering
+        # ambiguous (Spark resolves names case-insensitively) — fail loud
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
     back = direction == "backward"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
