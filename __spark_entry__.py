@@ -5672,6 +5672,100 @@ FROM bits
 """
 
 
+# -- incremental (cross-snapshot) dedup gates --------------------------------
+# The daily-crawl shape: documents with doc_id % 5 == 0 play the NEW batch;
+# the rest play the SEEN corpus.  Both gates run the REAL incremental
+# pipelines (Bloom-routed exact anti-join; cross-corpus banded LSH) and are
+# value-checked against plain-SQL replicas of the same split.
+
+
+def q_incremental_dedup_documents(spark, sf_dir):
+    """Exact incremental dedup (vldt_spark/functions/dedup.py:
+    dedup_against_seen): surviving NEW-batch rows whose normalized-content
+    fingerprint never appears in the SEEN corpus, first-writer-wins within
+    the batch.  The Bloom screen only routes rows (definite-miss rows skip
+    the confirmation join); membership is always decided exactly, so the
+    oracle is a plain anti-join."""
+    from vldt_spark.functions.dedup import dedup_against_seen
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    seen = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup_against_seen(new, seen, bloom_screen=True)
+
+
+SQL_INCREMENTAL_DEDUP_DOCUMENTS = f"""
+WITH fps AS (
+  SELECT doc_id, substr(md5({_NORM_SQL}), 1, 16) AS fp FROM documents
+), newb AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 0
+), seen AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0
+), novel AS (
+  SELECT n.doc_id, n.fp FROM newb n LEFT JOIN seen s ON n.fp = s.fp
+  WHERE s.fp IS NULL
+), ranked AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM novel
+)
+SELECT doc_id, fp FROM ranked WHERE rn = 1
+"""
+
+
+def q_incremental_near_dups_documents(spark, sf_dir):
+    """Cross-corpus MinHash LSH (vldt_spark/functions/dedup.py:
+    near_dups_against_seen) on the portable md5 hash: NEW-batch docs
+    near-duplicating SEEN-corpus docs — banded signatures joined across
+    the two relations, never a self-join, so a daily increment pays
+    batch×corpus band collisions instead of corpus²."""
+    from vldt_spark.functions.dedup import near_dups_against_seen
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    seen = docs.where(F.col("doc_id") % 5 != 0)
+    return near_dups_against_seen(
+        new, seen, num_hashes=16, bands=4, threshold=0.3, hash_fn="md5"
+    )
+
+
+def _sql_incremental_near_dups() -> str:
+    h = lambda expr, salt: (
+        f"CAST(('0x' || substr(md5({expr} || '#{salt}'), 1, 15)) AS BIGINT)"
+    )
+    sig_cols = ",\n    ".join(
+        f"min({h('shingle', i)}) AS s{i:02d}" for i in range(16)
+    )
+
+    def band(b: int) -> str:
+        cols = " || ',' || ".join(f"CAST(s{b*4+j:02d} AS VARCHAR)" for j in range(4))
+        return h(f"({cols})", 0)
+
+    bands = ",\n    ".join(f"{band(b)} AS b{b}" for b in range(4))
+    eq = " + ".join(
+        f"(CASE WHEN a.s{i:02d} = b.s{i:02d} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    band_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(4))
+    return f"""
+{_PORTABLE_SHINGLES_CTE.rstrip()},
+sigs AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM ex GROUP BY doc_id
+), banded AS (
+  SELECT *,
+    {bands}
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS seen_id,
+         round(({eq}) / 16.0, 6) AS jaccard_est
+  FROM banded a JOIN banded b
+    ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 AND ({band_match})
+)
+SELECT new_id, seen_id, jaccard_est FROM pairs WHERE jaccard_est >= 0.3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5701,6 +5795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py verifies the full 137-query set locally."""
     return {
         # --- NEW round 5 ---
+        "incremental_dedup_documents": q_incremental_dedup_documents,
+        "incremental_near_dups_documents": q_incremental_near_dups_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
@@ -5849,6 +5945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
+        "incremental_near_dups_documents": _sql_incremental_near_dups(),
         "unigram_logprob_documents": SQL_UNIGRAM_LOGPROB_DOCUMENTS,
         "streaming_ppl_windows": SQL_STREAMING_PPL_WINDOWS,
         "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,

@@ -253,6 +253,56 @@ def ri_bloom_screen(
     return src.mapInPandas(probe, schema=out_schema)
 
 
+def bloom_probe_flag(
+    df: DataFrame,
+    key: str,
+    bitmap_bytes: bytes,
+    *,
+    n_hashes: int = 5,
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """Map-side Bloom membership PROBE that appends a boolean instead of
+    filtering — the shape incremental pipelines need, where both branches
+    of the answer route somewhere (definite-miss rows skip the exact
+    confirmation join entirely; possible-hit rows escalate to it).
+
+    ``flag_col=False`` rows are DEFINITELY absent from the built key set
+    (no false negatives); ``True`` rows are *possibly* present and must be
+    confirmed exactly when the pipeline needs two-sided truth. Same
+    Kirsch–Mitzenmacher double hashing and canonical-string key form as
+    ``bloom_build`` — the two MUST agree or every probe is garbage.
+    Zero shuffle: one broadcast of the bitmap, one vectorized map pass.
+    """
+    import numpy as np
+
+    n_bits = len(bitmap_bytes) * 8
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap_bytes)
+    src = df.withColumn("__h", F.xxhash64(F.col(key).cast("string")))
+    out_schema = df.schema.add(flag_col, "boolean")
+
+    def probe(batches):
+        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = pdf["__h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            lo = h & np.uint64(0xFFFFFFFF)
+            hi = (h >> np.uint64(32)) | np.uint64(1)
+            member = np.ones(len(pdf), dtype=bool)
+            for i in range(n_hashes):
+                pos = (lo + np.uint64(i) * hi) % np.uint64(n_bits)
+                bits = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+                member &= (
+                    bits & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+                ).astype(bool)
+            out = pdf.drop(columns=["__h"])
+            out[flag_col] = member
+            yield out
+
+    return src.mapInPandas(probe, schema=out_schema)
+
+
 def ri_report(fact: DataFrame, fk: str, dim: DataFrame, dim_key: str) -> DataFrame:
     """One row per invalid FK value with its row count — the shape the
     verdict/lineage tables ingest."""

@@ -1086,3 +1086,174 @@ def exact_substr_dedup(
         F.size("__cov").cast("long").alias("n_removed_words"),
         n_spans.cast("long").alias("n_spans"),
     )
+
+
+# -- incremental (cross-snapshot) dedup ---------------------------------------
+
+
+def dedup_against_seen(
+    new: DataFrame,
+    seen: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    within_batch: bool = True,
+    bloom_screen: bool = True,
+    n_bits: int | None = None,
+) -> DataFrame:
+    """Exact incremental dedup: the rows of a NEW batch whose content was
+    never seen in an existing corpus — the daily-crawl-vs-100 TB-archive
+    shape (reference analogue: the validate-on-ingest loop of
+    /root/reference/vldt — each incoming object checked against standing
+    state; here the state is the seen corpus's content-fingerprint set).
+
+    Returns ``(id_col, fp)`` for surviving new rows. ``within_batch=True``
+    additionally keeps only the smallest-id row per fingerprint *within
+    the batch* (first-writer-wins), so the output is ingestible as-is.
+
+    Scale strategy — the exact anti-join would shuffle the batch AND the
+    seen corpus's distinct fingerprints on every ingest. With
+    ``bloom_screen=True`` (default) a Bloom bitmap of the seen
+    fingerprints rides one broadcast instead (auto-sized by
+    ``bloom_size_bits`` so fill stays ~20% at any corpus cardinality;
+    at 100 TB the bitmap is built ONCE and reused across batches):
+
+      - Bloom-MISS rows are definitely novel (no false negatives) and
+        bypass the confirmation join entirely — at steady state the
+        overwhelming majority of a crawl batch is novel, so almost no
+        batch row rides an exchange;
+      - Bloom-HIT rows (true dups + ~fill^k false positives) escalate to
+        the exact left-anti join against the seen fingerprint set.
+
+    The screened result is IDENTICAL to the exact result — the Bloom only
+    routes rows between the free path and the exact path; it never
+    decides membership alone. The batch is map-scanned twice (once per
+    branch); two map passes beat one full-batch shuffle at any scale.
+    """
+    from vldt_spark.checks.referential import bloom_build, bloom_probe_flag
+
+    fpc = fingerprint(F.col(text_col))
+    newf = new.select(F.col(id_col), fpc.alias("fp"))
+    seenf = seen.select(fpc.alias("fp")).distinct()
+
+    if bloom_screen:
+        bitmap = bloom_build(seenf, "fp", n_bits=n_bits)
+        flagged = bloom_probe_flag(newf, "fp", bitmap, flag_col="__maybe_seen")
+        definitely_novel = flagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
+        confirmed_novel = (
+            flagged.where(F.col("__maybe_seen"))
+            .drop("__maybe_seen")
+            .join(seenf, "fp", "left_anti")
+        )
+        novel = definitely_novel.unionByName(confirmed_novel)
+    else:
+        novel = newf.join(seenf, "fp", "left_anti")
+
+    if within_batch:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp").orderBy(F.col(id_col))
+        novel = (
+            novel.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return novel.select(id_col, "fp")
+
+
+def _banded_keys(
+    sigs: DataFrame, id_col: str, *, bands: int, r: int, hash_fn: str
+) -> DataFrame:
+    """(id, band, bh) LSH band keys from a (id, sig) relation — the
+    24-byte-per-row shape that rides the banded exchange (signatures are
+    re-attached AFTER candidate dedup, never shipped through the bucket
+    join). Same band-hash construction as ``minhash_lsh_pairs``."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    _hash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)),
+                        0,
+                        hash_fn,
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def near_dups_against_seen(
+    new: DataFrame,
+    seen: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH: near-duplicate pairs between a NEW batch
+    and a SEEN corpus — (new_id, seen_id, jaccard_est). The incremental
+    twin of ``minhash_lsh_pairs``: instead of a self-join, the batch's
+    band keys join the corpus's band keys, so a daily increment never
+    pays the corpus × corpus candidate space.
+
+    Scale shape: both sides band to (id, band, bh) triples — the ONLY
+    exchange payload; signatures re-attach post-dedup via equi-joins the
+    candidate set is small enough to broadcast into. At 100 TB the seen
+    side's signatures + band keys are computed once and PERSISTED as a
+    table (they are pure functions of the text); each ingest then only
+    minhashes the new batch and joins its bands against the stored band
+    relation — this function takes DataFrames for both sides so either
+    can be a parquet-backed precomputed relation.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    kw = dict(
+        text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, hash_fn=hash_fn,
+    )
+    sigs_new = minhash_signatures(new, **kw).persist()
+    sigs_seen = minhash_signatures(seen, **kw).persist()
+    b_new = _banded_keys(sigs_new, id_col, bands=bands, r=r, hash_fn=hash_fn)
+    b_seen = _banded_keys(sigs_seen, id_col, bands=bands, r=r, hash_fn=hash_fn)
+
+    a, b = b_new.alias("a"), b_seen.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("seen_id"),
+        )
+        .dropDuplicates(["new_id", "seen_id"])
+    )
+    pairs = cand.join(
+        sigs_new.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a")),
+        "new_id",
+    ).join(
+        sigs_seen.select(F.col(id_col).alias("seen_id"), F.col("sig").alias("sig_b")),
+        "seen_id",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda e: e,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        pairs.withColumn("jaccard_est", F.round(est, 6))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("new_id", "seen_id", "jaccard_est")
+    )
