@@ -5766,6 +5766,111 @@ SELECT new_id, seen_id, jaccard_est FROM pairs WHERE jaccard_est >= 0.3
 """
 
 
+# -- Gopher rule-bundle gates -------------------------------------------------
+
+
+def q_gopher_rules_documents(spark, sf_dir):
+    """Per-document Gopher quality rules (Rae et al. 2021 thresholds,
+    word-count floor lowered to 20 so the synthetic corpus populates both
+    arms) — vldt_spark/functions/text.py: gopher_rules.  Each rule is a
+    named boolean so the oracle value-checks WHICH rule failed per doc,
+    not just the conjunction."""
+    from vldt_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_rules(F.col("text"), min_words=20)
+    names = [
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
+        "stopwords_ok", "passes",
+    ]
+    return docs.select("doc_id", g.alias("g")).select(
+        "doc_id", *[F.col(f"g.{n}").alias(n) for n in names]
+    )
+
+
+_SQL_GOPHER_METRICS_CTE = """
+WITH base AS (
+  SELECT doc_id, trim(text) AS t, string_split(text, chr(10)) AS lines
+  FROM documents
+), w AS (
+  SELECT doc_id, t, lines,
+         list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS ws
+  FROM base
+), m AS (
+  SELECT doc_id,
+    len(ws) AS nw,
+    greatest(len(ws), 1) AS nw1,
+    CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS DOUBLE)
+      / greatest(len(ws), 1) AS mean_len,
+    (len(t) - len(replace(t, '#', ''))) AS n_hash,
+    (len(t) - len(replace(t, '...', ''))) / 3.0
+      + (len(t) - len(replace(t, '…', ''))) AS n_ell,
+    greatest(len(lines), 1) AS nl1,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS n_ellline,
+    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    (' ' || lower(regexp_replace(t, '\\s+', ' ', 'g')) || ' ') AS padded
+  FROM w
+), rules AS (
+  SELECT doc_id,
+    (nw >= 20 AND nw <= 100000) AS word_count_ok,
+    (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+    ((n_hash + n_ell) / nw1 <= 0.1) AS symbol_ratio_ok,
+    (CAST(n_bullet AS DOUBLE) / nl1 <= 0.9) AS bullet_lines_ok,
+    (CAST(n_ellline AS DOUBLE) / nl1 <= 0.3) AS ellipsis_lines_ok,
+    (CAST(n_alpha AS DOUBLE) / nw1 >= 0.8) AS alpha_words_ok,
+    ((CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(padded, ' be ') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(padded, ' to ') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(padded, ' that ') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(padded, ' have ') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(padded, ' with ') THEN 1 ELSE 0 END)) >= 2
+      AS stopwords_ok
+  FROM m
+)
+"""
+
+SQL_GOPHER_RULES_DOCUMENTS = _SQL_GOPHER_METRICS_CTE + """
+SELECT doc_id, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+       bullet_lines_ok, ellipsis_lines_ok, alpha_words_ok, stopwords_ok,
+       (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+        AND bullet_lines_ok AND ellipsis_lines_ok AND alpha_words_ok
+        AND stopwords_ok) AS passes
+FROM rules
+"""
+
+
+def q_gopher_report_documents(spark, sf_dir):
+    """Corpus-level Gopher report: per-rule FAILURE fraction + overall
+    pass fraction in one scalar-partial aggregate (the fact table never
+    shuffles) — vldt_spark/functions/text.py: gopher_report."""
+    from vldt_spark.functions.text import gopher_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_report(docs, min_words=20)
+
+
+SQL_GOPHER_REPORT_DOCUMENTS = _SQL_GOPHER_METRICS_CTE + """
+SELECT
+  round(avg(CASE WHEN word_count_ok THEN 0.0 ELSE 1.0 END), 6) AS word_count_fail_frac,
+  round(avg(CASE WHEN mean_word_len_ok THEN 0.0 ELSE 1.0 END), 6) AS mean_word_len_fail_frac,
+  round(avg(CASE WHEN symbol_ratio_ok THEN 0.0 ELSE 1.0 END), 6) AS symbol_ratio_fail_frac,
+  round(avg(CASE WHEN bullet_lines_ok THEN 0.0 ELSE 1.0 END), 6) AS bullet_lines_fail_frac,
+  round(avg(CASE WHEN ellipsis_lines_ok THEN 0.0 ELSE 1.0 END), 6) AS ellipsis_lines_fail_frac,
+  round(avg(CASE WHEN alpha_words_ok THEN 0.0 ELSE 1.0 END), 6) AS alpha_words_fail_frac,
+  round(avg(CASE WHEN stopwords_ok THEN 0.0 ELSE 1.0 END), 6) AS stopwords_fail_frac,
+  round(avg(CASE WHEN (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                       AND bullet_lines_ok AND ellipsis_lines_ok
+                       AND alpha_words_ok AND stopwords_ok)
+            THEN 1.0 ELSE 0.0 END), 6) AS pass_frac,
+  count(*) AS n_docs
+FROM rules
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5797,6 +5902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round 5 ---
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
+        "gopher_rules_documents": q_gopher_rules_documents,
+        "gopher_report_documents": q_gopher_report_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
@@ -5947,6 +6054,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
         "incremental_near_dups_documents": _sql_incremental_near_dups(),
+        "gopher_rules_documents": SQL_GOPHER_RULES_DOCUMENTS,
+        "gopher_report_documents": SQL_GOPHER_REPORT_DOCUMENTS,
         "unigram_logprob_documents": SQL_UNIGRAM_LOGPROB_DOCUMENTS,
         "streaming_ppl_windows": SQL_STREAMING_PPL_WINDOWS,
         "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,

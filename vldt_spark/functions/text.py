@@ -394,3 +394,116 @@ def quality_classifier_filter(
         score_col, classifier_quality_score(F.col(text_col), weights)
     )
     return scored.where(F.col(score_col) >= F.lit(float(threshold)))
+
+
+# -- Gopher rule bundle --------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    Appendix A) as a struct of NAMED booleans — one field per rule plus
+    ``passes`` (their conjunction) — so a pipeline can audit WHICH rule
+    killed a document, not just that one did (the scalar
+    ``text_quality`` / ``classifier_quality_score`` can't say).
+
+    Every rule is a pure Catalyst expression (split + higher-order
+    functions + replace-count tricks): zero Python in the row path, the
+    whole bundle evaluates inside one whole-stage-codegen projection, and
+    a downstream ``where(col.getField("passes"))`` pushes into the scan.
+    Defaults are the paper's thresholds; all are keyword-tunable.
+    """
+    t = F.trim(text)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    nw = F.size(words)
+    nw1 = F.greatest(nw, F.lit(1))
+    mean_len = (
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
+        ).cast("double")
+        / nw1
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    )
+    symbol_ratio = (n_hash + n_ellipsis) / nw1
+    lines = F.split(text, "\n")
+    nl1 = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))) / nl1
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / nl1
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nw1
+    )
+    padded = F.concat(
+        F.lit(" "), F.lower(F.regexp_replace(t, r"\s+", " ")), F.lit(" ")
+    )
+    n_stop = sum(
+        (
+            F.when(F.contains(padded, F.lit(f" {sw} ")), F.lit(1)).otherwise(F.lit(0))
+            for sw in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    rules = {
+        "word_count_ok": (nw >= min_words) & (nw <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_ratio <= max_symbol_ratio,
+        "bullet_lines_ok": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_lines_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_words_ok": alpha_frac >= min_alpha_word_frac,
+        "stopwords_ok": n_stop >= min_stopwords,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return F.struct(
+        *[c.alias(name) for name, c in rules.items()], passes.alias("passes")
+    )
+
+
+def gopher_report(
+    docs: DataFrame, *, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """One-row corpus report: the FAILURE fraction of every Gopher rule
+    plus the overall pass fraction — the shape a corpus-health dashboard
+    ingests. One scalar-partial aggregate (map-side combined); the fact
+    table never shuffles."""
+    r = gopher_rules(F.col(text_col), **thresholds)
+    flagged = docs.select(r.alias("g"))
+    names = [
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
+        "stopwords_ok",
+    ]
+    aggs = [
+        F.round(
+            F.avg(F.when(F.col(f"g.{n}"), F.lit(0.0)).otherwise(F.lit(1.0))), 6
+        ).alias(n.replace("_ok", "_fail_frac"))
+        for n in names
+    ] + [
+        F.round(
+            F.avg(F.when(F.col("g.passes"), F.lit(1.0)).otherwise(F.lit(0.0))), 6
+        ).alias("pass_frac"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ]
+    return flagged.agg(*aggs)
