@@ -5871,6 +5871,85 @@ FROM rules
 """
 
 
+# -- no-split (next-fit) packing gates ----------------------------------------
+
+
+def q_pack_nextfit_documents(spark, sf_dir):
+    """No-split next-fit packing placement (vldt_spark/functions/
+    packing.py: pack_nextfit) — every doc placed WHOLE, new pack when the
+    next doc would overflow.  Sequential per hash stream by nature, so
+    the oracle is a recursive CTE replaying the same deterministic
+    bucket/order (portable md5 hash) — the strongest value check a
+    stateful placement can get."""
+    from vldt_spark.functions.packing import pack_nextfit
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_nextfit(
+        docs, len_col="n_chars", max_tokens=1000, buckets=8, hash_fn="md5"
+    )
+
+
+_SQL_NEXTFIT_CTE = """
+WITH RECURSIVE h AS (
+  SELECT doc_id, n_chars AS len,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT) AS hv
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), ordered AS (
+  SELECT doc_id, len, CAST(hv % 8 AS INT) AS bucket,
+         row_number() OVER (PARTITION BY hv % 8 ORDER BY hv % 1000000007, doc_id) AS rn
+  FROM h
+), packed AS (
+  SELECT bucket, rn, doc_id, len,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS offset_in_pack,
+         CAST(len AS BIGINT) AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.len,
+         CASE WHEN p.fill + o.len <= 1000 THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + o.len <= 1000 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.fill + o.len <= 1000 THEN p.fill + o.len ELSE CAST(o.len AS BIGINT) END
+  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+"""
+
+SQL_PACK_NEXTFIT_DOCUMENTS = _SQL_NEXTFIT_CTE + """
+SELECT doc_id, bucket, pack_id, offset_in_pack, CAST(len AS BIGINT) AS item_len
+FROM packed
+"""
+
+
+def q_packing_report_documents(spark, sf_dir):
+    """Packing efficiency of the next-fit layout: pack count, padding
+    tokens, fill efficiency, oversize packs, docs/pack — the number a
+    batch-shape decision actually needs (vldt_spark/functions/packing.py:
+    packing_report)."""
+    from vldt_spark.functions.packing import pack_nextfit, packing_report
+
+    docs = _t(spark, sf_dir, "documents")
+    layout = pack_nextfit(
+        docs, len_col="n_chars", max_tokens=1000, buckets=8, hash_fn="md5"
+    )
+    return packing_report(layout, max_tokens=1000)
+
+
+SQL_PACKING_REPORT_DOCUMENTS = _SQL_NEXTFIT_CTE + """
+, packs AS (
+  SELECT bucket, pack_id, sum(len) AS fill, count(*) AS n_docs
+  FROM packed GROUP BY bucket, pack_id
+)
+SELECT count(*) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(fill) AS BIGINT) AS total_tokens,
+       CAST(sum(greatest(1000 - fill, 0)) AS BIGINT) AS pad_tokens,
+       round(CAST(sum(least(fill, 1000)) AS DOUBLE) / (count(*) * 1000), 6)
+         AS fill_efficiency,
+       CAST(sum(CASE WHEN fill > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS oversize_packs,
+       round(avg(n_docs), 6) AS avg_docs_per_pack
+FROM packs
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5904,6 +5983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
         "gopher_rules_documents": q_gopher_rules_documents,
         "gopher_report_documents": q_gopher_report_documents,
+        "pack_nextfit_documents": q_pack_nextfit_documents,
+        "packing_report_documents": q_packing_report_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
@@ -6056,6 +6137,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dups_documents": _sql_incremental_near_dups(),
         "gopher_rules_documents": SQL_GOPHER_RULES_DOCUMENTS,
         "gopher_report_documents": SQL_GOPHER_REPORT_DOCUMENTS,
+        "pack_nextfit_documents": SQL_PACK_NEXTFIT_DOCUMENTS,
+        "packing_report_documents": SQL_PACKING_REPORT_DOCUMENTS,
         "unigram_logprob_documents": SQL_UNIGRAM_LOGPROB_DOCUMENTS,
         "streaming_ppl_windows": SQL_STREAMING_PPL_WINDOWS,
         "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,
