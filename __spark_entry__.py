@@ -5950,6 +5950,55 @@ FROM packs
 """
 
 
+# -- embedding-level decontamination gate -------------------------------------
+
+
+def q_embedding_contamination(spark, sf_dir):
+    """Semantic train/test leakage (vldt_spark/functions/similarity.py:
+    embedding_contamination, exact mode): the benchmark is built as
+    genuinely perturbed copies of vec_id < 20 (same ×1.425/×0.575
+    even/odd perturbation as the near-dup gate, cosine ≈ 0.92 to its
+    source), broadcast against the corpus with zero shuffle; every
+    (corpus, bench) cosine ≥ 0.9 is a leak pair. Exhaustive — recall 1.0
+    by construction; the LSH mode's recall is pytest-asserted against
+    this one."""
+    from vldt_spark.functions.similarity import embedding_contamination
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mult = lambda i: F.when(i % 2 == 0, F.lit(1.425)).otherwise(F.lit(0.575))
+    bench = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: x * mult(i)).alias("embedding"),
+    )
+    return embedding_contamination(
+        emb, bench, method="exact", threshold=0.9, dim=64
+    )
+
+
+SQL_EMBEDDING_CONTAMINATION = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), bench AS (
+  SELECT vec_id + 100000 AS bench_id,
+         [emb[i] * (CASE WHEN i % 2 = 1 THEN CAST(1.425 AS DOUBLE) ELSE CAST(0.575 AS DOUBLE) END)
+          FOR i IN range(1, len(emb) + 1)] AS bvec
+  FROM base WHERE vec_id < 20
+), scored AS (
+  SELECT a.vec_id AS corpus_id, b.bench_id,
+         round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb))
+                         * sqrt(list_dot_product(b.bvec, b.bvec)) > 0
+                    THEN list_dot_product(a.emb, b.bvec)
+                         / (sqrt(list_dot_product(a.emb, a.emb))
+                            * sqrt(list_dot_product(b.bvec, b.bvec)))
+                    ELSE 0.0 END, 6) AS cosine
+  FROM base a CROSS JOIN bench b
+)
+SELECT corpus_id, bench_id, cosine FROM scored WHERE cosine >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5985,6 +6034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_report_documents": q_gopher_report_documents,
         "pack_nextfit_documents": q_pack_nextfit_documents,
         "packing_report_documents": q_packing_report_documents,
+        "embedding_contamination": q_embedding_contamination,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
@@ -6139,6 +6189,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_report_documents": SQL_GOPHER_REPORT_DOCUMENTS,
         "pack_nextfit_documents": SQL_PACK_NEXTFIT_DOCUMENTS,
         "packing_report_documents": SQL_PACKING_REPORT_DOCUMENTS,
+        "embedding_contamination": SQL_EMBEDDING_CONTAMINATION,
         "unigram_logprob_documents": SQL_UNIGRAM_LOGPROB_DOCUMENTS,
         "streaming_ppl_windows": SQL_STREAMING_PPL_WINDOWS,
         "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,
