@@ -5999,6 +5999,40 @@ SELECT corpus_id, bench_id, cosine FROM scored WHERE cosine >= 0.9
 """
 
 
+# -- tokenizer fertility gate --------------------------------------------------
+
+
+def q_fertility_by_lang_documents(spark, sf_dir):
+    """Tokenizer fertility by language (vldt_spark/functions/tokens.py:
+    fertility_report): pretokenization units per whitespace word, bytes
+    per token, chars per word — all counting inside codegen, |langs|
+    scalar partials as the only exchange."""
+    from vldt_spark.functions.tokens import fertility_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return fertility_report(docs)
+
+
+SQL_FERTILITY_BY_LANG_DOCUMENTS = r"""
+WITH m AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\S+')) AS nw,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS nt,
+         strlen(text) AS nb,
+         len(text) AS nc
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(CAST(sum(nt) AS DOUBLE) / greatest(sum(nw), 1), 6) AS tokens_per_word,
+       round(CAST(sum(nb) AS DOUBLE) / greatest(sum(nt), 1), 6) AS bytes_per_token,
+       round(CAST(sum(nc) AS DOUBLE) / greatest(sum(nw), 1), 6) AS chars_per_word
+FROM m GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6035,6 +6069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_nextfit_documents": q_pack_nextfit_documents,
         "packing_report_documents": q_packing_report_documents,
         "embedding_contamination": q_embedding_contamination,
+        "fertility_by_lang_documents": q_fertility_by_lang_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
@@ -6190,6 +6225,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_nextfit_documents": SQL_PACK_NEXTFIT_DOCUMENTS,
         "packing_report_documents": SQL_PACKING_REPORT_DOCUMENTS,
         "embedding_contamination": SQL_EMBEDDING_CONTAMINATION,
+        "fertility_by_lang_documents": SQL_FERTILITY_BY_LANG_DOCUMENTS,
         "unigram_logprob_documents": SQL_UNIGRAM_LOGPROB_DOCUMENTS,
         "streaming_ppl_windows": SQL_STREAMING_PPL_WINDOWS,
         "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,

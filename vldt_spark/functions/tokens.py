@@ -500,3 +500,45 @@ def degenerate_flag(
 
     col = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
     return flag(col)
+
+
+_PRETOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def fertility_report(
+    docs: DataFrame, *, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility by group (typically language): tokens per
+    whitespace word, bytes per token, chars per word — the metric that
+    decides whether a tokenizer under- or over-segments a language
+    (fertility ≫ 1 means the vocab serves that language poorly).
+
+    Tokens here are the GPT-2-ish PRETOKENIZATION units (alnum runs +
+    each standalone symbol, ``[A-Za-z0-9]+|[^A-Za-z0-9\\s]`` — RE2-safe,
+    no lookbehind, so any engine reproduces it); with a learned merge
+    table, substitute ``size(bpe_encode_ids(...))`` for ``n_tokens`` —
+    the aggregation shape is identical. Counting happens inside codegen
+    (``regexp_count``), the only exchange is |groups| scalar partials.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(group_col),
+        F.regexp_count(t, F.lit(r"\S+")).cast("long").alias("__nw"),
+        F.regexp_count(t, F.lit(_PRETOKEN_RE)).cast("long").alias("__nt"),
+        F.octet_length(t).cast("long").alias("__nb"),
+        F.length(t).cast("long").alias("__nc"),
+    )
+    return base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nw").alias("n_words"),
+        F.sum("__nt").alias("n_tokens"),
+        F.round(
+            F.sum("__nt").cast("double") / F.greatest(F.sum("__nw"), F.lit(1)), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum("__nb").cast("double") / F.greatest(F.sum("__nt"), F.lit(1)), 6
+        ).alias("bytes_per_token"),
+        F.round(
+            F.sum("__nc").cast("double") / F.greatest(F.sum("__nw"), F.lit(1)), 6
+        ).alias("chars_per_word"),
+    )
