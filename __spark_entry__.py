@@ -6033,6 +6033,55 @@ FROM m GROUP BY lang
 """
 
 
+# -- declarative corpus-quality guards (Gopher + fertility) -------------------
+
+
+def q_suite_quality_guards(spark, sf_dir):
+    """The round-5 corpus-quality expectations through the declarative
+    Suite (vldt_spark/checks/suite.py: gopher_pass_frac_above /
+    fertility_between), each with a passing AND a failing arm so the
+    gate witnesses both verdict paths and the exact metric values."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    suite = Suite(
+        [
+            expect.gopher_pass_frac_above("text", 0.0, min_words=20),
+            expect.gopher_pass_frac_above("text", 1.0, min_words=20),
+            expect.fertility_between("text", 0.5, 3.0),
+            expect.fertility_between("text", 0.0, 0.5),
+        ]
+    )
+    return suite.run(docs)
+
+
+SQL_SUITE_QUALITY_GUARDS = _SQL_GOPHER_METRICS_CTE + r"""
+, gm AS (
+  SELECT round(avg(CASE WHEN (word_count_ok AND mean_word_len_ok
+                              AND symbol_ratio_ok AND bullet_lines_ok
+                              AND ellipsis_lines_ok AND alpha_words_ok
+                              AND stopwords_ok)
+                   THEN 1.0 ELSE 0.0 END), 6) AS m
+  FROM rules
+), fm AS (
+  SELECT round(
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+           / sum(len(regexp_extract_all(text, '\S+'))), 6) AS m
+  FROM documents
+)
+SELECT 'gopher_pass_frac_above' AS check, 'text' AS column, m AS metric,
+       CAST(0.0 AS DOUBLE) AS threshold, m > 0.0 AS passed FROM gm
+UNION ALL
+SELECT 'gopher_pass_frac_above', 'text', m, CAST(1.0 AS DOUBLE), m > 1.0 FROM gm
+UNION ALL
+SELECT 'fertility_between', 'text', m, CAST(3.0 AS DOUBLE),
+       m BETWEEN 0.5 AND 3.0 FROM fm
+UNION ALL
+SELECT 'fertility_between', 'text', m, CAST(0.5 AS DOUBLE),
+       m BETWEEN 0.0 AND 0.5 FROM fm
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6070,6 +6119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_report_documents": q_packing_report_documents,
         "embedding_contamination": q_embedding_contamination,
         "fertility_by_lang_documents": q_fertility_by_lang_documents,
+        "suite_quality_guards": q_suite_quality_guards,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
@@ -6226,6 +6276,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_report_documents": SQL_PACKING_REPORT_DOCUMENTS,
         "embedding_contamination": SQL_EMBEDDING_CONTAMINATION,
         "fertility_by_lang_documents": SQL_FERTILITY_BY_LANG_DOCUMENTS,
+        "suite_quality_guards": SQL_SUITE_QUALITY_GUARDS,
         "unigram_logprob_documents": SQL_UNIGRAM_LOGPROB_DOCUMENTS,
         "streaming_ppl_windows": SQL_STREAMING_PPL_WINDOWS,
         "asof_clicks_events": SQL_ASOF_CLICKS_EVENTS,

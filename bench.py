@@ -67,6 +67,9 @@ BENCH_QUERY_NAMES = [
     "sequence_stats_tokens",
     "unigram_logprob_tokens",
     "asof_clicks_events",
+    "incremental_dedup",
+    "pack_nextfit",
+    "gopher_report",
 ]
 
 
@@ -302,6 +305,18 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "asof_clicks_events",
         lambda: qs["asof_clicks_events"](spark, SF_DIR).collect(),
     )
+
+    # round-5 late additions: Bloom-routed incremental dedup (the
+    # daily-crawl ingest shape — misses never ride an exchange), no-split
+    # next-fit packing (one bucket exchange + sequential pack per stream),
+    # and the Gopher rule report (pure codegen, scalar partials only)
+    for short, gate in (
+        ("incremental_dedup", "incremental_dedup_documents"),
+        ("pack_nextfit", "pack_nextfit_documents"),
+        ("gopher_report", "gopher_report_documents"),
+    ):
+        fn = qs[gate]
+        timed(short, lambda f=fn: f(spark, SF_DIR).collect())
 
     missing = set(BENCH_QUERY_NAMES) ^ set(timings)
     assert not missing, f"bench rows drifted from BENCH_QUERY_NAMES: {missing}"

@@ -66,3 +66,40 @@ def test_report_fractions(spark):
     assert row["word_count_fail_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert row["pass_frac"] == pytest.approx(2 / 3, abs=1e-6)
     assert row["symbol_ratio_fail_frac"] == 0.0
+
+
+def test_suite_quality_guards_arms(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = spark.createDataFrame(
+        [("a", GOOD), ("b", GOOD), ("c", "too short")],
+        "doc_id string, text string",
+    )
+    rows = Suite(
+        [
+            expect.gopher_pass_frac_above("text", 0.5, min_words=20),  # 2/3 > 0.5
+            expect.gopher_pass_frac_above("text", 0.9, min_words=20),  # 2/3 < 0.9
+            expect.fertility_between("text", 0.5, 2.0),
+            expect.fertility_between("text", 0.0, 0.1),
+        ]
+    ).run(df).collect()
+    got = [(r["check"], r["threshold"], r["passed"]) for r in rows]
+    assert ("gopher_pass_frac_above", 0.5, True) in got
+    assert ("gopher_pass_frac_above", 0.9, False) in got
+    assert ("fertility_between", 2.0, True) in got
+    assert ("fertility_between", 0.1, False) in got
+    gm = [r["metric"] for r in rows if r["check"] == "gopher_pass_frac_above"][0]
+    assert gm == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_suite_quality_guards_empty_corpus(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = spark.createDataFrame([], "doc_id string, text string")
+    rows = Suite(
+        [
+            expect.gopher_pass_frac_above("text", 0.5),
+            expect.fertility_between("text", 0.5, 2.0),
+        ]
+    ).run(df).collect()
+    assert all(r["passed"] is False for r in rows)  # undefined metric = fail loud

@@ -381,6 +381,34 @@ class expect:
         )
 
     @staticmethod
+    def gopher_pass_frac_above(
+        text_col: str, threshold: float, **rule_thresholds
+    ) -> Expectation:
+        """Corpus-quality guard on the Gopher rule bundle: the fraction
+        of documents passing ALL rules (``gopher_report.pass_frac``)
+        must stay ABOVE the threshold. Keyword args tune individual rule
+        thresholds (``min_words=20`` etc., see
+        ``functions.text.gopher_rules``). One codegen projection + one
+        scalar aggregate — the corpus never shuffles."""
+        return Expectation(
+            "gopher_pass_frac_above",
+            text_col,
+            {"threshold": threshold, "rules": dict(rule_thresholds)},
+        )
+
+    @staticmethod
+    def fertility_between(text_col: str, lo: float, hi: float) -> Expectation:
+        """Tokenizer-fertility guard: corpus-wide pretokenization units
+        per whitespace word (``functions.tokens.fertility_report``'s
+        tokens_per_word, computed over the whole table) must stay in
+        [lo, hi]. Fertility drifting up means the corpus mix shifted
+        toward content the tokenizer segments poorly. Codegen
+        ``regexp_count`` + one scalar aggregate."""
+        return Expectation(
+            "fertility_between", text_col, {"lo": lo, "hi": hi}
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -799,6 +827,41 @@ class Suite:
             else:
                 metric = float(row["n_bad"]) / float(row["n"])
                 passed = metric < thr
+        elif e.kind == "gopher_pass_frac_above":
+            from vldt_spark.functions.text import gopher_rules
+
+            thr = float(p["threshold"])
+            g = gopher_rules(F.col(e.column), **p["rules"])
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(g.getField("passes"), F.lit(1)).otherwise(F.lit(0))
+                ).alias("ok"),
+            ).first()
+            if row is None or not row["n"]:
+                # empty corpus: no pass fraction to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["ok"]) / float(row["n"])
+                passed = metric > thr
+        elif e.kind == "fertility_between":
+            lo, hi = float(p["lo"]), float(p["hi"])
+            thr = hi
+            from vldt_spark.functions.tokens import _PRETOKEN_RE
+
+            t = F.col(e.column)
+            row = df.agg(
+                F.sum(F.regexp_count(t, F.lit(r"\S+")).cast("long")).alias("nw"),
+                F.sum(F.regexp_count(t, F.lit(_PRETOKEN_RE)).cast("long")).alias(
+                    "nt"
+                ),
+            ).first()
+            if row is None or not row["nw"]:
+                # wordless corpus: fertility is undefined
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["nt"]) / float(row["nw"])
+                passed = lo <= metric <= hi
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift
 
