@@ -3641,6 +3641,51 @@ SELECT c.source, c.n_capped, s.n_sampled FROM capped c CROSS JOIN sampled s
 """
 
 
+def q_corpus_shuffle_documents(spark, sf_dir):
+    """Deterministic global training-order shuffle: every doc gets a
+    (shard, pos) from its key hash alone (functions/sampling.py
+    corpus_shuffle — reproducible on any cluster/partitioning/retry;
+    reference analogue: vldt validates rows one-at-a-time in arrival
+    order, /root/reference/vldt/models.py — a distributed corpus needs
+    the order itself to be a checkable artifact). Emits the first 5
+    positions of each of 8 shards plus per-shard totals: the head rows
+    pin the permutation order, the totals pin shard balance."""
+    from vldt_spark.functions.sampling import corpus_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = corpus_shuffle(docs, "doc_id", 8, hash_fn="md5", with_pos=True)
+    head = sh.where(F.col("pos") <= 5).select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+        "doc_id",
+    )
+    counts = (
+        sh.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return head.join(counts, "shard").orderBy("shard", "pos")
+
+
+SQL_CORPUS_SHUFFLE_DOCUMENTS = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT) AS h0,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#1'), 1, 15)) AS BIGINT) AS h1
+  FROM documents
+), s AS (
+  SELECT doc_id, h0 % 8 AS shard, h1 AS order_key FROM h
+), p AS (
+  SELECT shard, doc_id,
+         row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) AS pos,
+         count(*) OVER (PARTITION BY shard) AS n_docs
+  FROM s
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos, doc_id,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM p WHERE pos <= 5 ORDER BY shard, pos
+"""
+
+
 def q_dedup_clusters_documents(spark, sf_dir):
     """Near-dup clustering (connected components, min-label propagation)
     over the exact n-gram Jaccard pairs — deterministic, so the whole
@@ -6111,6 +6156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py verifies the full 137-query set locally."""
     return {
         # --- NEW round 5 ---
+        "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
         "gopher_rules_documents": q_gopher_rules_documents,
@@ -6380,6 +6426,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
         "dedup_clusters_documents": SQL_DEDUP_CLUSTERS_DOCUMENTS,
         "stratified_cap_documents": SQL_STRATIFIED_CAP_DOCUMENTS,
+        "corpus_shuffle_documents": SQL_CORPUS_SHUFFLE_DOCUMENTS,
         "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,
         "minhash_portable_pairs": _sql_minhash_portable_pairs(),
         "simhash_portable_documents": SQL_SIMHASH_PORTABLE_DOCUMENTS,

@@ -416,3 +416,53 @@ def test_suite_round6_is_half_up():
     nan = _round6(float("nan"))
     assert nan != nan
     assert _round6(float("inf")) == float("inf")
+
+
+def test_corpus_shuffle_deterministic_and_dense(spark):
+    from vldt_spark.functions.sampling import corpus_shuffle
+
+    df = spark.createDataFrame(
+        [(f"doc{i}", i) for i in range(200)], "doc_id string, v int"
+    )
+    a = corpus_shuffle(df, "doc_id", 4, seed=7, with_pos=True)
+    b = corpus_shuffle(df.repartition(13), "doc_id", 4, seed=7, with_pos=True)
+    ra = {r.doc_id: (r.shard, r.pos) for r in a.collect()}
+    rb = {r.doc_id: (r.shard, r.pos) for r in b.collect()}
+    # same permutation regardless of input partitioning
+    assert ra == rb
+    # shards in range and roughly balanced (hash split of 200 keys)
+    per = {}
+    for s, _ in ra.values():
+        assert 0 <= s < 4
+        per[s] = per.get(s, 0) + 1
+    assert len(per) == 4 and all(n >= 20 for n in per.values())
+    # positions dense 1..n within each shard
+    by_shard = {}
+    for s, p in ra.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_corpus_shuffle_order_uncorrelated_with_shard(spark):
+    from vldt_spark.functions.sampling import corpus_shuffle
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], "doc_id string")
+    out = corpus_shuffle(df, "doc_id", 1, seed=0, with_pos=True).collect()
+    # with one shard, pos is a full permutation of 1..500 whose order
+    # differs from both key order and shard-hash order (distinct salt)
+    pos_by_key = {r.doc_id: r.pos for r in out}
+    key_order = [pos_by_key[f"k{i}"] for i in range(500)]
+    assert key_order != sorted(key_order)
+    # distinct seeds give distinct permutations
+    out2 = corpus_shuffle(df, "doc_id", 1, seed=1, with_pos=True).collect()
+    pos2 = {r.doc_id: r.pos for r in out2}
+    assert pos_by_key != pos2
+
+
+def test_corpus_shuffle_rejects_bad_shards(spark):
+    from vldt_spark.functions.sampling import corpus_shuffle
+
+    df = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(ValueError, match="n_shards"):
+        corpus_shuffle(df, "doc_id", 0)

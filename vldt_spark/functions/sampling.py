@@ -280,3 +280,56 @@ def mixture_report(
         F.round(achieved, 6).alias("achieved_share"),
         F.round(achieved - target, 6).alias("share_gap"),
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    *,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    with_pos: bool = False,
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment.
+
+    Training runs read the corpus in a randomized order, but the order
+    must be REPRODUCIBLE (resume from step k, re-run a job, compare two
+    runs) — ``df.orderBy(rand())`` is none of those. This operator keys
+    the whole permutation off the row key alone:
+
+      * ``shard``     = pmod(hash(key, seed), n_shards) — which output
+                        shard the row belongs to;
+      * ``order_key`` = hash(key, seed+1) — the row's position DRAW
+                        within its shard (a distinct salt, so shard
+                        routing and intra-shard order don't correlate).
+
+    Same row → same (shard, order_key) on any cluster, any partitioning,
+    any retry. Writing the shuffled corpus is then
+    ``out.repartition(n_shards, "shard").sortWithinPartitions("order_key",
+    key_col)`` — ONE hash exchange keyed by shard plus a per-partition
+    sort; no global range sort, no driver state. Readers stream each
+    shard file in stored order.
+
+    ``with_pos=True`` additionally materializes a dense 1-based ``pos``
+    (row_number per shard ordered by ``order_key``, key as tie-break) for
+    small/medium corpora and for the oracle gate. At 10^12 rows leave it
+    off: a dense per-shard counter forces each whole shard through one
+    window reducer, and stored order already IS the permutation —
+    positions add nothing a reader needs.
+
+    ``hash_fn="md5"`` is the portable path (DuckDB-computable), which
+    value-checks the full permutation in the oracle gate.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"corpus_shuffle: n_shards must be > 0, got {n_shards}")
+    k = F.col(key_col).cast("string")
+    out = df.withColumn(
+        "shard", F.pmod(_hash64(k, seed, hash_fn), F.lit(n_shards)).cast("int")
+    ).withColumn("order_key", _hash64(k, seed + 1, hash_fn))
+    if with_pos:
+        w = Window.partitionBy("shard").orderBy(
+            F.col("order_key").asc(), F.col(key_col).asc()
+        )
+        out = out.withColumn("pos", F.row_number().over(w))
+    return out
