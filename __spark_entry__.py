@@ -3686,6 +3686,126 @@ FROM p WHERE pos <= 5 ORDER BY shard, pos
 """
 
 
+def q_mixture_epochs_documents(spark, sf_dir):
+    """Token-budget mixture epochs (The Pile / Llama 'epochs per source'
+    recipe, functions/sampling.py mixture_epochs): four sources get
+    target token shares {0.4, 0.3, 0.2, 0.1} of the corpus budget,
+    realized as per-source epoch counts capped at 5 — two sources cap,
+    one repeats fractionally (~4.6), one lands under 2. The exact
+    materialized (doc_id, source, epoch) copy set — which documents got
+    the extra fractional-epoch copy is a pure md5-hash function of the
+    key — is value-checked."""
+    from vldt_spark.functions.sampling import mixture_epochs
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_epochs(
+        docs,
+        "source",
+        "doc_id",
+        "n_chars",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        max_epochs=5.0,
+        hash_fn="md5",
+    ).select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+_SQL_MIXTURE_EPOCHS_FACT = """
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+"""
+
+SQL_MIXTURE_EPOCHS_DOCUMENTS = f"""
+WITH base AS ({_SQL_MIXTURE_EPOCHS_FACT}
+), tok AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tk FROM base GROUP BY source
+), sh AS (
+  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1))
+         AS s(source, share)
+), bud AS (
+  SELECT sum(tk) AS budget FROM tok
+), ep AS (
+  SELECT source,
+         CAST(floor(e) AS INT) AS nfull,
+         CAST(floor((e - floor(e)) * 1000000) AS BIGINT) AS thr
+  FROM (SELECT source, least(5.0, share * budget / tk) AS e
+        FROM tok JOIN sh USING (source), bud)
+), fact AS (
+  SELECT d.doc_id, d.source,
+         nfull + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+                           % 1000000 < thr THEN 1 ELSE 0 END AS n
+  FROM base d JOIN ep USING (source)
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS epoch
+FROM fact WHERE n >= 1
+"""
+
+
+def q_mixture_epochs_report_documents(spark, sf_dir):
+    """The audit half of mixture_epochs: per named source, realized
+    epochs (tokens_after/tokens_before) and achieved-vs-target token
+    share — capped sources show a negative gap because the repetition
+    bound keeps them from their target mass. All nine report columns
+    value-checked."""
+    from vldt_spark.functions.sampling import mixture_epochs, mixture_epochs_report
+
+    docs = _t(spark, sf_dir, "documents")
+    shares = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    out = mixture_epochs(
+        docs, "source", "doc_id", "n_chars", shares, max_epochs=5.0, hash_fn="md5"
+    )
+    return mixture_epochs_report(docs, out, "source", "n_chars", shares)
+
+
+SQL_MIXTURE_EPOCHS_REPORT_DOCUMENTS = f"""
+WITH base AS ({_SQL_MIXTURE_EPOCHS_FACT}
+), tok AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tk FROM base GROUP BY source
+), sh AS (
+  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1))
+         AS s(source, share)
+), bud AS (
+  SELECT sum(tk) AS budget FROM tok
+), ep AS (
+  SELECT source,
+         CAST(floor(e) AS INT) AS nfull,
+         CAST(floor((e - floor(e)) * 1000000) AS BIGINT) AS thr
+  FROM (SELECT source, least(5.0, share * budget / tk) AS e
+        FROM tok JOIN sh USING (source), bud)
+), mat AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         nfull + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+                           % 1000000 < thr THEN 1 ELSE 0 END AS n
+  FROM base d JOIN ep USING (source)
+), b AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+         CAST(sum(n_chars) AS DOUBLE) AS tokens_before
+  FROM base GROUP BY source
+), a AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS docs_after,
+         CAST(sum(CAST(n AS DOUBLE) * n_chars) AS DOUBLE) AS tokens_after
+  FROM mat GROUP BY source
+), j AS (
+  SELECT sh.source, sh.share,
+         coalesce(docs_before, 0) AS docs_before,
+         coalesce(docs_after, 0) AS docs_after,
+         coalesce(tokens_before, 0.0) AS tokens_before,
+         coalesce(tokens_after, 0.0) AS tokens_after
+  FROM sh LEFT JOIN b USING (source) LEFT JOIN a USING (source)
+), t AS (
+  SELECT sum(tokens_after) AS ta FROM j
+)
+SELECT source, docs_before, docs_after, tokens_before, tokens_after,
+       floor(coalesce(tokens_after / nullif(tokens_before, 0), 0.0) * 1e6 + 0.5) / 1e6
+         AS epochs_realized,
+       floor(share * 1e6 + 0.5) / 1e6 AS target_share,
+       floor(coalesce(tokens_after / nullif(ta, 0), 0.0) * 1e6 + 0.5) / 1e6
+         AS achieved_share,
+       floor((coalesce(tokens_after / nullif(ta, 0), 0.0) - share) * 1e6 + 0.5) / 1e6
+         AS share_gap
+FROM j, t
+"""
+
+
 def q_dedup_clusters_documents(spark, sf_dir):
     """Near-dup clustering (connected components, min-label propagation)
     over the exact n-gram Jaccard pairs — deterministic, so the whole
@@ -6153,9 +6273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    tools/check_oracle.py verifies the full 137-query set locally."""
+    tools/check_oracle.py verifies the full 149-query set locally."""
     return {
         # --- NEW round 5 ---
+        "mixture_epochs_documents": q_mixture_epochs_documents,
+        "mixture_epochs_report_documents": q_mixture_epochs_report_documents,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
@@ -6427,6 +6549,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_documents": SQL_DEDUP_CLUSTERS_DOCUMENTS,
         "stratified_cap_documents": SQL_STRATIFIED_CAP_DOCUMENTS,
         "corpus_shuffle_documents": SQL_CORPUS_SHUFFLE_DOCUMENTS,
+        "mixture_epochs_documents": SQL_MIXTURE_EPOCHS_DOCUMENTS,
+        "mixture_epochs_report_documents": SQL_MIXTURE_EPOCHS_REPORT_DOCUMENTS,
         "minhash_portable_signatures": SQL_MINHASH_PORTABLE_SIGNATURES,
         "minhash_portable_pairs": _sql_minhash_portable_pairs(),
         "simhash_portable_documents": SQL_SIMHASH_PORTABLE_DOCUMENTS,

@@ -333,3 +333,110 @@ def test_mixture_report_saturated_source_gap(spark):
     # shares sum to 1 on both axes
     assert abs(sum(r["target_share"] for r in rep.values()) - 1.0) < 1e-5
     assert abs(sum(r["achieved_share"] for r in rep.values()) - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------- epochs
+
+
+def _epoch_docs(spark):
+    # three sources with very different token mass: web dominates,
+    # wiki mid, books tiny — the classic "epochs per source" setup
+    rows = []
+    for i in range(40):
+        rows.append((i, "web", 100))
+    for i in range(40, 50):
+        rows.append((i, "wiki", 100))
+    for i in range(50, 54):
+        rows.append((i, "books", 100))
+    rows.append((99, None, 100))      # null source: dropped
+    rows.append((98, "web", None))    # null tokens: dropped
+    rows.append((97, "web", 0))       # zero tokens: dropped
+    return spark.createDataFrame(rows, "doc_id int, source string, n_tok int")
+
+
+def test_mixture_epochs_expected_token_mass(spark):
+    from vldt_spark.functions.sampling import mixture_epochs
+
+    df = _epoch_docs(spark)
+    # budget defaults to corpus total (5400 tokens); equal target thirds.
+    # web: 1800/4000 = 0.45 epochs (thin); wiki: 1800/1000 = 1.8 (repeat);
+    # books: 1800/400 = 4.5 -> capped at 4.0
+    out = mixture_epochs(
+        df, "source", "doc_id", "n_tok",
+        {"web": 1.0, "wiki": 1.0, "books": 1.0},
+        max_epochs=4.0,
+    )
+    per = {r["source"]: r for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n"),
+                                     F.max("epoch").alias("max_ep")).collect()}
+    # dropped rows never materialize
+    assert None not in per and set(per) == {"web", "wiki", "books"}
+    # web thinned: 0 full epochs, ~45% of 40 docs, epoch column == 1
+    assert 0 < per["web"]["n"] < 40 and per["web"]["max_ep"] == 1
+    # wiki repeated: every doc appears at least once, some twice
+    assert 10 <= per["wiki"]["n"] <= 20 and per["wiki"]["max_ep"] == 2
+    # books capped at exactly 4 integer epochs: deterministic 16 copies
+    assert per["books"]["n"] == 16 and per["books"]["max_ep"] == 4
+    # copy indexes are dense 1..n per doc
+    gaps = (
+        out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), F.max("epoch").alias("m"))
+        .where(F.col("n") != F.col("m")).count()
+    )
+    assert gaps == 0
+
+
+def test_mixture_epochs_deterministic_across_partitioning(spark):
+    from vldt_spark.functions.sampling import mixture_epochs
+
+    df = _epoch_docs(spark)
+    shares = {"web": 0.2, "wiki": 0.5, "books": 0.3}
+    a = mixture_epochs(df, "source", "doc_id", "n_tok", shares, seed=7)
+    b = mixture_epochs(
+        df.repartition(13, "doc_id"), "source", "doc_id", "n_tok", shares, seed=7
+    )
+    ra = sorted((r["doc_id"], r["epoch"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["epoch"]) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+
+
+def test_mixture_epochs_explicit_budget_and_validation(spark):
+    from vldt_spark.functions.sampling import mixture_epochs
+
+    df = _epoch_docs(spark)
+    # explicit half-size budget: books target = 0.5*2700/400 = 3.375 epochs
+    out = mixture_epochs(
+        df, "source", "doc_id", "n_tok", {"books": 1.0, "web": 1.0},
+        total_tokens=2700.0, max_epochs=8.0,
+    )
+    books = out.where(F.col("source") == "books")
+    n = books.count()
+    assert 4 * 3 <= n <= 4 * 4  # 3 full epochs + hash-selected extras
+    with pytest.raises(ValueError):
+        mixture_epochs(df, "source", "doc_id", "n_tok", {})
+    with pytest.raises(ValueError):
+        mixture_epochs(df, "source", "doc_id", "n_tok", {"web": -1.0})
+    with pytest.raises(ValueError):
+        mixture_epochs(df, "source", "doc_id", "n_tok", {"web": 1.0}, max_epochs=0)
+    with pytest.raises(ValueError):
+        mixture_epochs(df, "source", "doc_id", "n_tok", {"web": 1.0}, total_tokens=-5)
+
+
+def test_mixture_epochs_report_shares_and_caps(spark):
+    from vldt_spark.functions.sampling import mixture_epochs, mixture_epochs_report
+
+    df = _epoch_docs(spark)
+    shares = {"web": 2.0, "wiki": 1.0, "books": 1.0}  # normalized to .5/.25/.25
+    out = mixture_epochs(df, "source", "doc_id", "n_tok", shares, max_epochs=2.0)
+    rep = {r["source"]: r for r in
+           mixture_epochs_report(df, out, "source", "n_tok", shares).collect()}
+    assert rep["web"]["target_share"] == 0.5
+    # books wanted 1350/400 = 3.375 epochs but capped at 2: under target
+    assert rep["books"]["epochs_realized"] == 2.0
+    assert rep["books"]["share_gap"] < 0
+    # achieved = target + gap, and achieved shares sum to 1
+    for r in rep.values():
+        assert abs(r["achieved_share"] - (r["target_share"] + r["share_gap"])) < 1e-6
+    assert abs(sum(r["achieved_share"] for r in rep.values()) - 1.0) < 1e-5
+    # tokens_after consistency: epochs_realized * tokens_before
+    for r in rep.values():
+        assert abs(r["tokens_after"] - r["epochs_realized"] * r["tokens_before"]) < 1.0

@@ -282,6 +282,166 @@ def mixture_report(
     )
 
 
+def mixture_epochs(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    token_col: str,
+    target_shares: dict[str, float],
+    *,
+    total_tokens: float | None = None,
+    max_epochs: float = 4.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Token-budget mixture epochs: materialize a training corpus where
+    each source is REPEATED (or thinned) to hit a target token mixture —
+    the "epochs per source" recipe from The Pile / Llama data cards,
+    where up-weighted sources (books, wiki) are seen >1 epoch per
+    training pass and bulk web <1.
+
+    Given target token shares ``w_s`` (normalized over the named
+    sources) and a token budget ``B`` (default: the input corpus's total
+    tokens, so the output stays the same size while the mixture is
+    reshaped), source ``s`` must contribute ``w_s·B`` tokens; with
+    ``T_s`` actual tokens its epoch count is
+
+        e_s = min(max_epochs, w_s · B / T_s)
+
+    — a value < 1 thins the source, > 1 repeats it, and the cap bounds
+    repetition of tiny sources (repeating past ~4 epochs measurably
+    degrades models — Muennighoff et al. 2023, "Scaling Data-Constrained
+    Language Models"). Every document in ``s`` is emitted
+    ``floor(e_s)`` times, plus one extra copy iff ``hash(key, seed) mod
+    10^6 < frac(e_s)·10^6`` — so the expected token mass per source is
+    exactly ``min(max_epochs, w_s·B/T_s)·T_s`` and each row's copy count
+    is a pure function of its key: reproducible on any cluster, any
+    partitioning, any retry. Sources not named in ``target_shares`` are
+    dropped; rows with a NULL group or non-positive token count are
+    dropped before totals (they carry no token mass).
+
+    Output: the input columns plus ``epoch`` (1-based copy index).
+    Downstream, feed ``corpus_shuffle`` keyed on (key, epoch) so copies
+    of a document land in different shards / far-apart positions.
+
+    Scale: one |sources|-row token-total aggregate, a 1-row budget
+    aggregate, and a literal shares relation — all broadcast back onto
+    the single fact scan; the copy fan-out is a row-local
+    ``explode(sequence(...))``. The fact table is never shuffled and
+    nothing is collected to the driver. ``hash_fn="md5"`` is the
+    portable path the oracle gate value-checks against DuckDB.
+    """
+    if not target_shares:
+        raise ValueError("mixture_epochs: target_shares must name at least one source")
+    tot_w = float(sum(target_shares.values()))
+    if tot_w <= 0 or any(w < 0 for w in target_shares.values()):
+        raise ValueError(
+            f"mixture_epochs: shares must be non-negative with a positive sum, got {target_shares}"
+        )
+    if max_epochs <= 0:
+        raise ValueError(f"mixture_epochs: max_epochs must be > 0, got {max_epochs}")
+    if total_tokens is not None and total_tokens <= 0:
+        raise ValueError(f"mixture_epochs: total_tokens must be > 0, got {total_tokens}")
+    df = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(token_col).isNotNull()
+        & (F.col(token_col) > 0)
+    )
+    toks = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col).cast("double")).alias("__tok")
+    )
+    shares = df.sparkSession.createDataFrame(
+        [(k, v / tot_w) for k, v in target_shares.items()],
+        f"{group_col} string, __share double",
+    )
+    ep = toks.join(F.broadcast(shares), group_col, "inner")
+    if total_tokens is None:
+        budget = toks.agg(F.sum("__tok").alias("__budget"))
+        ep = ep.crossJoin(F.broadcast(budget))
+    else:
+        ep = ep.withColumn("__budget", F.lit(float(total_tokens)))
+    m = 1_000_000
+    eps = F.least(
+        F.lit(float(max_epochs)),
+        F.col("__share") * F.col("__budget") / F.col("__tok"),
+    )
+    ep = ep.select(
+        group_col,
+        F.floor(eps).cast("int").alias("__full"),
+        F.floor((eps - F.floor(eps)) * m).cast("long").alias("__thr"),
+    )
+    h = F.pmod(_hash64(F.col(key_col).cast("string"), seed, hash_fn), F.lit(m))
+    n = F.col("__full") + F.when(h < F.col("__thr"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(ep), group_col)
+        .withColumn("__n", n)
+        .where(F.col("__n") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .select(*df.columns, "epoch")
+    )
+
+
+def mixture_epochs_report(
+    before: DataFrame,
+    after: DataFrame,
+    group_col: str,
+    token_col: str,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """Audit a mixture-epochs materialization: per named source, the
+    token share ``after`` actually achieved vs the normalized target —
+    plus the realized epoch count (tokens_after / tokens_before). A
+    source whose epochs hit the cap cannot reach its target; the gap
+    column quantifies by how much (positive = over-represented).
+
+    Returns (group, docs_before, docs_after, tokens_before,
+    tokens_after, epochs_realized, target_share, achieved_share,
+    share_gap); shares/epochs rounded half-up to 6 decimals. Scale: two
+    |sources|-row aggregates + a 1-row total — no fact shuffle.
+    """
+    if not target_shares:
+        raise ValueError("mixture_epochs_report: target_shares must name at least one source")
+    tot_w = float(sum(target_shares.values()))
+    if tot_w <= 0:
+        raise ValueError("mixture_epochs_report: shares must have a positive sum")
+    shares = before.sparkSession.createDataFrame(
+        [(k, v / tot_w) for k, v in target_shares.items()],
+        f"{group_col} string, __share double",
+    )
+    tok = F.col(token_col).cast("double")
+    b = (
+        before.where(F.col(group_col).isNotNull() & (tok > 0))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("docs_before"), F.sum(tok).alias("tokens_before"))
+    )
+    a = after.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("docs_after"), F.sum(tok).alias("tokens_after")
+    )
+    j = (
+        shares.join(b, group_col, "left")
+        .join(a, group_col, "left")
+        .fillna(0, subset=["docs_before", "docs_after", "tokens_before", "tokens_after"])
+    )
+    ta = j.agg(F.sum("tokens_after").alias("__ta"))
+    j = j.crossJoin(F.broadcast(ta))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731 — half-up, DuckDB-portable
+    achieved = F.coalesce(F.try_divide(F.col("tokens_after"), F.col("__ta")), F.lit(0.0))
+    epochs = F.coalesce(
+        F.try_divide(F.col("tokens_after"), F.col("tokens_before")), F.lit(0.0)
+    )
+    return j.select(
+        group_col,
+        "docs_before",
+        "docs_after",
+        F.col("tokens_before").cast("double").alias("tokens_before"),
+        F.col("tokens_after").cast("double").alias("tokens_after"),
+        r6(epochs).alias("epochs_realized"),
+        r6(F.col("__share")).alias("target_share"),
+        r6(achieved).alias("achieved_share"),
+        r6(achieved - F.col("__share")).alias("share_gap"),
+    )
+
+
 def corpus_shuffle(
     df: DataFrame,
     key_col: str,
