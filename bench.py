@@ -70,6 +70,8 @@ BENCH_QUERY_NAMES = [
     "incremental_dedup",
     "pack_nextfit",
     "gopher_report",
+    "mixture_epochs",
+    "corpus_shuffle",
 ]
 
 
@@ -317,6 +319,37 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     ):
         fn = qs[gate]
         timed(short, lambda f=fn: f(spark, SF_DIR).collect())
+
+    # round-5 final additions: token-budget mixture materialization and
+    # the deterministic corpus shuffle — both single-fact-scan plans
+    # (broadcast epoch table + row-local explode; one shard exchange +
+    # local sort), timed over the documents table end-to-end
+    from vldt_spark.functions.sampling import corpus_shuffle, mixture_epochs
+
+    def mixture_epochs_bench():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return (
+            mixture_epochs(
+                docs, "source", "doc_id", "n_chars",
+                {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+                max_epochs=5.0,
+            )
+            .agg(F.count(F.lit(1)), F.sum("n_chars"), F.max("epoch"))
+            .collect()
+        )
+
+    timed("mixture_epochs", mixture_epochs_bench)
+
+    def corpus_shuffle_bench():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        # with_pos forces the within-shard sort to actually run (an
+        # order-insensitive agg would let EliminateSorts drop it)
+        shuffled = corpus_shuffle(docs, "doc_id", 32, with_pos=True)
+        return shuffled.groupBy("shard").agg(
+            F.count(F.lit(1)), F.max("pos"), F.min("doc_id")
+        ).collect()
+
+    timed("corpus_shuffle", corpus_shuffle_bench)
 
     missing = set(BENCH_QUERY_NAMES) ^ set(timings)
     assert not missing, f"bench rows drifted from BENCH_QUERY_NAMES: {missing}"

@@ -396,11 +396,11 @@ def test_bench_compact_line_fits_driver_tail():
         flagship_reps=[9999.999] * 5,
         cpus=32,
     )
-    # 27 queries at worst-case widths is ~1.22 KB; the driver tail keeps
-    # ~2000 chars and the line is bench's ONLY stdout, so ≤1400 leaves
-    # ≥600 chars of margin (compact_line's 1500 hard guard still drops
+    # 34 queries at worst-case widths is ~1.42 KB; the driver tail keeps
+    # ~2000 chars and the line is bench's ONLY stdout, so ≤1450 leaves
+    # ≥550 chars of margin (compact_line's 1500 hard guard still drops
     # the queries map if the set ever outgrows even that).
-    assert len(line) < 1400, len(line)
+    assert len(line) < 1450, len(line)
     import json
 
     parsed = json.loads(line)
