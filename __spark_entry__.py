@@ -306,6 +306,50 @@ SELECT 'contamination_below', 'text', m, CAST(0.0 AS DOUBLE), FALSE FROM conm
 """
 
 
+def q_suite_mixture_guard(spark, sf_dir):
+    """Mixture-fidelity gate as a declarative suite expectation
+    (round-5): the worst per-source deviation between achieved and
+    target token share (checks/suite.py mixture_gap_below — the
+    acceptance check for a mixture_epochs/temperature_sample corpus),
+    with a structurally-passing (thr 0.5) and structurally-failing
+    (thr 0.0) arm so both verdict directions are value-checked through
+    Suite.run. The metric is the real corpus scalar, replayed by the
+    DuckDB oracle."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    shares = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    suite = Suite(
+        [
+            expect.mixture_gap_below("source", "n_chars", shares, 0.5),
+            expect.mixture_gap_below("source", "n_chars", shares, 0.0),
+        ]
+    )
+    return suite.run(docs)
+
+
+SQL_SUITE_MIXTURE_GUARD = """
+WITH base AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS t FROM documents
+  WHERE source IN ('src0','src1','src2','src3')
+    AND n_chars IS NOT NULL AND n_chars > 0
+), tok AS (
+  SELECT source, sum(t) AS tk FROM base GROUP BY source
+), sh AS (
+  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1))
+         AS s(source, share)
+), m AS (
+  SELECT floor(max(abs(coalesce(tk, 0) / (SELECT sum(tk) FROM tok) - share))
+               * 1e6 + 0.5) / 1e6 AS m
+  FROM sh LEFT JOIN tok USING (source)
+)
+SELECT 'mixture_gap_below' AS "check", 'source' AS "column",
+       m AS metric, CAST(0.5 AS DOUBLE) AS threshold, m < 0.5 AS passed FROM m
+UNION ALL
+SELECT 'mixture_gap_below', 'source', m, CAST(0.0 AS DOUBLE), FALSE FROM m
+"""
+
+
 def _char_tokens(docs):
     return docs.select(
         "doc_id",
@@ -6278,6 +6322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round 5 ---
         "mixture_epochs_documents": q_mixture_epochs_documents,
         "mixture_epochs_report_documents": q_mixture_epochs_report_documents,
+        "suite_mixture_guard": q_suite_mixture_guard,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
@@ -6514,6 +6559,7 @@ def oracle_sql() -> dict[str, str]:
         "suite_profile_guards": SQL_SUITE_PROFILE_GUARDS,
         "exact_substr_documents": SQL_EXACT_SUBSTR_DOCUMENTS,
         "suite_corpus_guards": SQL_SUITE_CORPUS_GUARDS,
+        "suite_mixture_guard": SQL_SUITE_MIXTURE_GUARD,
         "ivf_pq_topk": SQL_IVF_PROBE_TOPK,
         "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,

@@ -466,3 +466,41 @@ def test_corpus_shuffle_rejects_bad_shards(spark):
     df = spark.createDataFrame([("a",)], "doc_id string")
     with pytest.raises(ValueError, match="n_shards"):
         corpus_shuffle(df, "doc_id", 0)
+
+
+def test_suite_mixture_gap_guard(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    # token mass: a=600, b=300, c=100 (+ an unnamed source and junk rows
+    # that must not count) -> achieved shares 0.6/0.3/0.1
+    rows = [("a", 600), ("b", 300), ("c", 60), ("c", 40),
+            ("other", 5000), ("a", None), (None, 100), ("b", 0)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    shares = {"a": 0.5, "b": 0.3, "c": 0.2}  # worst gap = |0.6-0.5| = 0.1
+    report = {
+        r["threshold"]: (r["metric"], r["passed"])
+        for r in Suite(
+            [
+                expect.mixture_gap_below("source", "n_tok", shares, 0.15),
+                expect.mixture_gap_below("source", "n_tok", shares, 0.05),
+            ]
+        ).run(df).collect()
+    }
+    assert abs(report[0.15][0] - 0.1) < 1e-9 and report[0.15][1] is True
+    assert abs(report[0.05][0] - 0.1) < 1e-9 and report[0.05][1] is False
+
+    # a named source with zero mass counts as achieved=0 (gap = its target)
+    df2 = spark.createDataFrame([("a", 100)], "source string, n_tok int")
+    rep2 = Suite(
+        [expect.mixture_gap_below("source", "n_tok", {"a": 1.0, "b": 1.0}, 0.6)]
+    ).run(df2).first()
+    assert abs(rep2["metric"] - 0.5) < 1e-9 and rep2["passed"] is True
+
+    # empty / no named mass: NaN metric, failed
+    rep3 = Suite(
+        [expect.mixture_gap_below("source", "n_tok", {"zzz": 1.0}, 0.5)]
+    ).run(df2).first()
+    assert rep3["metric"] != rep3["metric"] and rep3["passed"] is False
+
+    with pytest.raises(ValueError, match="target_shares"):
+        expect.mixture_gap_below("source", "n_tok", {}, 0.5)

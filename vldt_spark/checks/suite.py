@@ -409,6 +409,36 @@ class expect:
         )
 
     @staticmethod
+    def mixture_gap_below(
+        group_col: str,
+        token_col: str,
+        target_shares: dict[str, float],
+        threshold: float,
+    ) -> Expectation:
+        """Mixture-fidelity guard: the worst per-source deviation between
+        the corpus's achieved token share and its normalized target —
+        ``max_s |achieved_s − w_s|`` over the named sources — must stay
+        BELOW the threshold. The acceptance check for a corpus built by
+        ``mixture_epochs`` / ``temperature_sample``: a drifting ingest or
+        a mis-applied epoch table shows up here as one scalar. Shares are
+        computed over the named sources' token mass (the same frame
+        ``mixture_epochs_report`` uses). One |sources|-row aggregate —
+        the corpus never shuffles."""
+        if not target_shares:
+            raise ValueError("mixture_gap_below: target_shares must name at least one source")
+        if sum(target_shares.values()) <= 0:
+            raise ValueError("mixture_gap_below: shares must have a positive sum")
+        return Expectation(
+            "mixture_gap_below",
+            group_col,
+            {
+                "token_col": token_col,
+                "shares": dict(target_shares),
+                "threshold": threshold,
+            },
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -862,6 +892,31 @@ class Suite:
             else:
                 metric = float(row["nt"]) / float(row["nw"])
                 passed = lo <= metric <= hi
+        elif e.kind == "mixture_gap_below":
+            thr = float(p["threshold"])
+            shares = p["shares"]
+            tot_w = float(sum(shares.values()))
+            tok = F.col(p["token_col"]).cast("double")
+            rows = (
+                df.where(
+                    F.col(e.column).isin(list(shares))
+                    & tok.isNotNull()
+                    & (tok > 0)
+                )
+                .groupBy(e.column)
+                .agg(F.sum(tok).alias("t"))
+                .collect()  # bounded: one row per NAMED source
+            )
+            total = sum(float(r["t"]) for r in rows)
+            if not rows or total <= 0:
+                # no token mass in any named source: no mixture to guard
+                metric, passed = float("nan"), False
+            else:
+                got = {r[e.column]: float(r["t"]) / total for r in rows}
+                metric = max(
+                    abs(got.get(k, 0.0) - w / tot_w) for k, w in shares.items()
+                )
+                passed = metric < thr
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift
 
