@@ -2736,6 +2736,42 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+def q_split_leakage_documents(spark, sf_dir):
+    """Dedup-aware split audit (Lee et al. 2022 §5): exact 3-gram Jaccard
+    near-dup pairs classified by the (unordered) split pair they straddle
+    under the md5 split-assignment law — cross-split rows are train/eval
+    leakage. The weights path recomputes splits row-locally from the pair
+    ids (zero joins); the whole leakage matrix is value-checked."""
+    from vldt_spark.functions.dedup import ngram_jaccard_pairs
+    from vldt_spark.functions.sampling import split_leakage_report
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return split_leakage_report(
+        pairs,
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_fn="md5",
+    )
+
+
+def q_split_leakage_drop_documents(spark, sf_dir):
+    """The actionable half of the leakage audit: distinct train-side doc
+    ids that near-duplicate a val/test document — the exact set to
+    anti-join out of train (drop from train, never from eval). Exact id
+    set value-checked."""
+    from vldt_spark.functions.dedup import ngram_jaccard_pairs
+    from vldt_spark.functions.sampling import split_leakage_drop_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return split_leakage_drop_ids(
+        pairs,
+        {"val", "test"},
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_fn="md5",
+    )
+
+
 def q_contamination_report_documents(spark, sf_dir):
     """Train/test contamination screen at the GPT-3 13-gram setting: the
     'benchmark' is the deterministic doc_id % 41 slice of the corpus, so
@@ -3577,6 +3613,44 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.3
+"""
+
+
+# split-leakage oracles: the jaccard pair relation as a CTE (nested WITH
+# inside a CTE body is valid DuckDB), each pair id re-hashed through the
+# md5 split-assignment law (seed 0: 'key#0', train<0.8, val<0.9).
+_SQL_LEAKAGE_SPLITS_CTE = f"""
+WITH pairs AS ({SQL_NGRAM_JACCARD_PAIRS}
+), sp AS (
+  SELECT id_a, id_b,
+         CASE WHEN ha < 800000 THEN 'train' WHEN ha < 900000 THEN 'val'
+              ELSE 'test' END AS sa,
+         CASE WHEN hb < 800000 THEN 'train' WHEN hb < 900000 THEN 'val'
+              ELSE 'test' END AS sb
+  FROM (SELECT id_a, id_b,
+               CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+                 % 1000000 AS ha,
+               CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+                 % 1000000 AS hb
+        FROM pairs)
+)
+"""
+
+SQL_SPLIT_LEAKAGE_DOCUMENTS = _SQL_LEAKAGE_SPLITS_CTE + """
+SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(sa, sb) <> greatest(sa, sb) AS leaked
+FROM sp GROUP BY 1, 2
+"""
+
+SQL_SPLIT_LEAKAGE_DROP_DOCUMENTS = _SQL_LEAKAGE_SPLITS_CTE + """
+SELECT DISTINCT doc_id FROM (
+  SELECT id_a AS doc_id FROM sp
+  WHERE sb IN ('val', 'test') AND sa NOT IN ('val', 'test')
+  UNION ALL
+  SELECT id_b FROM sp
+  WHERE sa IN ('val', 'test') AND sb NOT IN ('val', 'test')
+)
 """
 
 
@@ -6323,6 +6397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_epochs_documents": q_mixture_epochs_documents,
         "mixture_epochs_report_documents": q_mixture_epochs_report_documents,
         "suite_mixture_guard": q_suite_mixture_guard,
+        "split_leakage_documents": q_split_leakage_documents,
+        "split_leakage_drop_documents": q_split_leakage_drop_documents,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
@@ -6560,6 +6636,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_substr_documents": SQL_EXACT_SUBSTR_DOCUMENTS,
         "suite_corpus_guards": SQL_SUITE_CORPUS_GUARDS,
         "suite_mixture_guard": SQL_SUITE_MIXTURE_GUARD,
+        "split_leakage_documents": SQL_SPLIT_LEAKAGE_DOCUMENTS,
+        "split_leakage_drop_documents": SQL_SPLIT_LEAKAGE_DROP_DOCUMENTS,
         "ivf_pq_topk": SQL_IVF_PROBE_TOPK,
         "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,

@@ -440,3 +440,103 @@ def test_mixture_epochs_report_shares_and_caps(spark):
     # tokens_after consistency: epochs_realized * tokens_before
     for r in rep.values():
         assert abs(r["tokens_after"] - r["epochs_realized"] * r["tokens_before"]) < 1.0
+
+
+# ------------------------------------------------------------- leakage
+
+
+def _leak_fixture(spark):
+    # pairs: (1,2) both train-ish keys? — splits fixed via a stored table
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8), (5, 6, 0.7), (1, 6, 0.6)],
+        "id_a int, id_b int, jaccard double",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "train"), (4, "test"),
+         (5, "val"), (6, "test")],
+        "doc_id int, split string",
+    )
+    return pairs, splits
+
+
+def test_split_leakage_report_table_path(spark):
+    from vldt_spark.functions.sampling import split_leakage_report
+
+    pairs, splits = _leak_fixture(spark)
+    rep = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["leaked"])
+        for r in split_leakage_report(pairs, splits=splits).collect()
+    }
+    # (1,2) train-train; (3,4) train-test; (5,6) val-test(ordered test,val);
+    # (1,6) train-test
+    assert rep[("train", "train")] == (1, False)
+    assert rep[("test", "train")] == (2, True)
+    assert rep[("test", "val")] == (1, True)
+    assert len(rep) == 3
+
+
+def test_split_leakage_weights_path_matches_split_assign(spark):
+    from vldt_spark.functions.sampling import (
+        split_assign,
+        split_leakage_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(200)], "doc_id string"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    assigned = split_assign(docs, "doc_id", w, seed=7, hash_fn="md5")
+    # adjacent-id pairs
+    pairs = spark.createDataFrame(
+        [(f"doc{i}", f"doc{i+1}") for i in range(0, 199, 2)],
+        "id_a string, id_b string",
+    )
+    via_weights = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in split_leakage_report(
+            pairs, weights=w, seed=7, hash_fn="md5"
+        ).collect()
+    }
+    via_table = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in split_leakage_report(pairs, splits=assigned).collect()
+    }
+    # the weights path recomputes the SAME law split_assign applied
+    assert via_weights == via_table
+    assert sum(via_weights.values()) == 100
+
+
+def test_split_leakage_weights_path_plan_has_no_join(spark):
+    from vldt_spark.functions.sampling import split_leakage_report
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "id_a string, id_b string"
+    )
+    plan = (
+        split_leakage_report(pairs, weights={"train": 0.9, "test": 0.1})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
+
+
+def test_split_leakage_drop_ids(spark):
+    from vldt_spark.functions.sampling import split_leakage_drop_ids
+
+    pairs, splits = _leak_fixture(spark)
+    dropped = {
+        r["doc_id"]
+        for r in split_leakage_drop_ids(
+            pairs, {"test", "val"}, splits=splits
+        ).collect()
+    }
+    # train docs 3 and 1 pair with protected docs (4, 6); protected docs
+    # themselves (and protected-protected pairs like 5-6) never drop
+    assert dropped == {1, 3}
+
+    with pytest.raises(ValueError, match="protect"):
+        split_leakage_drop_ids(pairs, [], splits=splits)
+    with pytest.raises(ValueError, match="exactly one"):
+        split_leakage_drop_ids(pairs, ["test"])

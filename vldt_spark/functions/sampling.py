@@ -84,13 +84,26 @@ def split_assign(
     partitioning — and membership is reproducible from the key alone (no
     stored split table needed). One projection, no shuffle; weights are
     normalized, declaration order fixes the threshold order."""
+    return df.withColumn(
+        "split", _split_expr(F.col(key_col), weights, seed=seed, hash_fn=hash_fn)
+    )
+
+
+def _split_expr(key, weights: dict[str, float], *, seed: int, hash_fn: str):
+    """The split-assignment LAW as a column expression: hash the key,
+    compare against cumulative weight thresholds. Shared by
+    ``split_assign`` and the zero-shuffle weights path of
+    ``split_leakage_report`` — both MUST agree bit-for-bit or the
+    leakage matrix audits a different split than the one assigned."""
     if not weights:
-        raise ValueError("split_assign: weights must name at least one split")
+        raise ValueError("split weights must name at least one split")
     tot = float(sum(weights.values()))
     if tot <= 0 or any(w < 0 for w in weights.values()):
-        raise ValueError(f"split_assign: weights must be non-negative with a positive sum, got {weights}")
+        raise ValueError(
+            f"split weights must be non-negative with a positive sum, got {weights}"
+        )
     m = 1_000_000
-    h = F.pmod(_hash64(F.col(key_col).cast("string"), seed, hash_fn), F.lit(m))
+    h = F.pmod(_hash64(key.cast("string"), seed, hash_fn), F.lit(m))
     expr = None
     cum = 0.0
     names = list(weights)
@@ -99,7 +112,122 @@ def split_assign(
         cond = h < int(round(cum * m))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
-    return df.withColumn("split", last if expr is None else expr.otherwise(last))
+    return last if expr is None else expr.otherwise(last)
+
+
+def _pair_splits(
+    pairs: DataFrame,
+    *,
+    splits: DataFrame | None,
+    weights: dict[str, float] | None,
+    id_cols: tuple[str, str],
+    id_col: str,
+    split_col: str,
+    seed: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Attach ``__split_a``/``__split_b`` to a near-dup pair relation.
+
+    Weights path (splits derived by ``split_assign``): the split is a
+    pure hash function of the key, so it is RECOMPUTED row-locally from
+    id_a/id_b — zero joins, zero shuffle, nothing but the pair relation
+    is ever touched. Stored-table path: two id-keyed joins against the
+    split table; at 10^12-row corpora pre-reduce the split table with a
+    semi-join against the (far smaller) pair-id set so only ≤ 2·|pairs|
+    split rows ride the exchange — AQE then broadcasts them."""
+    a, b = id_cols
+    if (splits is None) == (weights is None):
+        raise ValueError("pass exactly one of splits= or weights=")
+    if weights is not None:
+        return pairs.withColumn(
+            "__split_a", _split_expr(F.col(a), weights, seed=seed, hash_fn=hash_fn)
+        ).withColumn(
+            "__split_b", _split_expr(F.col(b), weights, seed=seed, hash_fn=hash_fn)
+        )
+    ids = (
+        pairs.select(F.col(a).alias(id_col))
+        .union(pairs.select(F.col(b).alias(id_col)))
+        .distinct()
+    )
+    small = splits.join(ids, id_col, "left_semi").select(id_col, split_col)
+    sa = small.select(F.col(id_col).alias(a), F.col(split_col).alias("__split_a"))
+    sb = small.select(F.col(id_col).alias(b), F.col(split_col).alias("__split_b"))
+    return pairs.join(sa, a).join(sb, b)
+
+
+def split_leakage_report(
+    pairs: DataFrame,
+    *,
+    splits: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-split near-duplicate leakage matrix (the dedup-aware split
+    audit of Lee et al. 2022 §5 / the GPT-3 appendix-C concern): given a
+    near-dup pair relation — minhash/simhash/embedding candidates or
+    exact ``ngram_jaccard_pairs`` — count pairs by the (unordered) split
+    pair they straddle. A nonzero (train, test) row means test documents
+    have near-duplicates in train and eval numbers are contaminated.
+
+    Pass ``weights=`` when splits come from ``split_assign`` (same
+    weights/seed/hash_fn): the split is recomputed from each pair id
+    row-locally — ZERO joins or shuffles beyond the one |splits|²-row
+    aggregate. Pass ``splits=`` for a stored split table: the table is
+    semi-joined down to the pair ids first, so only ≤ 2·|pairs| split
+    rows ever ride an exchange regardless of corpus size.
+
+    Returns (split_a, split_b, n_pairs, leaked) with split_a ≤ split_b,
+    ``leaked`` = the pair straddles two splits."""
+    j = _pair_splits(
+        pairs, splits=splits, weights=weights, id_cols=id_cols,
+        id_col=id_col, split_col=split_col, seed=seed, hash_fn=hash_fn,
+    )
+    lo = F.least("__split_a", "__split_b")
+    hi = F.greatest("__split_a", "__split_b")
+    return (
+        j.select(lo.alias("split_a"), hi.alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def split_leakage_drop_ids(
+    pairs: DataFrame,
+    protect: list[str] | set[str] | tuple[str, ...],
+    *,
+    splits: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The actionable half of the leakage audit: distinct NON-protected
+    ids that near-duplicate a document in a protected split — the rows
+    to anti-join out of train so val/test stay clean (dropping from
+    train preserves the eval sets; dropping from eval would silently
+    shrink the benchmark). Same splits=/weights= contract as
+    ``split_leakage_report``. Output: one ``doc_id`` column, distinct —
+    broadcast it back as an anti-join, the ``dedup_near`` pattern."""
+    protect = set(protect)
+    if not protect:
+        raise ValueError("split_leakage_drop_ids: protect must name at least one split")
+    a, b = id_cols
+    j = _pair_splits(
+        pairs, splits=splits, weights=weights, id_cols=id_cols,
+        id_col=id_col, split_col=split_col, seed=seed, hash_fn=hash_fn,
+    )
+    in_prot_a = F.col("__split_a").isin(list(protect))
+    in_prot_b = F.col("__split_b").isin(list(protect))
+    drop_a = j.where(in_prot_b & ~in_prot_a).select(F.col(a).alias(id_col))
+    drop_b = j.where(in_prot_a & ~in_prot_b).select(F.col(b).alias(id_col))
+    return drop_a.union(drop_b).distinct()
 
 
 def temperature_sample(
