@@ -2772,6 +2772,53 @@ def q_split_leakage_drop_documents(spark, sf_dir):
     )
 
 
+def q_split_assign_clustered_documents(spark, sf_dir):
+    """Leakage-proof split assignment: every near-dup cluster (connected
+    components over the exact Jaccard pairs) hashes its REPRESENTATIVE
+    through the split law, so components land whole in one split;
+    singletons keep the plain split_assign law. The full (doc_id, split)
+    assignment is value-checked against a recursive-CTE closure + the
+    same md5 hash law in DuckDB."""
+    from vldt_spark.functions.dedup import near_dup_clusters, ngram_jaccard_pairs
+    from vldt_spark.functions.sampling import split_assign_clustered
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    clusters = near_dup_clusters(pairs)
+    return split_assign_clustered(
+        docs.select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        clusters,
+        hash_fn="md5",
+    )
+
+
+def q_split_leakage_clustered_documents(spark, sf_dir):
+    """The invariant the clustered assignment buys, witnessed corpus-wide:
+    re-running the leakage audit against the clustered split table yields
+    a matrix whose every row has leaked=false (near-dup pairs can no
+    longer straddle splits). Value-checked: the oracle replays closure +
+    hash law + matrix."""
+    from vldt_spark.functions.dedup import near_dup_clusters, ngram_jaccard_pairs
+    from vldt_spark.functions.sampling import (
+        split_assign_clustered,
+        split_leakage_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    clusters = near_dup_clusters(pairs)
+    assigned = split_assign_clustered(
+        docs.select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        clusters,
+        hash_fn="md5",
+    )
+    return split_leakage_report(pairs, splits=assigned)
+
+
 def q_contamination_report_documents(spark, sf_dir):
     """Train/test contamination screen at the GPT-3 13-gram setting: the
     'benchmark' is the deterministic doc_id % 41 slice of the corpus, so
@@ -3651,6 +3698,54 @@ SELECT DISTINCT doc_id FROM (
   SELECT id_b FROM sp
   WHERE sa IN ('val', 'test') AND sb NOT IN ('val', 'test')
 )
+"""
+
+
+# clustered split assignment: recursive-CTE transitive closure gives each
+# doc its cluster representative (min member id); the md5 split law is
+# applied to coalesce(representative, own id).
+_SQL_CLUSTERED_SPLITS_CTE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + SQL_NGRAM_JACCARD_PAIRS
+    + """
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), cl AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), keyed AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS k
+  FROM documents d LEFT JOIN cl USING (doc_id)
+), assigned AS (
+  SELECT doc_id,
+         CASE WHEN hv < 800000 THEN 'train' WHEN hv < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+                 % 1000000 AS hv
+        FROM keyed)
+)
+"""
+)
+
+SQL_SPLIT_ASSIGN_CLUSTERED_DOCUMENTS = (
+    _SQL_CLUSTERED_SPLITS_CTE + "SELECT doc_id, split FROM assigned"
+)
+
+SQL_SPLIT_LEAKAGE_CLUSTERED_DOCUMENTS = _SQL_CLUSTERED_SPLITS_CTE + """
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leaked
+FROM pairs p
+JOIN assigned sa ON sa.doc_id = p.id_a
+JOIN assigned sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2
 """
 
 
@@ -6399,6 +6494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_mixture_guard": q_suite_mixture_guard,
         "split_leakage_documents": q_split_leakage_documents,
         "split_leakage_drop_documents": q_split_leakage_drop_documents,
+        "split_assign_clustered_documents": q_split_assign_clustered_documents,
+        "split_leakage_clustered_documents": q_split_leakage_clustered_documents,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
@@ -6638,6 +6735,8 @@ def oracle_sql() -> dict[str, str]:
         "suite_mixture_guard": SQL_SUITE_MIXTURE_GUARD,
         "split_leakage_documents": SQL_SPLIT_LEAKAGE_DOCUMENTS,
         "split_leakage_drop_documents": SQL_SPLIT_LEAKAGE_DROP_DOCUMENTS,
+        "split_assign_clustered_documents": SQL_SPLIT_ASSIGN_CLUSTERED_DOCUMENTS,
+        "split_leakage_clustered_documents": SQL_SPLIT_LEAKAGE_CLUSTERED_DOCUMENTS,
         "ivf_pq_topk": SQL_IVF_PROBE_TOPK,
         "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,

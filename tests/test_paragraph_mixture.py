@@ -540,3 +540,46 @@ def test_split_leakage_drop_ids(spark):
         split_leakage_drop_ids(pairs, [], splits=splits)
     with pytest.raises(ValueError, match="exactly one"):
         split_leakage_drop_ids(pairs, ["test"])
+
+
+def test_split_assign_clustered_zero_leakage(spark):
+    from vldt_spark.functions.dedup import near_dup_clusters
+    from vldt_spark.functions.sampling import (
+        split_assign,
+        split_assign_clustered,
+        split_leakage_report,
+    )
+
+    # 60 docs; a chain cluster {0,1,2}, a pair {10,11}, rest singletons
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id int")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a int, id_b int"
+    )
+    clusters = near_dup_clusters(pairs)
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    assigned = split_assign_clustered(docs, "doc_id", w, clusters, seed=3)
+
+    # every cluster member shares its representative's split
+    by_doc = {r["doc_id"]: r["split"] for r in assigned.collect()}
+    assert by_doc[0] == by_doc[1] == by_doc[2]
+    assert by_doc[10] == by_doc[11]
+    # singletons keep the plain split_assign law (same seed)
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs, "doc_id", w, seed=3).collect()
+    }
+    for i in range(12, 60):
+        assert by_doc[i] == plain[i]
+    # and cluster members hash the REPRESENTATIVE's key
+    assert by_doc[1] == plain[0] and by_doc[11] == plain[10]
+
+    # the audit is structurally clean: zero leaked pairs
+    leaked = (
+        split_leakage_report(pairs, splits=assigned)
+        .where(F.col("leaked"))
+        .count()
+    )
+    assert leaked == 0
+
+    # output covers every input row exactly once
+    assert assigned.count() == 60

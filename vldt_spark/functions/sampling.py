@@ -155,6 +155,52 @@ def _pair_splits(
     return pairs.join(sa, a).join(sb, b)
 
 
+def split_assign_clustered(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    clusters: DataFrame,
+    *,
+    cluster_key_col: str = "doc_id",
+    cluster_id_col: str = "cluster_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Leakage-proof train/val/test split: hash the near-dup CLUSTER
+    representative instead of the document key, so every member of a
+    near-dup component lands in the same split and cross-split leakage
+    (``split_leakage_report``) is structurally zero — the constructive
+    fix to the Lee et al. 2022 §5 audit, not just its measurement.
+
+    ``clusters`` is ``near_dup_clusters`` output (doc_id, cluster_id
+    = min member id); documents in no cluster hash their own key, and a
+    cluster's representative is itself a member, so singleton and
+    clustered rows share one law. Determinism is preserved: the split
+    is still a pure function of (cluster-or-self key, seed).
+
+    Scale: the cluster relation holds only documents that COLLIDED in
+    dedup (≤ 2·|pairs| rows — small next to the corpus), so it is
+    broadcast onto the single fact scan; the corpus never shuffles.
+    Same split proportions hold in expectation, now over clusters
+    rather than documents — a corpus where near-dup mass is skewed into
+    few huge clusters will show proportion drift, which
+    ``mixture_gap_below``-style share checks catch downstream."""
+    cl = F.broadcast(
+        clusters.select(
+            F.col(cluster_key_col).alias(key_col),
+            F.col(cluster_id_col).alias("__cluster_id"),
+        )
+    )
+    key = F.coalesce(F.col("__cluster_id"), F.col(key_col))
+    return (
+        df.join(cl, key_col, "left")
+        .withColumn(
+            "split", _split_expr(key, weights, seed=seed, hash_fn=hash_fn)
+        )
+        .drop("__cluster_id")
+    )
+
+
 def split_leakage_report(
     pairs: DataFrame,
     *,
