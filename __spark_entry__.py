@@ -2772,6 +2772,78 @@ def q_split_leakage_drop_documents(spark, sf_dir):
     )
 
 
+def _snapshot_versions(spark, sf_dir):
+    """Deterministic synthetic 'next version' of documents: doc_id%13
+    rows removed, n_chars bumped for surviving doc_id%7 rows, doc_id%11
+    rows re-ingested under a +10^7 id (added)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    did = F.col("doc_id")
+    kept = docs.where(did % 13 != 0).withColumn(
+        "n_chars",
+        F.when(did % 7 == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
+    )
+    added = docs.where(did % 11 == 0).select(
+        (did + 10_000_000).alias("doc_id"), "text", "n_chars"
+    )
+    return docs, kept.unionByName(added)
+
+
+def q_snapshot_diff_documents(spark, sf_dir):
+    """Corpus version diff (checks/snapshot.py): row-level delta between
+    two snapshots via one id-keyed full-outer join — status + the sorted
+    changed-column lineage, value-checked on the non-unchanged rows of a
+    synthetic next version (removed/changed/added slices by id residue)."""
+    from vldt_spark.checks.snapshot import snapshot_diff
+
+    before, after = _snapshot_versions(spark, sf_dir)
+    return snapshot_diff(before, after).where(F.col("status") != "unchanged")
+
+
+def q_snapshot_summary_documents(spark, sf_dir):
+    """The version diff reduced to verdict shape: (status, n_rows)."""
+    from vldt_spark.checks.snapshot import snapshot_summary
+
+    before, after = _snapshot_versions(spark, sf_dir)
+    return snapshot_summary(before, after)
+
+
+_SQL_SNAPSHOT_CTE = """
+WITH b AS (
+  SELECT doc_id, text, n_chars FROM documents
+), a AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, text, n_chars FROM documents WHERE doc_id % 11 = 0
+), d AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'added'
+              WHEN a.doc_id IS NULL THEN 'removed'
+              WHEN (b.text IS DISTINCT FROM a.text)
+                OR (b.n_chars IS DISTINCT FROM a.n_chars) THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CASE WHEN b.doc_id IS NOT NULL AND a.doc_id IS NOT NULL THEN
+           array_to_string(list_filter([
+             CASE WHEN b.n_chars IS DISTINCT FROM a.n_chars THEN 'n_chars' END,
+             CASE WHEN b.text IS DISTINCT FROM a.text THEN 'text' END
+           ], x -> x IS NOT NULL), ',')
+         ELSE '' END AS changed_cols
+  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+)
+"""
+
+SQL_SNAPSHOT_DIFF_DOCUMENTS = _SQL_SNAPSHOT_CTE + """
+SELECT doc_id, status,
+       CASE WHEN status = 'changed' THEN changed_cols ELSE '' END AS changed_cols
+FROM d WHERE status <> 'unchanged'
+"""
+
+SQL_SNAPSHOT_SUMMARY_DOCUMENTS = _SQL_SNAPSHOT_CTE + """
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM d GROUP BY status
+"""
+
+
 def q_split_assign_clustered_documents(spark, sf_dir):
     """Leakage-proof split assignment: every near-dup cluster (connected
     components over the exact Jaccard pairs) hashes its REPRESENTATIVE
@@ -6496,6 +6568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_drop_documents": q_split_leakage_drop_documents,
         "split_assign_clustered_documents": q_split_assign_clustered_documents,
         "split_leakage_clustered_documents": q_split_leakage_clustered_documents,
+        "snapshot_diff_documents": q_snapshot_diff_documents,
+        "snapshot_summary_documents": q_snapshot_summary_documents,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
@@ -6737,6 +6811,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_drop_documents": SQL_SPLIT_LEAKAGE_DROP_DOCUMENTS,
         "split_assign_clustered_documents": SQL_SPLIT_ASSIGN_CLUSTERED_DOCUMENTS,
         "split_leakage_clustered_documents": SQL_SPLIT_LEAKAGE_CLUSTERED_DOCUMENTS,
+        "snapshot_diff_documents": SQL_SNAPSHOT_DIFF_DOCUMENTS,
+        "snapshot_summary_documents": SQL_SNAPSHOT_SUMMARY_DOCUMENTS,
         "ivf_pq_topk": SQL_IVF_PROBE_TOPK,
         "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,

@@ -71,3 +71,89 @@ def test_null_rate_shift(spark):
     r = rows[("v", "null_rate_shift")]
     assert r["old_type"] == "0.000000" and r["new_type"] == "0.500000"
     assert ("i", "null_rate_shift") not in rows  # unchanged rate not reported
+
+
+# ------------------------------------------------------------ snapshot
+
+
+def _versions(spark):
+    before = spark.createDataFrame(
+        [
+            (1, "alpha", 10),
+            (2, "beta", 20),
+            (3, "gamma", 30),
+            (4, None, 40),
+            (5, "eps", None),
+        ],
+        "doc_id int, text string, n int",
+    )
+    after = spark.createDataFrame(
+        [
+            (1, "alpha", 10),       # unchanged
+            (2, "BETA", 20),        # text changed
+            (3, "gamma", 99),       # n changed
+            (4, None, 41),          # n changed (null text stays equal)
+            (6, "new", 60),         # added; 5 removed
+        ],
+        "doc_id int, text string, n int",
+    )
+    return before, after
+
+
+def test_snapshot_diff_statuses_and_lineage(spark):
+    from vldt_spark.checks.snapshot import snapshot_diff
+
+    before, after = _versions(spark)
+    got = {
+        r["doc_id"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(before, after).collect()
+    }
+    assert got[1] == ("unchanged", "")
+    assert got[2] == ("changed", "text")
+    assert got[3] == ("changed", "n")
+    assert got[4] == ("changed", "n")      # NULL == NULL on text
+    assert got[5] == ("removed", "")
+    assert got[6] == ("added", "")
+    assert len(got) == 6
+
+
+def test_snapshot_diff_multi_col_change_sorted(spark):
+    from pyspark.sql import functions as F
+
+    from vldt_spark.checks.snapshot import snapshot_diff
+
+    before, _ = _versions(spark)
+    after = before.withColumn("text", F.upper("text")).withColumn(
+        "n", F.col("n") + 1
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(before, after).collect()
+    }
+    # doc 1: both differ, names sorted; doc 4: text NULL->NULL equal
+    assert got[1] == ("changed", "n,text")
+    assert got[4] == ("changed", "n")
+    # doc 5: n NULL on both sides stays equal, text eps->EPS
+    assert got[5] == ("changed", "text")
+
+
+def test_snapshot_summary_and_compare_cols_subset(spark):
+    from vldt_spark.checks.snapshot import snapshot_summary
+
+    before, after = _versions(spark)
+    s = {
+        r["status"]: r["n_rows"]
+        for r in snapshot_summary(before, after).collect()
+    }
+    assert s == {"unchanged": 1, "changed": 3, "removed": 1, "added": 1}
+    # restricting compare_cols to text: docs 3/4 become unchanged
+    s2 = {
+        r["status"]: r["n_rows"]
+        for r in snapshot_summary(before, after, compare_cols=["text"]).collect()
+    }
+    assert s2 == {"unchanged": 3, "changed": 1, "removed": 1, "added": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent"):
+        snapshot_summary(before, after, compare_cols=["nope"])

@@ -19,6 +19,7 @@ from vldt_spark.checks.referential import (
 from vldt_spark.checks.tdigest import merge_digests, tdigest_quantiles
 from vldt_spark.checks.cms import cms_heavy_hitters
 from vldt_spark.checks.schema_drift import schema_diff, schema_drift_report
+from vldt_spark.checks.snapshot import snapshot_diff, snapshot_summary
 from vldt_spark.checks.drift import (
     histogram,
     kl_divergence,
@@ -61,6 +62,8 @@ __all__ = [
     "cms_heavy_hitters",
     "schema_diff",
     "schema_drift_report",
+    "snapshot_diff",
+    "snapshot_summary",
     "histogram",
     "kl_divergence",
     "psi",
