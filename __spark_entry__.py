@@ -2844,6 +2844,37 @@ SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM d GROUP BY status
 """
 
 
+def q_suite_snapshot_guard(spark, sf_dir):
+    """Data-version churn as a declarative suite expectation: the
+    non-unchanged fraction of the version diff between the synthetic
+    previous snapshot and the current documents, with a passing (thr
+    0.9) and failing (thr 0.0) arm — the row-level companion of
+    schema_stable, value-checked through Suite.run."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    before, after = _snapshot_versions(spark, sf_dir)
+    suite = Suite(
+        [
+            expect.snapshot_churn_below(before, 0.9),
+            expect.snapshot_churn_below(before, 0.0),
+        ]
+    )
+    return suite.run(after)
+
+
+SQL_SUITE_SNAPSHOT_GUARD = _SQL_SNAPSHOT_CTE + """
+, churn AS (
+  SELECT floor(CAST(sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) * 1e6 + 0.5) / 1e6 AS m
+  FROM d
+)
+SELECT 'snapshot_churn_below' AS "check", 'doc_id' AS "column",
+       m AS metric, CAST(0.9 AS DOUBLE) AS threshold, m < 0.9 AS passed FROM churn
+UNION ALL
+SELECT 'snapshot_churn_below', 'doc_id', m, CAST(0.0 AS DOUBLE), FALSE FROM churn
+"""
+
+
 def q_split_assign_clustered_documents(spark, sf_dir):
     """Leakage-proof split assignment: every near-dup cluster (connected
     components over the exact Jaccard pairs) hashes its REPRESENTATIVE
@@ -6570,6 +6601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_clustered_documents": q_split_leakage_clustered_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "snapshot_summary_documents": q_snapshot_summary_documents,
+        "suite_snapshot_guard": q_suite_snapshot_guard,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
@@ -6813,6 +6845,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_clustered_documents": SQL_SPLIT_LEAKAGE_CLUSTERED_DOCUMENTS,
         "snapshot_diff_documents": SQL_SNAPSHOT_DIFF_DOCUMENTS,
         "snapshot_summary_documents": SQL_SNAPSHOT_SUMMARY_DOCUMENTS,
+        "suite_snapshot_guard": SQL_SUITE_SNAPSHOT_GUARD,
         "ivf_pq_topk": SQL_IVF_PROBE_TOPK,
         "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,

@@ -157,3 +157,31 @@ def test_snapshot_summary_and_compare_cols_subset(spark):
 
     with _pytest.raises(ValueError, match="absent"):
         snapshot_summary(before, after, compare_cols=["nope"])
+
+
+def test_suite_snapshot_churn_guard(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    before, after = _versions(spark)
+    # diff population: 6 ids, 1 unchanged -> churn 5/6
+    rep = {
+        r["threshold"]: (r["metric"], r["passed"])
+        for r in Suite(
+            [
+                expect.snapshot_churn_below(before, 0.9),
+                expect.snapshot_churn_below(before, 0.5),
+            ]
+        ).run(after).collect()
+    }
+    # suite reports round half-up to 6 decimals
+    assert abs(rep[0.9][0] - 5.0 / 6.0) < 1e-6 and rep[0.9][1] is True
+    assert abs(rep[0.5][0] - 5.0 / 6.0) < 1e-6 and rep[0.5][1] is False
+
+    # identical versions: zero churn
+    rep2 = Suite([expect.snapshot_churn_below(before, 0.01)]).run(before).first()
+    assert rep2["metric"] == 0.0 and rep2["passed"] is True
+
+    # both empty: NaN metric, failed
+    empty = before.where("doc_id < 0")
+    rep3 = Suite([expect.snapshot_churn_below(empty, 0.5)]).run(empty).first()
+    assert rep3["metric"] != rep3["metric"] and rep3["passed"] is False

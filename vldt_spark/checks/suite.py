@@ -409,6 +409,33 @@ class expect:
         )
 
     @staticmethod
+    def snapshot_churn_below(
+        previous_df: DataFrame,
+        threshold: float,
+        *,
+        id_col: str = "doc_id",
+        compare_cols: list[str] | None = None,
+    ) -> Expectation:
+        """Data-version churn guard: the fraction of diff rows that are
+        NOT unchanged between ``previous_df`` and the table under test —
+        (added + removed + changed) / all ids in either version — must
+        stay BELOW the threshold. The row-level companion of
+        ``schema_stable``: a pipeline change that silently rewrites or
+        drops a chunk of the corpus trips this before training does.
+        Cost = `snapshot_diff`'s one id-keyed full-outer join reduced to
+        two scalars (see checks/snapshot.py for the zero-exchange
+        bucketed-storage path)."""
+        return Expectation(
+            "snapshot_churn_below",
+            id_col,
+            {
+                "previous": previous_df,
+                "threshold": threshold,
+                "compare_cols": compare_cols,
+            },
+        )
+
+    @staticmethod
     def mixture_gap_below(
         group_col: str,
         token_col: str,
@@ -892,6 +919,24 @@ class Suite:
             else:
                 metric = float(row["nt"]) / float(row["nw"])
                 passed = lo <= metric <= hi
+        elif e.kind == "snapshot_churn_below":
+            from vldt_spark.checks.snapshot import snapshot_summary
+
+            thr = float(p["threshold"])
+            rows = snapshot_summary(
+                p["previous"], df, id_col=e.column,
+                compare_cols=p["compare_cols"],
+            ).collect()  # bounded: ≤ 4 status rows
+            total = sum(r["n_rows"] for r in rows)
+            if not total:
+                # both versions empty: no population to guard
+                metric, passed = float("nan"), False
+            else:
+                unchanged = sum(
+                    r["n_rows"] for r in rows if r["status"] == "unchanged"
+                )
+                metric = float(total - unchanged) / float(total)
+                passed = metric < thr
         elif e.kind == "mixture_gap_below":
             thr = float(p["threshold"])
             shares = p["shares"]
