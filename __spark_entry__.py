@@ -2844,6 +2844,26 @@ SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM d GROUP BY status
 """
 
 
+def q_suite_leakage_guard(spark, sf_dir):
+    """Train/eval leakage as a declarative suite expectation: the leaked
+    fraction of the exact-Jaccard near-dup pairs under the md5 split law,
+    with a structurally-passing (thr 1.1) and structurally-failing (thr
+    0.0) arm, value-checked through Suite.run."""
+    from vldt_spark.checks.suite import Suite, expect
+    from vldt_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    suite = Suite(
+        [
+            expect.split_leakage_below(pairs, 1.1, weights=w, hash_fn="md5"),
+            expect.split_leakage_below(pairs, 0.0, weights=w, hash_fn="md5"),
+        ]
+    )
+    return suite.run(docs)
+
+
 def q_suite_snapshot_guard(spark, sf_dir):
     """Data-version churn as a declarative suite expectation: the
     non-unchanged fraction of the version diff between the synthetic
@@ -3801,6 +3821,18 @@ SELECT DISTINCT doc_id FROM (
   SELECT id_b FROM sp
   WHERE sa IN ('val', 'test') AND sb NOT IN ('val', 'test')
 )
+"""
+
+SQL_SUITE_LEAKAGE_GUARD = _SQL_LEAKAGE_SPLITS_CTE + """
+, lm AS (
+  SELECT floor(CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) * 1e6 + 0.5) / 1e6 AS m
+  FROM sp
+)
+SELECT 'split_leakage_below' AS "check", 'doc_id' AS "column",
+       m AS metric, CAST(1.1 AS DOUBLE) AS threshold, m < 1.1 AS passed FROM lm
+UNION ALL
+SELECT 'split_leakage_below', 'doc_id', m, CAST(0.0 AS DOUBLE), FALSE FROM lm
 """
 
 
@@ -6602,6 +6634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "snapshot_summary_documents": q_snapshot_summary_documents,
         "suite_snapshot_guard": q_suite_snapshot_guard,
+        "suite_leakage_guard": q_suite_leakage_guard,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
@@ -6846,6 +6879,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_documents": SQL_SNAPSHOT_DIFF_DOCUMENTS,
         "snapshot_summary_documents": SQL_SNAPSHOT_SUMMARY_DOCUMENTS,
         "suite_snapshot_guard": SQL_SUITE_SNAPSHOT_GUARD,
+        "suite_leakage_guard": SQL_SUITE_LEAKAGE_GUARD,
         "ivf_pq_topk": SQL_IVF_PROBE_TOPK,
         "dup_ngram_screened_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,
         "dup_ngram_fraction_documents": SQL_DUP_NGRAM_FRACTION_DOCUMENTS,

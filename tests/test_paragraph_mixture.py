@@ -583,3 +583,39 @@ def test_split_assign_clustered_zero_leakage(spark):
 
     # output covers every input row exactly once
     assert assigned.count() == 60
+
+
+def test_suite_split_leakage_guard(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    pairs, splits = _leak_fixture(spark)
+    # 4 pairs, 3 leaked -> 0.75; table under test carries the splits
+    table = splits
+    rep = {
+        r["threshold"]: (r["metric"], r["passed"])
+        for r in Suite(
+            [
+                expect.split_leakage_below(pairs, 0.8, use_table_splits=True),
+                expect.split_leakage_below(pairs, 0.5, use_table_splits=True),
+            ]
+        ).run(table).collect()
+    }
+    assert abs(rep[0.8][0] - 0.75) < 1e-6 and rep[0.8][1] is True
+    assert abs(rep[0.5][0] - 0.75) < 1e-6 and rep[0.5][1] is False
+
+    # weights path runs on any table (splits recomputed from pair ids)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    r2 = Suite(
+        [expect.split_leakage_below(pairs, 1.01, weights=w, hash_fn="md5")]
+    ).run(table).first()
+    assert r2["passed"] is True and 0.0 <= r2["metric"] <= 1.0
+
+    # no pairs: clean 0.0, passes any positive threshold
+    empty_pairs = pairs.where("id_a < 0")
+    r3 = Suite(
+        [expect.split_leakage_below(empty_pairs, 0.01, use_table_splits=True)]
+    ).run(table).first()
+    assert r3["metric"] == 0.0 and r3["passed"] is True
+
+    with pytest.raises(ValueError, match="exactly one"):
+        expect.split_leakage_below(pairs, 0.5)

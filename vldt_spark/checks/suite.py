@@ -436,6 +436,49 @@ class expect:
         )
 
     @staticmethod
+    def split_leakage_below(
+        pairs: DataFrame,
+        threshold: float,
+        *,
+        weights: dict[str, float] | None = None,
+        use_table_splits: bool = False,
+        id_cols: tuple[str, str] = ("id_a", "id_b"),
+        id_col: str = "doc_id",
+        split_col: str = "split",
+        seed: int = 0,
+        hash_fn: str = "xxhash64",
+    ) -> Expectation:
+        """Train/eval leakage guard: the fraction of near-dup ``pairs``
+        that straddle two splits must stay BELOW the threshold (0 pairs
+        straddling = clean; set threshold near 0 after a
+        ``split_assign_clustered`` build, where leakage is structurally
+        zero). Pass ``weights=`` when splits follow the ``split_assign``
+        law (recomputed row-locally, zero joins), or
+        ``use_table_splits=True`` to read (id_col, split_col) from the
+        table under test itself. A corpus with NO pairs scores 0.0 and
+        passes — unlike the empty-population guards, an empty pair set
+        is a meaningful clean state (no near-duplicates exist to leak),
+        not an undefined metric."""
+        if (weights is None) == (not use_table_splits):
+            raise ValueError(
+                "split_leakage_below: pass exactly one of weights= or use_table_splits=True"
+            )
+        return Expectation(
+            "split_leakage_below",
+            id_col,
+            {
+                "pairs": pairs,
+                "threshold": threshold,
+                "weights": weights,
+                "use_table_splits": use_table_splits,
+                "id_cols": id_cols,
+                "split_col": split_col,
+                "seed": seed,
+                "hash_fn": hash_fn,
+            },
+        )
+
+    @staticmethod
     def mixture_gap_below(
         group_col: str,
         token_col: str,
@@ -937,6 +980,27 @@ class Suite:
                 )
                 metric = float(total - unchanged) / float(total)
                 passed = metric < thr
+        elif e.kind == "split_leakage_below":
+            from vldt_spark.functions.sampling import split_leakage_report
+
+            thr = float(p["threshold"])
+            rep = split_leakage_report(
+                p["pairs"],
+                splits=df.select(e.column, p["split_col"])
+                if p["use_table_splits"]
+                else None,
+                weights=p["weights"],
+                id_cols=p["id_cols"],
+                id_col=e.column,
+                split_col=p["split_col"],
+                seed=p["seed"],
+                hash_fn=p["hash_fn"],
+            ).collect()  # bounded: ≤ |splits|² matrix rows
+            total = sum(r["n_pairs"] for r in rep)
+            leaked = sum(r["n_pairs"] for r in rep if r["leaked"])
+            # no pairs = nothing can leak: a clean 0.0, not NaN (see factory)
+            metric = float(leaked) / float(total) if total else 0.0
+            passed = metric < thr
         elif e.kind == "mixture_gap_below":
             thr = float(p["threshold"])
             shares = p["shares"]
