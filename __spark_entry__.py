@@ -6621,7 +6621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    tools/check_oracle.py verifies the full 149-query set locally."""
+    tools/check_oracle.py verifies the full 158-query set locally."""
     return {
         # --- NEW round 5 ---
         "mixture_epochs_documents": q_mixture_epochs_documents,

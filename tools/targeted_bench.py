@@ -54,6 +54,8 @@ def build_thunks(spark, names: list[str]):
         "exact_substr_documents": lambda: exact_substr_dedup(docs(), k=5)
         .agg(F.sum("n_removed_words"), F.sum("n_spans"))
         .collect(),
+        "mixture_epochs": lambda: _mixture_epochs_thunk(docs(), F),
+        "corpus_shuffle": lambda: _corpus_shuffle_thunk(docs(), F),
     }
     thunks = {}
     for name in names:
@@ -63,6 +65,31 @@ def build_thunks(spark, names: list[str]):
             fn = qs[name]
             thunks[name] = lambda f=fn: f(spark, sf_dir).collect()
     return thunks
+
+
+def _mixture_epochs_thunk(docs, F):
+    from vldt_spark.functions.sampling import mixture_epochs
+
+    return (
+        mixture_epochs(
+            docs, "source", "doc_id", "n_chars",
+            {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+            max_epochs=5.0,
+        )
+        .agg(F.count(F.lit(1)), F.sum("n_chars"), F.max("epoch"))
+        .collect()
+    )
+
+
+def _corpus_shuffle_thunk(docs, F):
+    from vldt_spark.functions.sampling import corpus_shuffle
+
+    return (
+        corpus_shuffle(docs, "doc_id", 32, with_pos=True)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)), F.max("pos"), F.min("doc_id"))
+        .collect()
+    )
 
 
 def main():
