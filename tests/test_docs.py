@@ -144,3 +144,26 @@ def test_readme_lm_asof_skew_snippet_executes(ns):
     )
     skew = ns.skew.first()
     assert skew["n_rows"] == n_docs and skew["skew_factor"] >= 1.0
+
+
+def test_readme_governance_snippet_executes(ns):
+    exec(compile(_python_blocks()[8], README, "exec"), ns.__dict__)
+    # every pair id appears in the corpus -> matrix counts sum to |pairs|
+    n_pairs = ns.pairs.count()
+    rep = ns.leak.collect()
+    assert sum(r["n_pairs"] for r in rep) == n_pairs
+    # clustered assignment covers the corpus and kills leakage
+    from vldt_spark.functions.sampling import split_leakage_report
+
+    assert ns.assigned.count() == ns.docs.count()
+    assert (
+        split_leakage_report(ns.pairs, splits=ns.assigned)
+        .where(F.col("leaked"))
+        .count()
+        == 0
+    )
+    # drop set only ever names non-protected (train) docs
+    assert ns.drop.count() <= n_pairs * 2
+    d = {r["status"]: r["n_rows"] for r in ns.delta.collect()}
+    assert d.get("added", 0) > 0 and d.get("removed", 0) == 0
+    assert d.get("changed", 0) == 0  # prev is a pure subset
