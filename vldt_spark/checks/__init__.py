@@ -36,6 +36,7 @@ from vldt_spark.checks.drift import (
     wasserstein_by_group,
     embedding_drift,
     drift_report,
+    drift_by_window,
 )
 from vldt_spark.checks.rowinvariant import token_equality_violations
 from vldt_spark.checks.schema_conf import schema_conformance, conforms
@@ -79,6 +80,7 @@ __all__ = [
     "wasserstein_by_group",
     "drift_report",
     "embedding_drift",
+    "drift_by_window",
     "token_equality_violations",
     "schema_conformance",
     "conforms",

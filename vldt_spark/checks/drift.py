@@ -516,3 +516,109 @@ def chi2_by_group(
     return j.groupBy(by).agg(
         F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 6).alias("chi2")
     )
+
+
+def drift_by_window(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    *,
+    unit: str = "day",
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Temporal drift: each calendar window's distribution of ``col``
+    against the PREVIOUS observed window's — "did yesterday's ingest
+    drift from the day before", the batch companion of
+    ``streaming/drift_stream.py`` (which compares windows to a FIXED
+    reference frame; this compares neighbours, catching gradual drift a
+    fixed frame dilutes).
+
+    Windows are ``date_trunc(unit, ts)`` buckets (unit ∈ minute / hour /
+    day / week / month — calendar-stable, so the same row lands in the
+    same window on any cluster); "previous" means the previous window
+    THAT HAS DATA, so gaps in the feed don't silently produce no-op
+    comparisons. Bin edges are global (one min/max pass when lo/hi are
+    not pinned) — per-window edges would make PSI incomparable across
+    pairs.
+
+    Returns (window_start, prev_window_start, n_cur, n_prev, psi, js),
+    ordered by window_start, one row per consecutive-window pair.
+
+    Scale: ONE (window, bin) histogram aggregate over the fact table —
+    output |windows| × bins regardless of row count — then
+    window-pairing and both divergences run on that histogram-sized
+    relation (the lag over distinct window starts touches |windows|
+    rows; a year of hourly windows is 8.8k rows on one reducer, nothing).
+    """
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    w = F.date_trunc(unit, F.col(ts_col))
+    h = (
+        df.where(F.col(col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            w.alias("window_start"),
+            bin_expr(F.col(col), bins=bins, lo=lo, hi=hi).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    pairs = (
+        h.select("window_start")
+        .distinct()
+        .select(
+            "window_start",
+            F.lag("window_start").over(W.orderBy("window_start")).alias(
+                "prev_window_start"
+            ),
+        )
+        .where(F.col("prev_window_start").isNotNull())
+    )
+    all_bins = h.select("bin").distinct()
+    grid = pairs.crossJoin(F.broadcast(all_bins))
+    cur = h.select("window_start", "bin", F.col("n").alias("n_c"))
+    prv = h.select(
+        F.col("window_start").alias("prev_window_start"),
+        "bin",
+        F.col("n").alias("n_p"),
+    )
+    tot = h.groupBy("window_start").agg(F.sum("n").alias("t"))
+    j = (
+        grid.join(cur, ["window_start", "bin"], "left")
+        .join(prv, ["prev_window_start", "bin"], "left")
+        .fillna(0, subset=["n_c", "n_p"])
+        .join(
+            F.broadcast(tot.select(F.col("window_start"), F.col("t").alias("t_c"))),
+            "window_start",
+        )
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("window_start").alias("prev_window_start"),
+                    F.col("t").alias("t_p"),
+                )
+            ),
+            "prev_window_start",
+        )
+    )
+    p = F.col("n_p") / F.col("t_p") + F.lit(eps)   # previous window = reference
+    q = F.col("n_c") / F.col("t_c") + F.lit(eps)
+    m = (p + q) / F.lit(2.0)
+    js_term = (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0)
+    return (
+        j.groupBy("window_start", "prev_window_start")
+        .agg(
+            F.max("t_c").cast("bigint").alias("n_cur"),
+            F.max("t_p").cast("bigint").alias("n_prev"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.round(F.sum(js_term), 6).alias("js"),
+        )
+        .orderBy("window_start")
+    )
