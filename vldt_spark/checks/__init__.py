@@ -43,6 +43,12 @@ from vldt_spark.checks.schema_conf import schema_conformance, conforms
 from vldt_spark.checks.suite import Suite, expect
 from vldt_spark.checks.column_stats import frequent_values, mad_outliers, zscore_outliers
 from vldt_spark.checks.dependencies import fd_report, functional_dependency
+from vldt_spark.checks.classifier_eval import (
+    auc_by_group,
+    auc_report,
+    calibration_report,
+    ece_report,
+)
 
 __all__ = [
     "column_profile",
@@ -91,4 +97,8 @@ __all__ = [
     "mad_outliers",
     "functional_dependency",
     "fd_report",
+    "auc_report",
+    "auc_by_group",
+    "calibration_report",
+    "ece_report",
 ]

@@ -1,0 +1,294 @@
+"""Classifier evaluation — exact ROC AUC, calibration bins, ECE.
+
+A model-based quality filter (``functions/text.classifier_quality_score``,
+the DCLM/fineweb-style shape) is only trustworthy if its RANKING separates
+known-bad from known-good documents and its PROBABILITIES mean what they
+say. This module evaluates both, distributed, without ever globally
+sorting the fact table:
+
+- ``auc_report`` — exact tie-aware ROC AUC (equivalently the Mann-Whitney
+  U statistic). The textbook formula ranks every row — a full sort at
+  10^12 rows. Instead: ONE hash aggregate groups by distinct score value
+  (pos/neg counts per score; map-side partial combine, so the exchange
+  carries |distinct scores| rows, not |rows|), then a single-partition
+  running sum over that bounded relation gives, per score s,
+  ``cumneg(s)`` = negatives strictly below s. The tie-aware identity
+
+      AUC = Σ_s pos_s · (cumneg(s) + neg_s / 2) / (P · N)
+
+  is computed with INTEGER numerators (×2 to clear the /2, cast to
+  decimal(38,0) — P·N at 10^12 rows overflows int64) so the result is
+  exact, not float-fold-order-dependent. The single-partition window is
+  safe because its input is the grouped-by-score relation, whose size is
+  bounded by the score's distinct count — for a real classifier that is
+  at most the quantization grid (pass ``quantize=``), never |rows|.
+
+- ``calibration_report`` — reliability-diagram bins: score ∈ [0,1] is
+  clamped and floored into ``n_bins`` equal-width bins; per bin the row
+  count, positive rate, and mean score come from one hash aggregate whose
+  exchange carries ≤ n_bins partials. Mean scores use exact integer
+  micro-sums (round(score·1e6) summed as decimal(38,0) — the same
+  fold-order-proof pattern as the suite's micro-ppl sums) so bin means
+  are deterministic at any partitioning.
+
+- ``ece_report`` — expected calibration error folded to one row. With
+  S_b the micro-score sum and pos_b/n_b the bin's positives/count,
+
+      ECE = Σ_b (n_b/N) · |pos_b/n_b − S_b/(n_b·1e6)|
+          = Σ_b |pos_b·1e6 − S_b| / (N·1e6)
+
+  — every numerator an exact integer, so the scalar is bit-deterministic.
+
+NULL scores and NULL labels are excluded (no opinion is not a wrong
+opinion); a single-class input (P = 0 or N = 0) yields NULL auc rather
+than a misleading 0/1.
+
+Reference parity note: roman-right/vldt (see /root/reference/vldt) has no
+model-evaluation surface; this is north-star territory — the governance
+arm that makes the model-shaped quality filter auditable at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def _micro_sum(col: Column) -> Column:
+    """Exact integer micro-unit sum: float folds are partition-order
+    dependent; decimal(38,0) holds 10^12 rows × 1e6 micro-units."""
+    return F.sum(F.round(col * _MICRO).cast("decimal(38,0)"))
+
+
+def _score_label(
+    df: DataFrame, score_col: str, label_col: str, *, quantize: int | None
+) -> DataFrame:
+    s = F.col(score_col).cast("double")
+    if quantize is not None:
+        if quantize <= 0:
+            raise ValueError(f"quantize must be positive, got {quantize}")
+        s = F.round(s * quantize) / quantize
+    y = F.col(label_col).cast("boolean").cast("long")
+    return df.select(s.alias("__s"), y.alias("__y")).where(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+
+
+def auc_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC of ``score_col`` against boolean/0-1
+    ``label_col``. Returns ONE row:
+
+      auc, gini (= 2·auc − 1), n_pos, n_neg, n_scores (distinct values).
+
+    ``quantize=k`` snaps scores to a 1/k grid FIRST (round-half-up) —
+    the 100 TB knob: it bounds the grouped relation (and the
+    single-partition running sum) at k+1 rows no matter the corpus size,
+    trading only sub-1/k ranking resolution. Tie handling is the exact
+    midrank convention, so quantize-induced ties are scored correctly,
+    not dropped. Single-class input → NULL auc/gini.
+    """
+    per_score = (
+        _score_label(df, score_col, label_col, quantize=quantize)
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("pos"),
+            F.sum(F.lit(1) - F.col("__y")).alias("neg"),
+        )
+    )
+    # running sum over the |distinct scores|-bounded relation only
+    below = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(below), F.lit(0))
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        # Σ pos·(2·cumneg + neg) — twice the Mann-Whitney U, integer-exact
+        F.sum(
+            F.col("pos").cast(dec)
+            * (F.lit(2).cast(dec) * F.col("cumneg").cast(dec) + F.col("neg").cast(dec))
+        ).alias("u2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("u2").cast("double")
+        / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+    )
+    return agg.select(
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("n_scores").cast("long").alias("n_scores"),
+    )
+
+
+def auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | str,
+    *,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Slice-wise ROC AUC: one row per group — a filter model can rank
+    well in aggregate while failing a language or source slice outright,
+    and the corpus-level number hides it. Same sort-free shape as
+    ``auc_report`` with every stage keyed by the group: the per-(group,
+    score) hash aggregate's exchange carries |groups| × |distinct scores|
+    rows, and the running sum partitions BY GROUP, so no single-partition
+    stage exists at all — slices scale independently. Single-class groups
+    report NULL auc (visible, not silently dropped)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    s = F.col(score_col).cast("double")
+    if quantize is not None:
+        if quantize <= 0:
+            raise ValueError(f"quantize must be positive, got {quantize}")
+        s = F.round(s * quantize) / quantize
+    y = F.col(label_col).cast("boolean").cast("long")
+    sl = df.select(
+        *groups, s.alias("__s"), y.alias("__y")
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    per_score = sl.groupBy(*groups, "__s").agg(
+        F.sum("__y").alias("pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("neg"),
+    )
+    below = (
+        Window.partitionBy(*groups)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(below), F.lit(0))
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy(*groups).agg(
+        F.sum(
+            F.col("pos").cast(dec)
+            * (F.lit(2).cast(dec) * F.col("cumneg").cast(dec) + F.col("neg").cast(dec))
+        ).alias("u2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("u2").cast("double")
+        / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+    )
+    return agg.select(
+        *groups,
+        F.round(auc, 6).alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("n_scores").cast("long").alias("n_scores"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probability-shaped score. Scores are
+    clamped to [0,1] and floored into ``n_bins`` equal-width bins (score
+    1.0 joins the top bin). Per non-empty bin:
+
+      bin, n, n_pos, pos_rate, mean_score
+
+    One hash aggregate; the exchange carries ≤ n_bins partials per map
+    task. pos_rate and mean_score are ratios of exact integers (micro-sum
+    pattern), rounded to 6 dp — deterministic under any partitioning.
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    sl = _score_label(df, score_col, label_col, quantize=None)
+    clamped = F.least(F.greatest(F.col("__s"), F.lit(0.0)), F.lit(1.0))
+    b = F.least(
+        F.floor(clamped * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    return (
+        sl.select(b, clamped.alias("__c"), "__y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            _micro_sum(F.col("__c")).alias("__ms"),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            F.round(
+                F.col("__ms").cast("double") / (F.col("n") * float(_MICRO)), 6
+            ).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
+
+
+def ece_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error folded to ONE row:
+
+      ece, n, n_bins_used
+
+    ECE = Σ_b |pos_b·1e6 − S_b| / (N·1e6) with S_b the bin's integer
+    micro-score sum — every numerator exact, so the scalar is
+    bit-deterministic at any scale. Empty input → NULL ece.
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    sl = _score_label(df, score_col, label_col, quantize=None)
+    clamped = F.least(F.greatest(F.col("__s"), F.lit(0.0)), F.lit(1.0))
+    b = F.least(
+        F.floor(clamped * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    dec = "decimal(38,0)"
+    bins = (
+        sl.select(b, clamped.alias("__c"), "__y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            _micro_sum(F.col("__c")).alias("ms"),
+        )
+    )
+    agg = bins.agg(
+        F.sum(
+            F.abs(
+                F.col("n_pos").cast(dec) * F.lit(_MICRO).cast(dec) - F.col("ms")
+            )
+        ).alias("num"),
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    ece = F.when(
+        F.col("n") > 0,
+        F.col("num").cast("double") / (F.col("n").cast("double") * _MICRO),
+    )
+    return agg.select(
+        F.round(ece, 6).alias("ece"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.col("n_bins_used").cast("long").alias("n_bins_used"),
+    )

@@ -509,6 +509,51 @@ class expect:
         )
 
     @staticmethod
+    def auc_above(
+        score_col: str,
+        label_col: str,
+        threshold: float,
+        *,
+        quantize: int | None = None,
+    ) -> Expectation:
+        """Filter-model ranking guard: the exact tie-aware ROC AUC of
+        ``score_col`` against boolean/0-1 ``label_col`` must stay ABOVE
+        the threshold — the acceptance check for a model-based quality
+        filter (a classifier whose AUC on a labeled audit slice sags is
+        silently letting junk through). Runs as ``auc_report``
+        (checks/classifier_eval.py): one score-keyed hash aggregate plus
+        a running sum over the |distinct scores|-bounded relation — the
+        fact table never globally sorts. ``quantize`` bounds the grouped
+        relation for continuous scores. Single-class slices fail
+        (metric NaN): an audit set with no negatives certifies nothing."""
+        return Expectation(
+            "auc_above",
+            score_col,
+            {"label_col": label_col, "threshold": threshold, "quantize": quantize},
+        )
+
+    @staticmethod
+    def ece_below(
+        score_col: str,
+        label_col: str,
+        threshold: float,
+        *,
+        n_bins: int = 10,
+    ) -> Expectation:
+        """Filter-model calibration guard: the expected calibration error
+        of probability-shaped ``score_col`` against ``label_col`` must
+        stay BELOW the threshold — AUC's complement (ranking can be
+        perfect while the probabilities a downstream threshold consumes
+        are meaningless). Runs as ``ece_report``: one ≤ n_bins-partial
+        hash aggregate with integer micro-score sums, bit-deterministic
+        at any partitioning."""
+        return Expectation(
+            "ece_below",
+            score_col,
+            {"label_col": label_col, "threshold": threshold, "n_bins": n_bins},
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -1025,6 +1070,32 @@ class Suite:
                 metric = max(
                     abs(got.get(k, 0.0) - w / tot_w) for k, w in shares.items()
                 )
+                passed = metric < thr
+        elif e.kind == "auc_above":
+            from vldt_spark.checks.classifier_eval import auc_report
+
+            thr = float(p["threshold"])
+            row = auc_report(
+                df, e.column, p["label_col"], quantize=p["quantize"]
+            ).first()
+            if row is None or row["auc"] is None:
+                # empty / single-class audit slice: AUC undefined — fail,
+                # a slice with no negatives (or positives) certifies nothing
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["auc"])
+                passed = metric > thr
+        elif e.kind == "ece_below":
+            from vldt_spark.checks.classifier_eval import ece_report
+
+            thr = float(p["threshold"])
+            row = ece_report(
+                df, e.column, p["label_col"], n_bins=p["n_bins"]
+            ).first()
+            if row is None or row["ece"] is None:
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["ece"])
                 passed = metric < thr
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift
