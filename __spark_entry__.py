@@ -6676,6 +6676,30 @@ def q_calibration_quality_documents(spark, sf_dir):
     )
 
 
+def q_confusion_quality_documents(spark, sf_dir):
+    """Operating-point metrics of the quality classifier at its shipped
+    0.5 threshold on the labeled audit slice
+    (checks/classifier_eval.confusion_report): tp/fp/fn/tn + precision /
+    recall / f1 / accuracy. One conditional aggregate — four long
+    partials per map task ride the exchange, nothing row-sized."""
+    from vldt_spark.checks.classifier_eval import confusion_report
+
+    return confusion_report(
+        _clf_eval_fixture(spark, sf_dir), "score", "is_clean", threshold=0.5
+    )
+
+
+def q_brier_quality_documents(spark, sf_dir):
+    """Brier score of the quality classifier's probabilities on the
+    labeled audit slice (checks/classifier_eval.brier_report) — the
+    proper scoring rule complementing AUC (ranking) and ECE (binned
+    calibration). Integer (m − y·1e6)² numerators summed as
+    decimal(38,0): fold-order-proof at any partitioning."""
+    from vldt_spark.checks.classifier_eval import brier_report
+
+    return brier_report(_clf_eval_fixture(spark, sf_dir), "score", "is_clean")
+
+
 def q_suite_classifier_guards(spark, sf_dir):
     """Filter-model acceptance gates as declarative suite expectations:
     AUC (ranking) and ECE (calibration) of the quality classifier on the
@@ -6819,6 +6843,41 @@ SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
 FROM bins ORDER BY bin
 """
 
+SQL_CONFUSION_QUALITY_DOCUMENTS = _SQL_CLF_EVAL_CTE + r"""
+, cm AS (
+  SELECT sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN s < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn
+  FROM sl
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)) > 0
+            THEN round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+                       / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)), 6)
+       END AS f1,
+       CASE WHEN tp + fp + fn + tn > 0
+            THEN round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) END AS accuracy
+FROM cm
+"""
+
+SQL_BRIER_QUALITY_DOCUMENTS = _SQL_CLF_EVAL_CTE + r"""
+, t AS (
+  SELECT CAST(floor(least(greatest(s, 0.0), 1.0) * 1000000 + 0.5) AS HUGEINT)
+           - y * 1000000 AS d
+  FROM sl
+)
+SELECT CASE WHEN count(*) > 0
+            THEN round(CAST(sum(d * d) AS DOUBLE) / (count(*) * 1000000000000.0), 6)
+       END AS brier,
+       CAST(count(*) AS BIGINT) AS n
+FROM t
+"""
+
 SQL_SUITE_CLASSIFIER_GUARDS = _SQL_CLF_AUC_CTE + r"""
 , binned AS (
   SELECT least(CAST(floor(least(greatest(s, 0.0), 1.0) * 10) AS INT), 9) AS bin,
@@ -6874,18 +6933,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    tools/check_oracle.py verifies the full 162-query set locally."""
+    tools/check_oracle.py verifies the full 164-query set locally."""
     return {
         # --- NEW round 5 ---
         "auc_quality_documents": q_auc_quality_documents,
         "auc_by_lang_documents": q_auc_by_lang_documents,
         "calibration_quality_documents": q_calibration_quality_documents,
         "suite_classifier_guards": q_suite_classifier_guards,
+        "confusion_quality_documents": q_confusion_quality_documents,
+        "brier_quality_documents": q_brier_quality_documents,
         "mixture_epochs_documents": q_mixture_epochs_documents,
         "suite_mixture_guard": q_suite_mixture_guard,
         "split_leakage_documents": q_split_leakage_documents,
         "split_assign_clustered_documents": q_split_assign_clustered_documents,
-        "split_leakage_clustered_documents": q_split_leakage_clustered_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "suite_snapshot_guard": q_suite_snapshot_guard,
         "suite_leakage_guard": q_suite_leakage_guard,
@@ -6924,7 +6984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report_documents": q_contamination_report_documents,
         "ri_bloom_screen_lineitem": q_ri_bloom_screen_lineitem,
         "suite_profile_guards": q_suite_profile_guards,
-        "suite_token_contract": q_suite_token_contract,
         "streaming_suite_events": q_streaming_suite_events,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "url_parse_documents": q_url_parse_documents,
@@ -7028,6 +7087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report_documents": q_mixture_report_documents,
         "minhash_portable_pairs": q_minhash_portable_pairs,
         "check_suite_customer": q_check_suite_customer,
+        "suite_token_contract": q_suite_token_contract,
+        "split_leakage_clustered_documents": q_split_leakage_clustered_documents,
         # round-5 report/summary twins of in-window pipelines (the window
         # slot went to the primary variant; the judge replica covers these)
         "mixture_epochs_report_documents": q_mixture_epochs_report_documents,
@@ -7056,6 +7117,8 @@ def oracle_sql() -> dict[str, str]:
         "auc_by_lang_documents": SQL_AUC_BY_LANG_DOCUMENTS,
         "calibration_quality_documents": SQL_CALIBRATION_QUALITY_DOCUMENTS,
         "suite_classifier_guards": SQL_SUITE_CLASSIFIER_GUARDS,
+        "confusion_quality_documents": SQL_CONFUSION_QUALITY_DOCUMENTS,
+        "brier_quality_documents": SQL_BRIER_QUALITY_DOCUMENTS,
         "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
         "incremental_near_dups_documents": _sql_incremental_near_dups(),
         "gopher_rules_documents": SQL_GOPHER_RULES_DOCUMENTS,

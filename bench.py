@@ -72,6 +72,7 @@ BENCH_QUERY_NAMES = [
     "gopher_report",
     "mixture_epochs",
     "corpus_shuffle",
+    "auc_quality",
 ]
 
 
@@ -350,6 +351,19 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         ).collect()
 
     timed("corpus_shuffle", corpus_shuffle_bench)
+
+    def auc_quality_bench():
+        from vldt_spark.checks.classifier_eval import auc_report
+        from vldt_spark.functions.text import classifier_quality_score
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        audit = docs.select(
+            F.round(classifier_quality_score(F.col("text")), 6).alias("score"),
+            (F.col("doc_id") % 5 != 0).alias("y"),
+        )
+        return auc_report(audit, "score", "y").collect()
+
+    timed("auc_quality", auc_quality_bench)
 
     missing = set(BENCH_QUERY_NAMES) ^ set(timings)
     assert not missing, f"bench rows drifted from BENCH_QUERY_NAMES: {missing}"

@@ -227,3 +227,48 @@ def test_auc_by_group_validates_and_window_is_group_partitioned(spark):
     # no single-partition stage: the running-sum window partitions by group
     assert "SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_brier_closed_form_clamping_and_empty(spark):
+    from vldt_spark.checks.classifier_eval import brier_report
+
+    rows = [(0.8, True), (0.3, False), (0.5, True), (1.2, False)]  # 1.2 clamps to 1.0
+    want = ((0.8 - 1) ** 2 + (0.3 - 0) ** 2 + (0.5 - 1) ** 2 + (1.0 - 0) ** 2) / 4
+    row = brier_report(_df(spark, rows), "score", "label").first()
+    assert row["brier"] == pytest.approx(want, abs=1e-6)
+    assert row["n"] == 4
+    empty = brier_report(_df(spark, []), "score", "label").first()
+    assert empty["brier"] is None and empty["n"] == 0
+    # perfect forecast -> 0
+    assert brier_report(
+        _df(spark, [(1.0, True), (0.0, False)]), "score", "label"
+    ).first()["brier"] == 0.0
+
+
+def test_confusion_report_closed_form(spark):
+    from vldt_spark.checks.classifier_eval import confusion_report
+
+    rows = [
+        (0.9, True), (0.7, True), (0.6, False),   # predicted positive
+        (0.4, True), (0.2, False), (0.1, False),  # predicted negative
+    ]
+    row = confusion_report(_df(spark, rows), "score", "label", threshold=0.5).first()
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (2, 1, 1, 2)
+    assert row["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["f1"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["accuracy"] == pytest.approx(4 / 6, abs=1e-6)
+
+
+def test_confusion_report_zero_denominators(spark):
+    from vldt_spark.checks.classifier_eval import confusion_report
+
+    # nothing predicted positive -> precision NULL; no actual positives
+    # -> recall NULL; f1 NULL either way
+    none_pred = _df(spark, [(0.1, True), (0.2, False)])
+    row = confusion_report(none_pred, "score", "label", threshold=0.9).first()
+    assert row["precision"] is None and row["f1"] is None
+    assert row["recall"] == 0.0  # tp=0, fn=1
+    no_pos = _df(spark, [(0.9, False), (0.1, False)])
+    row = confusion_report(no_pos, "score", "label").first()
+    assert row["recall"] is None and row["precision"] == 0.0

@@ -46,7 +46,9 @@ from vldt_spark.checks.dependencies import fd_report, functional_dependency
 from vldt_spark.checks.classifier_eval import (
     auc_by_group,
     auc_report,
+    brier_report,
     calibration_report,
+    confusion_report,
     ece_report,
 )
 
@@ -101,4 +103,6 @@ __all__ = [
     "auc_by_group",
     "calibration_report",
     "ece_report",
+    "brier_report",
+    "confusion_report",
 ]

@@ -242,6 +242,89 @@ def calibration_report(
     )
 
 
+def brier_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score — mean squared error of the probability forecast —
+    folded to ONE row: brier, n. Complements AUC (pure ranking) and ECE
+    (binned calibration): Brier is the proper scoring rule that punishes
+    BOTH miscalibration and non-resolution, unbinned.
+
+    Exactness: with m = round(score·1e6) the per-row term
+    (score − y)² ≈ ((m − y·1e6)/1e6)² has an INTEGER numerator
+    (m − y·1e6)², summed as decimal(38,0) (10^12 rows × ≤1e12 per term
+    fits), so the scalar is fold-order-proof; the ≤5e-7 per-row
+    quantization of m is the same 6-dp convention every oracle-checked
+    metric in this repo uses. Scores are clamped to [0,1] first
+    (a probability outside the unit interval is a caller bug we surface
+    via the clamp, not a reason to emit a >1 Brier term). Empty input →
+    NULL brier."""
+    sl = _score_label(df, score_col, label_col, quantize=None)
+    clamped = F.least(F.greatest(F.col("__s"), F.lit(0.0)), F.lit(1.0))
+    m = F.round(clamped * _MICRO)
+    dec = "decimal(38,0)"
+    term = (m - F.col("__y") * _MICRO).cast(dec)
+    agg = sl.agg(
+        F.sum(term * term).alias("num"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    brier = F.when(
+        F.col("n") > 0,
+        F.col("num").cast("double") / (F.col("n").cast("double") * float(_MICRO) ** 2),
+    )
+    return agg.select(
+        F.round(brier, 6).alias("brier"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
+def confusion_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Operating-point metrics for the deployed filter threshold: ONE row
+    with tp/fp/fn/tn counts plus precision, recall, f1, accuracy at
+    ``score >= threshold``. AUC certifies the ranking; this certifies
+    the CUT the pipeline actually applies (the quality filter ships with
+    one threshold, and its junk leak-through rate is 1 − precision of
+    the keep side). One conditional aggregate over a single scan — four
+    long partials per map task, no shuffle of anything row-sized.
+    Zero-denominator slices (no predicted positives / no actual
+    positives) report NULL precision/recall/f1 rather than a fake 0."""
+    sl = _score_label(df, score_col, label_col, quantize=None)
+    pred = (F.col("__s") >= F.lit(float(threshold))).cast("long")
+    y = F.col("__y")
+    agg = sl.agg(
+        F.sum(pred * y).alias("tp"),
+        F.sum(pred * (1 - y)).alias("fp"),
+        F.sum((1 - pred) * y).alias("fn"),
+        F.sum((1 - pred) * (1 - y)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    accuracy = F.when(tp + fp + fn + tn > 0, (tp + tn) / (tp + fp + fn + tn))
+    return agg.select(
+        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.col("fp"), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.col("fn"), F.lit(0)).cast("long").alias("fn"),
+        F.coalesce(F.col("tn"), F.lit(0)).cast("long").alias("tn"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(accuracy, 6).alias("accuracy"),
+    )
+
+
 def ece_report(
     df: DataFrame,
     score_col: str,
