@@ -6717,9 +6717,68 @@ def q_suite_classifier_guards(spark, sf_dir):
             expect.auc_above("score", "is_clean", 1.0),
             expect.ece_below("score", "is_clean", 0.9, n_bins=10),
             expect.ece_below("score", "is_clean", 0.0, n_bins=10),
+            expect.brier_below("score", "is_clean", 0.9),
+            expect.brier_below("score", "is_clean", 0.0),
         ]
     )
     return suite.run(sl)
+
+
+def q_streaming_confusion_windows(spark, sf_dir):
+    """Continuous operating-point monitor: per-day-window tp/fp/fn/tn +
+    precision/recall/f1/accuracy of the quality classifier's 0.5
+    threshold over a labeled audit stream
+    (streaming/clf_stream.stream_confusion_windows) — the streaming twin
+    of confusion_report. No UDF anywhere: prediction is a codegen
+    comparison, state = |open windows| rows of four longs; NULL-labeled
+    rows are excluded via conditional aggregation (a row filter would be
+    pushed below the watermark node and stall emission).
+    Sentinel-batch watermark technique."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.streaming.clf_stream import stream_confusion_windows
+
+    sl = _clf_eval_fixture(spark, sf_dir)
+    rows = sl.select(
+        F.expr(
+            "timestamp'2024-01-01 01:00:00'"
+            " + make_dt_interval(CAST(doc_id % 30 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+        "score",
+        F.col("is_clean").alias("label"),
+    )
+    root = tempfile.mkdtemp(prefix="vldt_stream_clf_")
+    rows.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    rows.limit(1).select(
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("boolean").alias("label"),
+    ).coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_confusion_windows(
+        stream, "ts", "score", "label",
+        threshold=0.5, window="1 day", watermark="1 hour",
+    )
+    name = f"vldt_clf_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "n", "tp", "fp", "fn", "tn",
+        "precision", "recall", "f1", "accuracy",
+    )
 
 
 _SQL_CLF_EVAL_CTE = r"""
@@ -6878,6 +6937,32 @@ SELECT CASE WHEN count(*) > 0
 FROM t
 """
 
+SQL_STREAMING_CONFUSION_WINDOWS = _SQL_CLF_EVAL_CTE + r"""
+, cm AS (
+  SELECT CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)
+           + (doc_id % 30) * 86400 AS window_epoch,
+         sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN s < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn
+  FROM sl GROUP BY 1
+)
+SELECT window_epoch,
+       CAST(tp + fp + fn + tn AS BIGINT) AS n,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)) > 0
+            THEN round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+                       / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)), 6)
+       END AS f1,
+       CASE WHEN tp + fp + fn + tn > 0
+            THEN round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) END AS accuracy
+FROM cm
+"""
+
 SQL_SUITE_CLASSIFIER_GUARDS = _SQL_CLF_AUC_CTE + r"""
 , binned AS (
   SELECT least(CAST(floor(least(greatest(s, 0.0), 1.0) * 10) AS INT), 9) AS bin,
@@ -6893,6 +6978,13 @@ SQL_SUITE_CLASSIFIER_GUARDS = _SQL_CLF_AUC_CTE + r"""
   SELECT round(CAST(sum(abs(n_pos * 1000000 - ms)) AS DOUBLE)
                / (sum(n) * 1000000.0), 6) AS m
   FROM bins
+), brm AS (
+  SELECT round(CAST(sum(d * d) AS DOUBLE) / (count(*) * 1000000000000.0), 6) AS m
+  FROM (
+    SELECT CAST(floor(least(greatest(s, 0.0), 1.0) * 1000000 + 0.5) AS HUGEINT)
+             - y * 1000000 AS d
+    FROM sl
+  )
 )
 SELECT 'auc_above' AS "check", 'score' AS "column", m AS metric,
        CAST(0.6 AS DOUBLE) AS threshold, m > 0.6 AS passed FROM aucm
@@ -6902,6 +6994,10 @@ UNION ALL
 SELECT 'ece_below', 'score', m, CAST(0.9 AS DOUBLE), m < 0.9 FROM ecem
 UNION ALL
 SELECT 'ece_below', 'score', m, CAST(0.0 AS DOUBLE), FALSE FROM ecem
+UNION ALL
+SELECT 'brier_below', 'score', m, CAST(0.9 AS DOUBLE), m < 0.9 FROM brm
+UNION ALL
+SELECT 'brier_below', 'score', m, CAST(0.0 AS DOUBLE), FALSE FROM brm
 """
 
 
@@ -6942,6 +7038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_classifier_guards": q_suite_classifier_guards,
         "confusion_quality_documents": q_confusion_quality_documents,
         "brier_quality_documents": q_brier_quality_documents,
+        "streaming_confusion_windows": q_streaming_confusion_windows,
         "mixture_epochs_documents": q_mixture_epochs_documents,
         "suite_mixture_guard": q_suite_mixture_guard,
         "split_leakage_documents": q_split_leakage_documents,
@@ -6984,7 +7081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report_documents": q_contamination_report_documents,
         "ri_bloom_screen_lineitem": q_ri_bloom_screen_lineitem,
         "suite_profile_guards": q_suite_profile_guards,
-        "streaming_suite_events": q_streaming_suite_events,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "url_parse_documents": q_url_parse_documents,
         "url_provenance_documents": q_url_provenance_documents,
@@ -7088,6 +7184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable_pairs": q_minhash_portable_pairs,
         "check_suite_customer": q_check_suite_customer,
         "suite_token_contract": q_suite_token_contract,
+        "streaming_suite_events": q_streaming_suite_events,
         "split_leakage_clustered_documents": q_split_leakage_clustered_documents,
         # round-5 report/summary twins of in-window pipelines (the window
         # slot went to the primary variant; the judge replica covers these)
@@ -7119,6 +7216,7 @@ def oracle_sql() -> dict[str, str]:
         "suite_classifier_guards": SQL_SUITE_CLASSIFIER_GUARDS,
         "confusion_quality_documents": SQL_CONFUSION_QUALITY_DOCUMENTS,
         "brier_quality_documents": SQL_BRIER_QUALITY_DOCUMENTS,
+        "streaming_confusion_windows": SQL_STREAMING_CONFUSION_WINDOWS,
         "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
         "incremental_near_dups_documents": _sql_incremental_near_dups(),
         "gopher_rules_documents": SQL_GOPHER_RULES_DOCUMENTS,

@@ -272,3 +272,29 @@ def test_confusion_report_zero_denominators(spark):
     no_pos = _df(spark, [(0.9, False), (0.1, False)])
     row = confusion_report(no_pos, "score", "label").first()
     assert row["recall"] is None and row["precision"] == 0.0
+
+
+def test_suite_brier_guard_arms(spark):
+    df = _df(spark, [(0.9, True), (0.2, False), (0.7, True)])
+    want = ((0.9 - 1) ** 2 + (0.2 - 0) ** 2 + (0.7 - 1) ** 2) / 3
+    rep = {
+        (r["check"], r["threshold"]): r
+        for r in Suite(
+            [
+                expect.brier_below("score", "label", 0.5),
+                expect.brier_below("score", "label", 0.0),
+            ]
+        )
+        .run(df)
+        .collect()
+    }
+    ok = rep[("brier_below", 0.5)]
+    assert ok["passed"] and ok["metric"] == pytest.approx(want, abs=1e-6)
+    assert not rep[("brier_below", 0.0)]["passed"]
+    # empty audit slice fails loud
+    row = (
+        Suite([expect.brier_below("score", "label", 0.5)])
+        .run(_df(spark, []))
+        .first()
+    )
+    assert not row["passed"] and math.isnan(row["metric"])

@@ -554,6 +554,25 @@ class expect:
         )
 
     @staticmethod
+    def brier_below(
+        score_col: str,
+        label_col: str,
+        threshold: float,
+    ) -> Expectation:
+        """Filter-model proper-scoring guard: the Brier score (mean
+        squared error of the probability forecast) of ``score_col``
+        against ``label_col`` must stay BELOW the threshold. The unbinned
+        complement of ece_below — a model can game coarse bins but not a
+        proper scoring rule. Runs as ``brier_report``: one scan, integer
+        (m − y·1e6)² numerators summed as decimal(38,0). Empty audit
+        slice fails (metric NaN)."""
+        return Expectation(
+            "brier_below",
+            score_col,
+            {"label_col": label_col, "threshold": threshold},
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -1096,6 +1115,16 @@ class Suite:
                 metric, passed = float("nan"), False
             else:
                 metric = float(row["ece"])
+                passed = metric < thr
+        elif e.kind == "brier_below":
+            from vldt_spark.checks.classifier_eval import brier_report
+
+            thr = float(p["threshold"])
+            row = brier_report(df, e.column, p["label_col"]).first()
+            if row is None or row["brier"] is None:
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["brier"])
                 passed = metric < thr
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift
