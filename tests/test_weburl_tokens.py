@@ -250,7 +250,7 @@ def test_sequence_stats_is_shuffle_free(toks_df):
         .toString()
     )
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_zipf_report_exact_fit(spark):

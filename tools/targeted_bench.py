@@ -56,6 +56,8 @@ def build_thunks(spark, names: list[str]):
         .collect(),
         "mixture_epochs": lambda: _mixture_epochs_thunk(docs(), F),
         "corpus_shuffle": lambda: _corpus_shuffle_thunk(docs(), F),
+        "sequence_stats_tokens": lambda: _sequence_stats_thunk(_toks(spark), F),
+        "unigram_logprob_tokens": lambda: _unigram_thunk(_toks(spark), F),
     }
     thunks = {}
     for name in names:
@@ -65,6 +67,41 @@ def build_thunks(spark, names: list[str]):
             fn = qs[name]
             thunks[name] = lambda f=fn: f(spark, sf_dir).collect()
     return thunks
+
+
+def _toks(spark):
+    """The SAME 1M-row cached token table + scan-slot cap bench.py uses."""
+    scan_slots = int(
+        os.environ.get("VLDT_BENCH_SCAN_SLOTS", str(max(8, bench.CPUS // 2)))
+    )
+    path = bench.ensure_token_table(spark, bench.TOKEN_ROWS)
+    return spark.read.parquet(path).coalesce(scan_slots)
+
+
+def _sequence_stats_thunk(toks, F):
+    from vldt_spark.functions.tokens import sequence_stats
+
+    return (
+        sequence_stats(toks, id_col="doc_id")
+        .agg(
+            F.count(F.lit(1)),
+            F.avg("entropy"),
+            F.max("max_run"),
+            F.avg("distinct_ratio"),
+        )
+        .collect()
+    )
+
+
+def _unigram_thunk(toks, F):
+    from vldt_spark.functions.lm import unigram_logprob
+    from vldt_spark.sources.token_table import VOCAB
+
+    return (
+        unigram_logprob(toks, VOCAB)
+        .agg(F.count(F.lit(1)), F.avg("mean_logp"), F.avg("ppl"))
+        .collect()
+    )
 
 
 def _mixture_epochs_thunk(docs, F):

@@ -18,7 +18,7 @@ Scale design (10^12 sequences, |vocab| ~ 10^5):
 - The smoothed log-prob table is |vocab| float64s (~1 MB at 10^5) —
   collected once on the driver (the same bounded-collect family as the
   Bloom bitmap partials in checks/referential.py) and shipped to executors
-  as a closure broadcast inside ONE Arrow-batched `mapInPandas` scoring
+  as a closure broadcast inside ONE `mapInArrow` scoring
   pass.  SCORE is therefore a pure scan: zero exchanges, zero joins.
 - The naive alternative — explode(tokens) ⋈ logp_table → groupBy(doc) —
   ships n_rows × seq_len rows through TWO exchanges; at 10^12 × 1k tokens
@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vldt_spark.functions.tokens import _int_tokens, token_histogram
+from vldt_spark.functions.tokens import _arrow_flat_tokens, token_histogram
 
 __all__ = [
     "unigram_lm_table",
@@ -120,46 +120,62 @@ def unigram_logprob(
     at the unseen floor ln(1 / (N + |vocab|)).
 
     Two passes over the fact table, zero exchanges of token arrays: the
-    |vocab|-bounded train fold, then one mapInPandas scoring scan with the
+    |vocab|-bounded train fold, then one mapInArrow scoring scan with the
     log-prob vector closed over (see module docstring for why not a join).
+    The scoring kernel has NO per-row Python: the Arrow list column is
+    flattened zero-copy (`_arrow_flat_tokens`), the whole flat token
+    relation is scored with one vectorized gather, and per-row means come
+    from one `np.add.reduceat` over the row segments.
     """
+    import pyarrow as pa
+
     counts, total = _train_counts(df, vocab_size, tokens_col)
     logp = np.log((counts + 1.0) / float(total + vocab_size))
     floor = math.log(1.0 / float(total + vocab_size))
+    q = None if round_to is None else 10.0**round_to
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, ns, means, ppls = [], [], [], []
-            for did, arr in zip(pdf[id_col], pdf[tokens_col]):
-                t = _int_tokens(arr)
-                ids.append(did)
-                if t is None or t.size == 0:
-                    ns.append(0)
-                    means.append(None)
-                    ppls.append(None)
-                    continue
-                in_range = (t >= 0) & (t < vocab_size)
-                lp = np.where(in_range, logp[np.clip(t, 0, vocab_size - 1)], floor)
-                m = float(lp.mean())
-                p = float(math.exp(-m))
-                if round_to is not None:
-                    q = 10.0**round_to
-                    m = math.floor(m * q + 0.5) / q if m >= 0 else -math.floor(-m * q + 0.5) / q
-                    p = math.floor(p * q + 0.5) / q
-                ns.append(int(t.size))
-                means.append(m)
-                ppls.append(p)
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "n_tok": pd.array(ns, dtype="int32"),
-                    "mean_logp": pd.array(means, dtype="float64"),
-                    "ppl": pd.array(ppls, dtype="float64"),
-                }
+    def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            ids = batch.column(0)
+            flat, lens = _arrow_flat_tokens(batch.column(1))
+            m = lens.size
+            nz = lens > 0
+            mean = np.full(m, np.nan)
+            if flat.size:
+                lens_nz = lens[nz]
+                starts = np.zeros(lens_nz.size, dtype=np.int64)
+                np.cumsum(lens_nz[:-1], out=starts[1:])
+                in_range = (flat >= 0) & (flat < vocab_size)
+                lp = np.where(
+                    in_range, logp[np.clip(flat, 0, vocab_size - 1)], floor
+                )
+                mean[nz] = np.add.reduceat(lp, starts) / lens_nz
+            # ppl is exp of the UNROUNDED mean, then rounded — the same
+            # order of operations as the scalar path and the SQL oracle
+            ppl = np.exp(-mean)
+            if q is not None:
+                mean = (
+                    np.where(
+                        mean >= 0,
+                        np.floor(mean * q + 0.5),
+                        -np.floor(-mean * q + 0.5),
+                    )
+                    / q
+                )
+                ppl = np.floor(ppl * q + 0.5) / q
+            null_mask = ~nz
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(lens.astype(np.int32), type=pa.int32()),
+                    pa.array(mean, type=pa.float64(), mask=null_mask),
+                    pa.array(ppl, type=pa.float64(), mask=null_mask),
+                ],
+                names=[id_col, "n_tok", "mean_logp", "ppl"],
             )
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, tokens_col).mapInPandas(
+    return df.select(id_col, tokens_col).mapInArrow(
         score, schema=f"{id_col} {id_type}, n_tok int, mean_logp double, ppl double"
     )
 

@@ -36,6 +36,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _arrow_flat_tokens(list_arr) -> "tuple[np.ndarray, np.ndarray]":
+    """Flatten one Arrow list<int> column to ``(flat int64, lens int64)``
+    with ZERO per-row Python: ``lens[i]`` is row i's element count (NULL
+    array → 0, contributing nothing to ``flat``), and ``flat`` is every
+    row's elements concatenated in row order with NULL elements mapped to
+    -1 (the `_int_tokens` convention).  ``pc.list_flatten`` respects
+    slices and skips null lists, so ``flat`` segments align exactly with
+    the nonzero entries of ``lens`` — the shape `np.add.reduceat` wants.
+    This is the mapInArrow fast path; `_int_tokens` remains for the
+    pandas-Series call sites."""
+    import pyarrow.compute as pc
+
+    lens = (
+        pc.fill_null(pc.list_value_length(list_arr), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = (
+        pc.fill_null(pc.list_flatten(list_arr), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return flat, lens
+
+
+def _round6_vec(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized half-up 6-decimal rounding — elementwise identical to
+    the scalar `_round6` (Python round() is banker's; DuckDB's is
+    half-up, and the oracle gate compares at 6dp)."""
+    return (
+        np.where(x >= 0, np.floor(x * 1e6 + 0.5), -np.floor(-x * 1e6 + 0.5))
+        / 1e6
+    )
+
+
 def _int_tokens(arr) -> "np.ndarray | None":
     """Normalize one Arrow-delivered token array to int64 with NULL
     elements mapped to -1.  Arrow hands list<int32> to pandas as an
@@ -349,54 +384,87 @@ def sequence_stats(
     owner runs before training: low entropy / distinct_ratio or a long
     max_run marks gibberish, boilerplate loops, or decoder collapse.
 
-    Scale shape: strictly ROW-LOCAL — one Arrow-batched numpy pass per
-    partition, zero exchanges; the plan is scan → mapInPandas.  At any
-    corpus size the cost is one streaming read of the token column.
-    NULL elements count as token id -1 (the same convention as
+    Scale shape: strictly ROW-LOCAL — one mapInArrow pass per partition,
+    zero exchanges; the plan is scan → MapInArrow.  The Arrow list column
+    is flattened zero-copy ONCE (`_arrow_flat_tokens` — no pandas list
+    materialization, no per-row dtype copies); the per-row reductions run
+    on int64 VIEWS into that flat buffer.  A fully flat formulation
+    (global segment sort + reduceat) was measured and rejected: with
+    |vocab| ≫ row length almost every token is distinct within its row,
+    so "groups" ≈ "tokens" and the flat path makes several full-relation
+    passes where the per-row sorts stay cache-resident (10.6 s vs 1.9 s
+    per 15M-token batch).  Σ c·ln c is summed over counts > 1 only
+    (ln 1 = 0), which skips the log for the dominant all-distinct case.
+    At any corpus size the cost is one streaming read of the token
+    column.  NULL elements count as token id -1 (the same convention as
     `token_histogram`); a NULL or empty array yields n_tok = 0 with NULL
     ratio/entropy/top_share.  Floats use half-up 6-decimal rounding.
     """
+    import pyarrow as pa
+
     id_dtype = df.schema[id_col].dataType.simpleString()
 
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf[id_col].tolist()
-            n_tok, n_distinct, ratio, ent, max_run, top = [], [], [], [], [], []
-            for arr in pdf[tokens_col]:
-                t = _int_tokens(arr)
-                n = 0 if t is None else int(t.size)
-                if n == 0:
-                    n_tok.append(0)
-                    n_distinct.append(0)
-                    ratio.append(None)
-                    ent.append(None)
-                    max_run.append(0)
-                    top.append(None)
-                    continue
-                _, counts = np.unique(t, return_counts=True)
-                nd = int(counts.size)
-                s = float((counts * np.log(counts)).sum())
-                change = np.flatnonzero(t[1:] != t[:-1])
-                edges = np.concatenate(([-1], change, [n - 1]))
-                n_tok.append(n)
-                n_distinct.append(nd)
-                ratio.append(_round6(nd / n))
-                ent.append(_round6(float(np.log(n)) - s / n))
-                max_run.append(int(np.diff(edges).max()))
-                top.append(_round6(int(counts.max()) / n))
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "n_tok": pd.Series(n_tok, dtype="int32"),
-                    "n_distinct": pd.Series(n_distinct, dtype="int32"),
-                    "distinct_ratio": pd.Series(ratio, dtype="object"),
-                    "entropy": pd.Series(ent, dtype="object"),
-                    "max_run": pd.Series(max_run, dtype="int32"),
-                    "top_share": pd.Series(top, dtype="object"),
-                }
+    def stats(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        log = np.log
+        for batch in batches:
+            ids = batch.column(0)
+            flat, lens = _arrow_flat_tokens(batch.column(1))
+            m = lens.size
+            nz = lens > 0
+            off = np.concatenate(([0], np.cumsum(lens)))
+            nd_full = np.zeros(m, dtype=np.int64)
+            run_full = np.zeros(m, dtype=np.int64)
+            ratio_full = np.full(m, np.nan)
+            ent_full = np.full(m, np.nan)
+            top_full = np.full(m, np.nan)
+            for i in np.flatnonzero(nz):
+                tv = flat[off[i]:off[i + 1]]
+                n = tv.size
+                sv = np.sort(tv)
+                b = np.flatnonzero(sv[1:] != sv[:-1])
+                nd = b.size + 1
+                cuts = np.empty(nd + 1, dtype=np.int64)
+                cuts[0] = 0
+                cuts[1:-1] = b + 1
+                cuts[-1] = n
+                counts = np.diff(cuts)
+                dup = counts[counts > 1]
+                s = float((dup * log(dup)).sum()) if dup.size else 0.0
+                c = np.flatnonzero(tv[1:] != tv[:-1])
+                if c.size == 0:
+                    mr = n
+                else:
+                    mr = max(
+                        int(c[0]) + 1,
+                        int(n - 1 - c[-1]),
+                        int(np.diff(c).max()) if c.size > 1 else 0,
+                    )
+                nd_full[i] = nd
+                run_full[i] = mr
+                ratio_full[i] = nd / n
+                ent_full[i] = log(n) - s / n
+                top_full[i] = int(counts.max()) / n
+            ratio_full = _round6_vec(ratio_full)
+            ent_full = _round6_vec(ent_full)
+            top_full = _round6_vec(top_full)
+            null_mask = ~nz
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(lens.astype(np.int32), type=pa.int32()),
+                    pa.array(nd_full.astype(np.int32), type=pa.int32()),
+                    pa.array(ratio_full, type=pa.float64(), mask=null_mask),
+                    pa.array(ent_full, type=pa.float64(), mask=null_mask),
+                    pa.array(run_full.astype(np.int32), type=pa.int32()),
+                    pa.array(top_full, type=pa.float64(), mask=null_mask),
+                ],
+                names=[
+                    id_col, "n_tok", "n_distinct", "distinct_ratio",
+                    "entropy", "max_run", "top_share",
+                ],
             )
 
-    return df.select(id_col, tokens_col).mapInPandas(
+    return df.select(id_col, tokens_col).mapInArrow(
         stats,
         schema=(
             f"{id_col} {id_dtype}, n_tok int, n_distinct int,"
