@@ -6781,6 +6781,85 @@ def q_streaming_confusion_windows(spark, sf_dir):
     )
 
 
+def _clf_curve_fixture(spark, sf_dir):
+    """Curve-shaped audit fixture: the classifier score blended 50/50
+    with a deterministic per-doc jitter ((doc_id·37) mod 101)/101 —
+    integer arithmetic, bit-identical in Spark and DuckDB. The synthetic
+    corpus collapses to 2 distinct classifier scores (every clean doc
+    shares one template), which would exercise only 2 curve rows; the
+    blend spreads each class across ~101 thresholds WITH an overlap
+    region (junk ∈ [.06, .56], clean ∈ [.48, .98]), so the PR/sweep
+    gates witness a non-trivial many-threshold curve: AUC/AP < 1, a real
+    argmax threshold, ties included."""
+    base = _clf_eval_fixture(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        F.round(
+            (F.col("score") + (F.col("doc_id") * 37 % 101) / 101.0) / 2.0, 6
+        ).alias("score"),
+        "is_clean",
+    )
+
+
+def q_pr_auc_quality_documents(spark, sf_dir):
+    """Average precision (step-interpolated PR-AUC) of the quality
+    classifier against the injected-junk ground truth
+    (checks/classifier_eval.pr_report) — the imbalance-aware companion
+    to ROC AUC: junk is a minority class, and AP collapses when the TOP
+    of the ranking is polluted even while corpus-wide AUC holds. Same
+    sort-free shape as the AUC gate: one score-keyed hash aggregate +
+    running sums over the |distinct scores|-bounded relation; per-score
+    precision is a ratio of exact integers rounded half-up to 6 dp
+    before weighting, so the sum is fold-order-stable."""
+    from vldt_spark.checks.classifier_eval import pr_report
+
+    return pr_report(_clf_curve_fixture(spark, sf_dir), "score", "is_clean")
+
+
+def q_threshold_sweep_quality_documents(spark, sf_dir):
+    """Full operating-curve table of the quality classifier
+    (checks/classifier_eval.threshold_sweep): per distinct score value,
+    the confusion counts + precision/recall/fpr/f1/accuracy of the cut
+    ``score >= s`` — simultaneously the exact ROC curve and the exact PR
+    curve, and the table from which the shipped threshold is chosen.
+    Output size is |distinct 6-dp scores| (the fact table is touched by
+    exactly one hash aggregate); ``quantize`` is the 100 TB knob."""
+    from vldt_spark.checks.classifier_eval import threshold_sweep
+
+    return threshold_sweep(_clf_curve_fixture(spark, sf_dir), "score", "is_clean")
+
+
+def q_best_threshold_quality_documents(spark, sf_dir):
+    """F1-optimal operating point of the quality classifier
+    (checks/classifier_eval.best_threshold_report): the threshold_sweep
+    row with the highest f1, ties broken toward the stricter (higher)
+    cut. The argmax sort runs over the |distinct scores|-bounded sweep
+    relation, never the fact table."""
+    from vldt_spark.checks.classifier_eval import best_threshold_report
+
+    return best_threshold_report(
+        _clf_curve_fixture(spark, sf_dir), "score", "is_clean"
+    )
+
+
+def q_suite_ap_guard(spark, sf_dir):
+    """Imbalance-aware ranking acceptance gate as a declarative suite
+    expectation: average_precision_above with a structurally-passing arm
+    (0.5 bar) and a structurally-failing arm (the bar is strict >, so a
+    1.0 bar fails even perfect ranking). Metric VALUES are the real
+    corpus scalars, replayed exactly in SQL."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    sl = _clf_curve_fixture(spark, sf_dir)
+    suite = Suite(
+        [
+            expect.average_precision_above("score", "is_clean", 0.5),
+            expect.average_precision_above("score", "is_clean", 1.0),
+        ]
+    )
+    return suite.run(sl)
+
+
 _SQL_CLF_EVAL_CTE = r"""
 WITH src AS (
   SELECT doc_id,
@@ -7000,6 +7079,85 @@ UNION ALL
 SELECT 'brier_below', 'score', m, CAST(0.0 AS DOUBLE), FALSE FROM brm
 """
 
+# descending-threshold operating curve shared by the PR-AUC / sweep /
+# best-threshold oracles: one row per distinct score s with the
+# confusion state of the cut `score >= s`
+_SQL_CLF_CURVE_CTE = _SQL_CLF_EVAL_CTE + r"""
+, sl2 AS (
+  SELECT doc_id, y,
+         round((s + ((doc_id * 37) % 101) / 101.0) / 2.0, 6) AS s
+  FROM sl
+), per AS (
+  SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM sl2 GROUP BY s
+), curve AS (
+  SELECT s, pos, neg,
+         sum(pos) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         sum(neg) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         sum(pos) OVER () AS p,
+         sum(neg) OVER () AS n
+  FROM per
+)"""
+
+SQL_PR_AUC_QUALITY_DOCUMENTS = _SQL_CLF_CURVE_CTE + r"""
+, ap AS (
+  SELECT sum(pos * round(CAST(tp AS DOUBLE) / (tp + fp), 6)) / max(p) AS apv,
+         CAST(max(p) AS DOUBLE) / (max(p) + max(n)) AS basev,
+         max(p) AS p, max(n) AS n, count(*) AS ns
+  FROM curve
+)
+SELECT CASE WHEN p > 0 AND n > 0 THEN round(apv, 6) END AS average_precision,
+       CASE WHEN p > 0 AND n > 0 THEN round(basev, 6) END AS baseline,
+       CASE WHEN p > 0 AND n > 0 THEN round(apv / basev, 6) END AS lift,
+       CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+       CAST(ns AS BIGINT) AS n_scores
+FROM ap
+"""
+
+_SQL_SWEEP_BODY = r"""
+SELECT s AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(p - tp AS BIGINT) AS fn, CAST(n - fp AS BIGINT) AS tn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       CASE WHEN p > 0 THEN round(CAST(tp AS DOUBLE) / p, 6) END AS recall,
+       CASE WHEN n > 0 THEN round(CAST(fp AS DOUBLE) / n, 6) END AS fpr,
+       CASE WHEN p > 0 AND tp > 0
+            THEN round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / p)
+                       / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / p), 6)
+       END AS f1,
+       round(CAST(tp + n - fp AS DOUBLE) / (p + n), 6) AS accuracy
+FROM curve
+"""
+
+SQL_THRESHOLD_SWEEP_QUALITY_DOCUMENTS = _SQL_CLF_CURVE_CTE + _SQL_SWEEP_BODY
+
+SQL_BEST_THRESHOLD_QUALITY_DOCUMENTS = (
+    _SQL_CLF_CURVE_CTE
+    + ", sweep AS ("
+    + _SQL_SWEEP_BODY
+    + r""")
+SELECT * FROM sweep
+WHERE f1 IS NOT NULL
+ORDER BY f1 DESC, threshold DESC
+LIMIT 1
+"""
+)
+
+SQL_SUITE_AP_GUARD = _SQL_CLF_CURVE_CTE + r"""
+, apm AS (
+  SELECT round(sum(pos * round(CAST(tp AS DOUBLE) / (tp + fp), 6))
+               / max(p), 6) AS m
+  FROM curve
+)
+SELECT 'average_precision_above' AS "check", 'score' AS "column",
+       m AS metric, CAST(0.5 AS DOUBLE) AS threshold, m > 0.5 AS passed
+FROM apm
+UNION ALL
+SELECT 'average_precision_above', 'score', m, CAST(1.0 AS DOUBLE), m > 1.0
+FROM apm
+"""
+
 
 # ---------------------------------------------------------------------------
 # contract
@@ -7032,6 +7190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py verifies the full 164-query set locally."""
     return {
         # --- NEW round 5 ---
+        "pr_auc_quality_documents": q_pr_auc_quality_documents,
+        "threshold_sweep_quality_documents": q_threshold_sweep_quality_documents,
+        "best_threshold_quality_documents": q_best_threshold_quality_documents,
+        "suite_ap_guard": q_suite_ap_guard,
         "auc_quality_documents": q_auc_quality_documents,
         "auc_by_lang_documents": q_auc_by_lang_documents,
         "calibration_quality_documents": q_calibration_quality_documents,
@@ -7210,6 +7372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pr_auc_quality_documents": SQL_PR_AUC_QUALITY_DOCUMENTS,
+        "threshold_sweep_quality_documents": SQL_THRESHOLD_SWEEP_QUALITY_DOCUMENTS,
+        "best_threshold_quality_documents": SQL_BEST_THRESHOLD_QUALITY_DOCUMENTS,
+        "suite_ap_guard": SQL_SUITE_AP_GUARD,
         "auc_quality_documents": SQL_AUC_QUALITY_DOCUMENTS,
         "auc_by_lang_documents": SQL_AUC_BY_LANG_DOCUMENTS,
         "calibration_quality_documents": SQL_CALIBRATION_QUALITY_DOCUMENTS,

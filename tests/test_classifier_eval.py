@@ -298,3 +298,160 @@ def test_suite_brier_guard_arms(spark):
         .first()
     )
     assert not row["passed"] and math.isnan(row["metric"])
+
+
+def _ref_ap(pairs):
+    """Step-interpolated tie-aware AP reference: group tied scores,
+    descend thresholds, AP = Σ (pos_s / P) · round6(precision ≥ s)."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        per[s][0 if y else 1] += 1
+    p_tot = sum(v[0] for v in per.values())
+    tp = fp = 0
+    ap = 0.0
+    for s in sorted(per, reverse=True):
+        tp += per[s][0]
+        fp += per[s][1]
+        ap += per[s][0] / p_tot * round(tp / (tp + fp), 6)
+    return ap
+
+
+def test_pr_report_matches_stepwise_reference_with_ties(spark):
+    from vldt_spark.checks.classifier_eval import pr_report
+
+    pairs = [
+        (0.9, True), (0.8, True), (0.8, False), (0.7, True),
+        (0.5, False), (0.5, True), (0.5, False), (0.3, False),
+        (0.3, True), (0.1, False),
+    ]
+    row = pr_report(_df(spark, pairs), "score", "label").first()
+    assert row["average_precision"] == pytest.approx(_ref_ap(pairs), abs=1e-6)
+    assert row["baseline"] == pytest.approx(0.5, abs=1e-6)
+    assert row["lift"] == pytest.approx(
+        _ref_ap(pairs) / 0.5, abs=2e-6
+    )
+    assert row["n_pos"] == 5 and row["n_neg"] == 5 and row["n_scores"] == 6
+
+
+def test_pr_report_perfect_single_class_and_quantize(spark):
+    from vldt_spark.checks.classifier_eval import pr_report
+
+    perfect = [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
+    assert (
+        pr_report(_df(spark, perfect), "score", "label").first()[
+            "average_precision"
+        ]
+        == 1.0
+    )
+    # single class: AP undefined — NULL, not a trivial 1.0
+    row = pr_report(
+        _df(spark, [(0.4, True), (0.6, True)]), "score", "label"
+    ).first()
+    assert row["average_precision"] is None and row["lift"] is None
+    # quantize snaps to the 1/k grid FIRST, creating ties the step AP
+    # must score as grouped blocks — and bounds the relation at k+1 rows
+    pairs = [(i / 100.0, i % 3 != 0) for i in range(100)]
+    row = pr_report(_df(spark, pairs), "score", "label", quantize=4).first()
+    snapped = [(round(s * 4) / 4, y) for s, y in pairs]
+    assert row["n_scores"] <= 5
+    assert row["average_precision"] == pytest.approx(_ref_ap(snapped), abs=1e-6)
+
+
+def test_threshold_sweep_closed_form_rows(spark):
+    from vldt_spark.checks.classifier_eval import threshold_sweep
+
+    rows = [(0.9, True), (0.5, True), (0.5, False), (0.1, False)]
+    got = {
+        r["threshold"]: r
+        for r in threshold_sweep(_df(spark, rows), "score", "label").collect()
+    }
+    assert set(got) == {0.9, 0.5, 0.1}
+    top = got[0.9]
+    assert (top["tp"], top["fp"], top["fn"], top["tn"]) == (1, 0, 1, 2)
+    assert top["precision"] == 1.0 and top["recall"] == 0.5
+    assert top["fpr"] == 0.0
+    mid = got[0.5]
+    assert (mid["tp"], mid["fp"], mid["fn"], mid["tn"]) == (2, 1, 0, 1)
+    assert mid["f1"] == pytest.approx(2 * (2 / 3) * 1.0 / (2 / 3 + 1.0), abs=1e-6)
+    bot = got[0.1]
+    assert (bot["tp"], bot["fp"], bot["fn"], bot["tn"]) == (2, 2, 0, 0)
+    assert bot["accuracy"] == 0.5
+    # all-positive input: fpr has a zero denominator — NULL, not fake 0
+    ap_only = threshold_sweep(
+        _df(spark, [(0.9, True), (0.1, True)]), "score", "label"
+    ).collect()
+    assert all(r["fpr"] is None for r in ap_only)
+    assert all(r["precision"] == 1.0 for r in ap_only)
+
+
+def test_best_threshold_ties_break_to_higher_threshold(spark):
+    from vldt_spark.checks.classifier_eval import best_threshold_report
+
+    # thresholds 0.9 and 0.5 both achieve f1 = 2/3: (tp1 fp0 fn1) vs
+    # (tp2 fp2 fn0) — the report must pick the stricter 0.9 cut
+    rows = [(0.9, True), (0.5, False), (0.5, False), (0.5, True), (0.1, False)]
+    got = best_threshold_report(_df(spark, rows), "score", "label").collect()
+    assert len(got) == 1
+    assert got[0]["threshold"] == 0.9
+    assert got[0]["f1"] == pytest.approx(2 / 3, abs=1e-6)
+    # no positives anywhere: no threshold has a defined f1 — zero rows
+    neg_only = best_threshold_report(
+        _df(spark, [(0.9, False), (0.1, False)]), "score", "label"
+    ).collect()
+    assert neg_only == []
+
+
+def test_pr_plan_has_no_join_and_no_fact_sort(spark):
+    from vldt_spark.checks.classifier_eval import pr_report
+
+    df = _df(spark, [(0.9, True), (0.1, False), (0.5, True)])
+    plan = (
+        pr_report(df, "score", "label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    # the only Sort feeds the descending window over the grouped
+    # relation — it must sit ABOVE the per-score aggregate
+    sort_pos = plan.find("Sort")
+    score_agg_pos = plan.rfind("HashAggregate")
+    assert sort_pos != -1 and score_agg_pos != -1
+    assert sort_pos < score_agg_pos
+
+
+def test_suite_average_precision_guard_arms(spark):
+    rows = [
+        (0.9, True), (0.8, True), (0.8, False), (0.7, True),
+        (0.5, False), (0.5, True), (0.5, False), (0.3, False),
+        (0.3, True), (0.1, False),
+    ]
+    df = _df(spark, rows)
+    want = round(_ref_ap(rows), 6)
+    out = {
+        (r["check"], float(r["threshold"])): r
+        for r in Suite(
+            [
+                expect.average_precision_above("score", "label", 0.5),
+                expect.average_precision_above("score", "label", 1.0),
+            ]
+        )
+        .run(df)
+        .collect()
+    }
+    ok = out[("average_precision_above", 0.5)]
+    assert ok["passed"] is True and float(ok["metric"]) == pytest.approx(
+        want, abs=1e-6
+    )
+    bad = out[("average_precision_above", 1.0)]
+    assert bad["passed"] is False
+    # single-class audit slice: metric NaN, guard fails loud
+    one_class = _df(spark, [(0.4, True), (0.6, True)])
+    row = (
+        Suite([expect.average_precision_above("score", "label", 0.1)])
+        .run(one_class)
+        .first()
+    )
+    assert row["passed"] is False and math.isnan(float(row["metric"]))

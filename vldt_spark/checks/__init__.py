@@ -46,10 +46,13 @@ from vldt_spark.checks.dependencies import fd_report, functional_dependency
 from vldt_spark.checks.classifier_eval import (
     auc_by_group,
     auc_report,
+    best_threshold_report,
     brier_report,
     calibration_report,
     confusion_report,
     ece_report,
+    pr_report,
+    threshold_sweep,
 )
 
 __all__ = [
@@ -105,4 +108,7 @@ __all__ = [
     "ece_report",
     "brier_report",
     "confusion_report",
+    "pr_report",
+    "threshold_sweep",
+    "best_threshold_report",
 ]

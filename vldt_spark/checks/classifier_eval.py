@@ -375,3 +375,175 @@ def ece_report(
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.col("n_bins_used").cast("long").alias("n_bins_used"),
     )
+
+def _per_score_curve(
+    df: DataFrame, score_col: str, label_col: str, *, quantize: int | None
+) -> DataFrame:
+    """Shared PR/threshold-curve relation: one row per DISTINCT score
+    value carrying the operating point of the cut ``score >= s``:
+
+      __s, pos, neg (rows AT this score), tp, fp (cuts at >= __s),
+      p, n (class totals).
+
+    Same scale shape as ``auc_report``: ONE score-keyed hash aggregate
+    (map-side partial combine — the exchange carries |distinct scores|
+    rows, never |rows|), then running sums over that bounded relation in
+    DESCENDING score order. ``quantize=k`` bounds the relation at k+1
+    rows for continuous scores. The fact table never globally sorts."""
+    per_score = (
+        _score_label(df, score_col, label_col, quantize=quantize)
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("pos"),
+            F.sum(F.lit(1) - F.col("__y")).alias("neg"),
+        )
+    )
+    at_or_above = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    whole = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_score.select(
+        "__s",
+        "pos",
+        "neg",
+        F.sum("pos").over(at_or_above).alias("tp"),
+        F.sum("neg").over(at_or_above).alias("fp"),
+        F.sum("pos").over(whole).alias("p"),
+        F.sum("neg").over(whole).alias("n"),
+    )
+
+
+def pr_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of ``score_col`` against boolean/0-1 ``label_col``.
+    Returns ONE row:
+
+      average_precision, baseline (= P/(P+N), a random ranker's AP),
+      lift (= AP / baseline), n_pos, n_neg, n_scores.
+
+    ROC AUC is insensitive to class imbalance — exactly the regime of a
+    quality filter hunting a small junk minority; AP weighs precision at
+    every achieved recall level, so it degrades when the filter's top
+    of the ranking is polluted even if corpus-wide ordering looks fine.
+
+    Tie-aware step AP over distinct thresholds (the
+    ``sklearn.average_precision_score`` definition, tied rows grouped):
+
+      AP = Σ_s (pos_s / P) · precision(>= s)
+
+    Determinism: each precision(>= s) = tp/(tp+fp) is a ratio of exact
+    integers, ROUNDED HALF-UP TO 6 DP before weighting (the repo-wide
+    oracle convention), so every term is a 1e-6-grid value and the final
+    6-dp rounding is stable under fold order. ``quantize`` is the
+    100 TB knob (see ``auc_report``). Single-class input → NULL
+    average_precision: an audit slice with no negatives (or positives)
+    certifies nothing, so the guard fails loud rather than reporting a
+    trivial 1.0.
+    """
+    curve = _per_score_curve(df, score_col, label_col, quantize=quantize)
+    prec6 = F.round(
+        F.col("tp").cast("double")
+        / (F.col("tp") + F.col("fp")).cast("double"),
+        6,
+    )
+    agg = curve.agg(
+        F.sum(F.col("pos").cast("double") * prec6).alias("num"),
+        F.max("p").alias("n_pos"),
+        F.max("n").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+    ap = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("num") / F.col("n_pos").cast("double"),
+    )
+    baseline = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("n_pos").cast("double")
+        / (F.col("n_pos") + F.col("n_neg")).cast("double"),
+    )
+    return agg.select(
+        F.round(ap, 6).alias("average_precision"),
+        F.round(baseline, 6).alias("baseline"),
+        F.round(ap / baseline, 6).alias("lift"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
+        F.col("n_scores").cast("long").alias("n_scores"),
+    )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Full operating-curve table: one row per DISTINCT score value s
+    with the confusion counts and derived metrics of the cut
+    ``score >= s``:
+
+      threshold, tp, fp, fn, tn, precision, recall, fpr, f1, accuracy
+
+    ``confusion_report`` audits the ONE shipped threshold; this table is
+    how that threshold gets CHOSEN — it is simultaneously the exact ROC
+    curve ((fpr, recall) points) and the exact PR curve ((recall,
+    precision) points) of the filter. Output size is |distinct scores|
+    (bound it with ``quantize`` for continuous scores — the 100 TB knob);
+    the fact table itself is touched by exactly one hash aggregate.
+    Zero-denominator metrics are NULL, not fake 0. Rows come back in
+    descending threshold order (the conventional curve direction); the
+    sort is over the bounded relation only."""
+    curve = _per_score_curve(df, score_col, label_col, quantize=quantize)
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn = (F.col("p") - F.col("tp")).cast("double")
+    tn = (F.col("n") - F.col("fp")).cast("double")
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    fpr = F.when(fp + tn > 0, fp / (fp + tn))
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    accuracy = (tp + tn) / (tp + fp + fn + tn)
+    return curve.select(
+        F.col("__s").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("n") - F.col("fp")).cast("long").alias("tn"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(fpr, 6).alias("fpr"),
+        F.round(f1, 6).alias("f1"),
+        F.round(accuracy, 6).alias("accuracy"),
+    ).orderBy(F.desc("threshold"))
+
+
+def best_threshold_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    quantize: int | None = None,
+) -> DataFrame:
+    """The F1-optimal operating point: the ``threshold_sweep`` row with
+    the highest f1, ties broken toward the HIGHER threshold (the
+    stricter cut — at equal f1 prefer keeping less junk). Returns ONE
+    row (threshold, tp, fp, fn, tn, precision, recall, fpr, f1,
+    accuracy), or zero rows when no threshold has a defined f1 (e.g. a
+    no-positives audit slice). The argmax sort runs over the
+    |distinct scores|-bounded sweep relation, never the fact table."""
+    sweep = threshold_sweep(df, score_col, label_col, quantize=quantize)
+    return (
+        sweep.where(F.col("f1").isNotNull())
+        .orderBy(F.desc("f1"), F.desc("threshold"))
+        .limit(1)
+    )

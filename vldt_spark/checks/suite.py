@@ -573,6 +573,30 @@ class expect:
         )
 
     @staticmethod
+    def average_precision_above(
+        score_col: str,
+        label_col: str,
+        threshold: float,
+        *,
+        quantize: int | None = None,
+    ) -> Expectation:
+        """Filter-model imbalance-aware ranking guard: the average
+        precision (step-interpolated PR-AUC) of ``score_col`` against
+        ``label_col`` must stay ABOVE the threshold. The companion to
+        auc_above for the quality-filter regime — junk is a small
+        minority, and ROC AUC barely moves when the TOP of the ranking
+        is polluted while AP collapses. Runs as ``pr_report``
+        (checks/classifier_eval.py): one score-keyed hash aggregate plus
+        running sums over the |distinct scores|-bounded relation; the
+        fact table never globally sorts. Single-class / empty audit
+        slices fail (metric NaN)."""
+        return Expectation(
+            "average_precision_above",
+            score_col,
+            {"label_col": label_col, "threshold": threshold, "quantize": quantize},
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -1126,6 +1150,20 @@ class Suite:
             else:
                 metric = float(row["brier"])
                 passed = metric < thr
+        elif e.kind == "average_precision_above":
+            from vldt_spark.checks.classifier_eval import pr_report
+
+            thr = float(p["threshold"])
+            row = pr_report(
+                df, e.column, p["label_col"], quantize=p["quantize"]
+            ).first()
+            if row is None or row["average_precision"] is None:
+                # empty / single-class audit slice: AP undefined — fail,
+                # same loud-failure semantics as auc_above
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["average_precision"])
+                passed = metric > thr
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift
 
