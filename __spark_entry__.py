@@ -7159,6 +7159,222 @@ FROM apm
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# round-5 final additions: PII redaction, ppl-band pruning, source dup
+# matrix, dataset card
+# ---------------------------------------------------------------------------
+
+
+def q_pii_redact_report_documents(spark, sf_dir):
+    """PII redaction audit gate: inject deterministic PII strings on
+    disjoint doc_id buckets (the ``pii_report`` convention), redact with
+    the screen patterns, and report per-source replaced-match counts plus
+    the exact signed character delta. Pure codegen regexp_replace /
+    regexp_count projection + scalar partials — the fact table never
+    shuffles; the oracle replays the identical RE2-portable patterns."""
+    from vldt_spark.functions.text import pii_redact_report
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    t = (
+        F.when(m == 3, F.concat("text", F.lit(" contact: a@b.co and c.d@e-f.org")))
+        .when(m == 7, F.concat("text", F.lit(" from 10.0.0.1 via 192.168.1.9")))
+        .when(m == 11, F.concat("text", F.lit(" call 555-123-4567")))
+        .otherwise(F.col("text"))
+    )
+    return pii_redact_report(
+        docs.select("source", t.alias("text")), by="source"
+    ).orderBy("source")
+
+
+_SQL_PII_INJ = r"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % 40 = 3 THEN text || ' contact: a@b.co and c.d@e-f.org'
+              WHEN doc_id % 40 = 7 THEN text || ' from 10.0.0.1 via 192.168.1.9'
+              WHEN doc_id % 40 = 11 THEN text || ' call 555-123-4567'
+              ELSE text END AS t
+  FROM documents
+), red AS (
+  SELECT source, t,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+         len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS r
+  FROM d
+)
+"""
+
+SQL_PII_REDACT_REPORT_DOCUMENTS = _SQL_PII_INJ + r"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_ip) AS BIGINT) AS n_ip,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(length(t) - length(r)) AS BIGINT) AS chars_removed
+FROM red GROUP BY source
+"""
+
+
+def q_ppl_band_documents(spark, sf_dir):
+    """Perplexity-percentile pruning gate (CCNet/DCLM "drop both tails"):
+    keep per-source percentile band [0.1, 0.9] of unigram perplexity,
+    exact percent_rank path (ties broken by doc_id so the kept set is
+    deterministic and SQL-replicable). The approx (percentile_approx
+    thresholds, no sort) twin is the 100 TB strategy — pytest bounds its
+    divergence; this gate value-checks the exact baseline."""
+    from vldt_spark.functions.lm import ppl_band_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ppl_band_filter(_char_tokens(docs), 256, lo=0.1, hi=0.9, by="source")
+    return out.select("doc_id", "source", "n_tok", "ppl", "pct_rank")
+
+
+SQL_PPL_BAND_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, source, [ascii(c) FOR c IN string_split(text, '')] AS toks
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT token, count(*) AS cnt FROM e GROUP BY token),
+n AS (SELECT sum(cnt) AS N FROM c),
+lp AS (SELECT token, ln((cnt + 1.0) / (N + 256.0)) AS logp FROM c, n),
+s AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_tok, round(exp(-avg(logp)), 6) AS ppl
+  FROM e JOIN lp USING (token) GROUP BY doc_id
+),
+r AS (
+  SELECT t.doc_id, t.source, s.n_tok, s.ppl,
+         round(percent_rank() OVER (
+           PARTITION BY t.source ORDER BY s.ppl, t.doc_id), 6) AS pct_rank
+  FROM t JOIN s ON s.doc_id = t.doc_id
+)
+SELECT doc_id, source, n_tok, ppl, pct_rank
+FROM r WHERE pct_rank >= 0.1 AND pct_rank <= 0.9
+"""
+
+
+def q_dup_source_matrix_documents(spark, sf_dir):
+    """Cross-source exact-duplicate matrix gate: deterministic duplicate
+    texts are injected on doc_id % 5 = 0 (colliding across sources via
+    doc_id % 7), and the (source_a, source_b) shared-text / doc-pair
+    matrix is value-checked. The fact table folds to (fingerprint,
+    source, n) partials before any join — per-fingerprint join groups
+    are |sources|-bounded, so no hot duplicate can skew the exchange."""
+    from vldt_spark.functions.dedup import dup_source_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("dup "), (F.col("doc_id") % 7).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dup_source_matrix(dup).orderBy("source_a", "source_b")
+
+
+SQL_DUP_SOURCE_MATRIX_DOCUMENTS = r"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0 THEN 'dup ' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), per AS (
+  SELECT substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp,
+         source AS g, count(*) AS n
+  FROM d GROUP BY 1, 2
+), pairs AS (
+  SELECT a.g AS source_a, b.g AS source_b,
+         CAST(CASE WHEN a.g = b.g THEN a.n * (a.n - 1) / 2
+                   ELSE a.n * b.n END AS BIGINT) AS n_pairs
+  FROM per a JOIN per b ON a.fp = b.fp AND a.g <= b.g
+)
+SELECT source_a, source_b,
+       count(*) AS n_shared_texts,
+       CAST(sum(n_pairs) AS BIGINT) AS n_doc_pairs
+FROM pairs WHERE n_pairs > 0
+GROUP BY source_a, source_b
+"""
+
+
+def q_corpus_card_documents(spark, sf_dir):
+    """Dataset-card gate: the quantitative half of a datasheet (Gebru et
+    al. 2021) as ONE long-format (metric, value) table — corpus size,
+    source/lang cardinalities, exact-dup health, emptiness, quality-pass
+    and PII rates, mixture concentration (top-source share + Shannon
+    entropy). One scalar-partial aggregate over the fact table + one
+    |sources|-bounded side aggregate; ``approx=True`` (pytest-covered)
+    swaps exact distincts for HLL sketches at 10^12 rows."""
+    from vldt_spark.functions.corpus import corpus_card
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_card(docs).orderBy("metric")
+
+
+SQL_CORPUS_CARD_DOCUMENTS = r"""
+WITH q AS (
+  SELECT text,
+         CAST(length(regexp_replace(trim(text), '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / greatest(length(trim(text)), 1) AS alpha_ratio,
+         CASE WHEN
+           (length(trim(text)) / greatest(
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END, 1))
+           BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS avg_word_ok,
+         CASE WHEN regexp_matches(trim(text), '[.!?"'']$') THEN 1.0 ELSE 0.0 END AS ends_punct,
+         CAST(length(regexp_replace(trim(text), '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(trim(text)), 1) AS digit_ratio,
+         CAST(length(regexp_replace(trim(text), '[^A-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(trim(text)), 1) AS upper_ratio,
+         CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                OR regexp_matches(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')
+                OR regexp_matches(text, '\d{3}[-. ]\d{3}[-. ]\d{4}')
+              THEN 1.0 ELSE 0.0 END AS any_pii
+  FROM documents
+), base AS (
+  SELECT count(*) AS n_docs,
+         sum(length(text)) AS n_chars,
+         avg(CAST(length(text) AS DOUBLE)) AS mean_chars,
+         (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+         (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+         CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS distinct_text_frac,
+         avg(CASE WHEN length(trim(text)) = 0 THEN 1.0 ELSE 0.0 END) AS empty_frac,
+         avg(CASE WHEN 1.0 / (1.0 + exp(-(-1.2 + 2.8 * alpha_ratio
+                + 1.4 * avg_word_ok + 0.7 * ends_punct - 2.5 * digit_ratio
+                - 1.8 * upper_ratio))) >= 0.5 THEN 1.0 ELSE 0.0 END) AS quality_pass_frac,
+         avg(any_pii) AS pii_frac
+  FROM q
+), grp AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), conc AS (
+  SELECT CAST(max(n) AS DOUBLE) / sum(n) AS top_source_share,
+         ln(sum(n)) - sum(n * ln(n)) / sum(n) AS source_entropy
+  FROM grp
+)
+SELECT metric, round(value, 6) AS value FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM base
+  UNION ALL SELECT 'mean_chars', mean_chars FROM base
+  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+  UNION ALL SELECT 'distinct_text_frac', distinct_text_frac FROM base
+  UNION ALL SELECT 'empty_frac', empty_frac FROM base
+  UNION ALL SELECT 'quality_pass_frac', quality_pass_frac FROM base
+  UNION ALL SELECT 'pii_frac', pii_frac FROM base
+  UNION ALL SELECT 'top_source_share', top_source_share FROM conc
+  UNION ALL SELECT 'source_entropy', source_entropy FROM conc
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7187,26 +7403,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    tools/check_oracle.py verifies the full 164-query set locally."""
+    Round-5 window update: the four newest gates (PII redaction audit, perplexity-band pruning, cross-source dup matrix, dataset card) enter at positions 1-4; four suite-guard entries whose underlying machinery is value-checked by their in-window core queries (ap/classifier/mixture/snapshot guards) moved to the top of the tail to keep the window at 50 oracle-checkable entries. tools/check_oracle.py verifies the full 173-query set locally."""
     return {
         # --- NEW round 5 ---
+        "pii_redact_report_documents": q_pii_redact_report_documents,
+        "ppl_band_documents": q_ppl_band_documents,
+        "dup_source_matrix_documents": q_dup_source_matrix_documents,
+        "corpus_card_documents": q_corpus_card_documents,
         "pr_auc_quality_documents": q_pr_auc_quality_documents,
         "threshold_sweep_quality_documents": q_threshold_sweep_quality_documents,
         "best_threshold_quality_documents": q_best_threshold_quality_documents,
-        "suite_ap_guard": q_suite_ap_guard,
         "auc_quality_documents": q_auc_quality_documents,
         "auc_by_lang_documents": q_auc_by_lang_documents,
         "calibration_quality_documents": q_calibration_quality_documents,
-        "suite_classifier_guards": q_suite_classifier_guards,
         "confusion_quality_documents": q_confusion_quality_documents,
         "brier_quality_documents": q_brier_quality_documents,
         "streaming_confusion_windows": q_streaming_confusion_windows,
         "mixture_epochs_documents": q_mixture_epochs_documents,
-        "suite_mixture_guard": q_suite_mixture_guard,
         "split_leakage_documents": q_split_leakage_documents,
         "split_assign_clustered_documents": q_split_assign_clustered_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
-        "suite_snapshot_guard": q_suite_snapshot_guard,
         "suite_leakage_guard": q_suite_leakage_guard,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
@@ -7241,6 +7457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- code changed round 5 ---
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
         "contamination_report_documents": q_contamination_report_documents,
+        "suite_ap_guard": q_suite_ap_guard,
+        "suite_classifier_guards": q_suite_classifier_guards,
+        "suite_mixture_guard": q_suite_mixture_guard,
+        "suite_snapshot_guard": q_suite_snapshot_guard,
         "ri_bloom_screen_lineitem": q_ri_bloom_screen_lineitem,
         "suite_profile_guards": q_suite_profile_guards,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
@@ -7372,6 +7592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_redact_report_documents": SQL_PII_REDACT_REPORT_DOCUMENTS,
+        "ppl_band_documents": SQL_PPL_BAND_DOCUMENTS,
+        "dup_source_matrix_documents": SQL_DUP_SOURCE_MATRIX_DOCUMENTS,
+        "corpus_card_documents": SQL_CORPUS_CARD_DOCUMENTS,
         "pr_auc_quality_documents": SQL_PR_AUC_QUALITY_DOCUMENTS,
         "threshold_sweep_quality_documents": SQL_THRESHOLD_SWEEP_QUALITY_DOCUMENTS,
         "best_threshold_quality_documents": SQL_BEST_THRESHOLD_QUALITY_DOCUMENTS,

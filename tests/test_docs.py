@@ -167,3 +167,21 @@ def test_readme_governance_snippet_executes(ns):
     d = {r["status"]: r["n_rows"] for r in ns.delta.collect()}
     assert d.get("added", 0) > 0 and d.get("removed", 0) == 0
     assert d.get("changed", 0) == 0  # prev is a pure subset
+
+
+def test_readme_curation_snippet_executes(ns):
+    exec(compile(_python_blocks()[12], README, "exec"), ns.__dict__)
+    n_docs = ns.docs.count()
+    # the raw corpus carries no PII -> redaction is the identity
+    assert ns.clean.count() == n_docs
+    rep = ns.redact.collect()
+    assert sum(r["n_docs"] for r in rep) == n_docs
+    assert all(r["n_docs_redacted"] == 0 for r in rep)
+    # both tails dropped per source, most rows kept
+    kept = ns.kept.count()
+    assert 0 < kept < n_docs and kept > 0.6 * n_docs
+    # no exact duplicates in the raw corpus -> empty matrix
+    assert ns.matrix.count() == 0
+    card = {r["metric"]: r["value"] for r in ns.card.collect()}
+    assert card["n_docs"] == float(n_docs)
+    assert card["distinct_text_frac"] == 1.0

@@ -1257,3 +1257,65 @@ def near_dups_against_seen(
         .where(F.col("jaccard_est") >= threshold)
         .select("new_id", "seen_id", "jaccard_est")
     )
+
+
+def dup_source_matrix(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every (unordered) pair of
+    ``by`` groups, how many normalized texts they share and how many
+    document pairs that overlap represents — the "who copies from whom"
+    view a corpus curator reads before setting mixture weights (a shared
+    Common-Crawl snapshot shows up as a hot off-diagonal cell; a source
+    that scrapes another is an asymmetric n_docs split on a symmetric
+    n_shared).  The diagonal (source_a = source_b) carries WITHIN-source
+    duplication: C(n,2) pairs per duplicated fingerprint.
+
+    Returns (source_a, source_b, n_shared_texts, n_doc_pairs) with
+    source_a <= source_b, only rows with n_doc_pairs > 0.
+
+    Scale shape: the fact table is folded to (fingerprint, group, n)
+    partials FIRST (map-side combined, one exchange of narrow triples);
+    the self-join runs on that folded relation, keyed by fingerprint,
+    whose per-key width is at most |groups| — no fingerprint, however
+    hot, can blow up a join group beyond |groups|² pairs, and the final
+    aggregate is |groups|²-bounded.  Document text never rides any
+    exchange.  Reference parity: vldt's uniqueness constraint is
+    per-model-instance (src/data_model.cpp uniqueness checks); this is
+    the corpus-level generalisation the north rule's distributed
+    uniqueness family covers.
+    """
+    fp = fingerprint(F.col(text_col))
+    per = (
+        docs.select(fp.alias("fp"), F.col(by).alias("g"))
+        .groupBy("fp", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.g") <= F.col("b.g")),
+    ).select(
+        F.col("a.g").alias("source_a"),
+        F.col("b.g").alias("source_b"),
+        F.col("a.fp").alias("fp"),
+        F.when(
+            F.col("a.g") == F.col("b.g"),
+            (F.col("a.n") * (F.col("a.n") - F.lit(1))) / F.lit(2),
+        )
+        .otherwise(F.col("a.n") * F.col("b.n"))
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    return (
+        pairs.where(F.col("n_pairs") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_texts"),
+            F.sum("n_pairs").alias("n_doc_pairs"),
+        )
+    )

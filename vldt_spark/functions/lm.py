@@ -250,3 +250,69 @@ def lm_cross_entropy(
         "n_tokens long, cross_entropy double, ppl double,"
         " self_entropy double, kl double",
     )
+
+
+def ppl_band_filter(
+    df: DataFrame,
+    vocab_size: int,
+    *,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    by: str | None = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    exact: bool = True,
+) -> DataFrame:
+    """Perplexity-percentile data pruning: keep the sequences whose
+    unigram perplexity falls inside the per-``by``-group percentile band
+    ``[lo, hi]`` — the standard "drop both tails" curation move (the low
+    tail is boilerplate/templates the model memorises for free, the high
+    tail is noise/garbled text; see e.g. the CCNet and DCLM perplexity
+    buckets).  Sequences with empty/NULL token arrays carry no score and
+    are always dropped.
+
+    Returns the surviving rows of ``df`` plus (n_tok, ppl, pct_rank).
+
+    Two physical strategies, same semantics knob:
+
+    - ``exact=True`` (oracle baseline): percent_rank() over
+      (partition by ``by`` order by ppl, id) — ties broken by id so the
+      rank, and therefore the kept set, is deterministic and
+      SQL-replicable.  Cost = one shuffle by group + per-group sort;
+      fine up to groups that fit a task's spill budget.
+    - ``exact=False`` (100 TB path): per-group approx thresholds from
+      ``percentile_approx(ppl, [lo, hi])`` broadcast back — one
+      |groups|-sized partial aggregate and a map-side band test; no sort,
+      no per-group shuffle of the fact table.  Keeps epsilon-different
+      edge rows vs the exact path (documented, not hidden).
+
+    The scoring pass itself is ``unigram_logprob`` — zero token-array
+    exchanges either way.
+    """
+    from pyspark.sql import Window
+
+    keep_cols = [c for c in df.columns]
+    scored = unigram_logprob(
+        df, vocab_size, id_col=id_col, tokens_col=tokens_col
+    ).select(id_col, "n_tok", "ppl")
+    base = df.join(scored, id_col).where(F.col("ppl").isNotNull())
+    if exact:
+        part = [by] if by else []
+        w = Window.partitionBy(*part).orderBy(F.col("ppl"), F.col(id_col))
+        ranked = base.withColumn(
+            "pct_rank", F.round(F.percent_rank().over(w), 6)
+        )
+        return ranked.where(
+            (F.col("pct_rank") >= lo) & (F.col("pct_rank") <= hi)
+        ).select(*keep_cols, "n_tok", "ppl", "pct_rank")
+    grp = base.groupBy(*( [by] if by else [] )).agg(
+        F.percentile_approx("ppl", [lo, hi], 10000).alias("__thr")
+    )
+    joined = (
+        base.join(F.broadcast(grp), on=by)
+        if by
+        else base.crossJoin(F.broadcast(grp))
+    )
+    return joined.where(
+        (F.col("ppl") >= F.col("__thr")[0]) & (F.col("ppl") <= F.col("__thr")[1])
+    ).select(*keep_cols, "n_tok", "ppl", F.lit(None).cast("double").alias("pct_rank"))

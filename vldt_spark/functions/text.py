@@ -507,3 +507,77 @@ def gopher_report(
         F.count(F.lit(1)).alias("n_docs"),
     ]
     return flagged.agg(*aggs)
+
+
+# -- PII redaction -----------------------------------------------------------
+
+#: the same Java-regex/RE2-portable screen patterns ``pii_flags`` uses,
+#: keyed by the redaction-token kind. Order matters and is fixed: email
+#: first (its local part may contain digits a later pattern would mangle),
+#: then IPs, then phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+)
+
+
+def pii_redact(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "text",
+    counts: bool = True,
+) -> DataFrame:
+    """Redact the ``pii_flags`` screen patterns from ``text_col``,
+    replacing each match with ``<KIND>`` (``<EMAIL>`` / ``<IP>`` /
+    ``<PHONE>``). With ``counts=True`` (default) the per-document match
+    counts — measured on the ORIGINAL text, before any replacement, so
+    the audit is independent of redaction order — are added as
+    ``n_email/n_ip/n_phone`` int columns.
+
+    Reference parity: the reference validates/flags but never mutates
+    (vldt has no redaction op); this is the training-corpus-safety
+    extension of its constraint surface — the standard pipeline step
+    after a `pii_report` screen fires. Everything is whole-stage-codegen
+    `regexp_replace`/`regexp_count`: zero Python, zero exchange, a pure
+    row-local projection that scales linearly at any corpus size.
+    """
+    t = F.col(text_col)
+    cols = [c for c in docs.columns if c != text_col or out_col != text_col]
+    proj = list(cols)
+    if counts:
+        proj += [
+            F.regexp_count(t, F.lit(pat)).alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS
+        ]
+    red = t
+    for kind, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return docs.select(*proj, red.alias(out_col))
+
+
+def pii_redact_report(
+    docs: DataFrame, *, text_col: str = "text", by: str | None = None
+) -> DataFrame:
+    """Corpus-level redaction audit (one aggregate pass; per-``by`` group
+    when given): documents touched, matches replaced per kind, and the
+    exact character delta the redaction produced —
+    (n_docs, n_docs_redacted, n_email, n_ip, n_phone, chars_removed).
+    ``chars_removed`` may be negative when the redaction token is longer
+    than the matched span; it is the signed byte-budget change a storage
+    planner needs. Same scale shape as ``pii_report``: scalar partials
+    only, the fact table never shuffles."""
+    src = docs.select(*( [by] if by else [] ), F.col(text_col).alias("__orig"))
+    red2 = pii_redact(src, text_col="__orig", out_col="__red")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_ip") + F.col("n_phone")) > 0).cast("long")
+        ).alias("n_docs_redacted"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ip").alias("n_ip"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum(F.length("__orig") - F.length("__red")).alias("chars_removed"),
+    ]
+    return red2.groupBy(by).agg(*aggs) if by else red2.agg(*aggs)
