@@ -7375,6 +7375,74 @@ SELECT metric, round(value, 6) AS value FROM (
 """
 
 
+
+
+def q_suite_card_guards(spark, sf_dir):
+    """Dataset-card acceptance gates as declarative suite expectations
+    (round-5 final): PII-rate ceiling and exact-duplication-health floor,
+    each with a structurally-passing and structurally-failing arm so both
+    verdict directions run through Suite.run. PII strings are injected on
+    doc_id % 40 buckets and exact duplicates on doc_id % 5 = 0 (colliding
+    via doc_id % 7), so the metric VALUES are non-trivial corpus scalars
+    the DuckDB oracle replays exactly."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    t = (
+        F.when(m == 3, F.concat("text", F.lit(" contact: a@b.co")))
+        .when(m == 7, F.concat("text", F.lit(" from 10.0.0.1")))
+        .when(m == 11, F.concat("text", F.lit(" call 555-123-4567")))
+        .otherwise(F.col("text"))
+    )
+    dup = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("dup "), (F.col("doc_id") % 7).cast("string")),
+    ).otherwise(t)
+    staged = docs.select(dup.alias("text"))
+    suite = Suite(
+        [
+            expect.pii_frac_below("text", 1.1),
+            expect.pii_frac_below("text", 0.0),
+            expect.distinct_text_frac_above("text", 0.0),
+            expect.distinct_text_frac_above("text", 1.1),
+        ]
+    )
+    return suite.run(staged)
+
+
+SQL_SUITE_CARD_GUARDS = r"""
+WITH d AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN 'dup ' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN doc_id % 40 = 3 THEN text || ' contact: a@b.co'
+              WHEN doc_id % 40 = 7 THEN text || ' from 10.0.0.1'
+              WHEN doc_id % 40 = 11 THEN text || ' call 555-123-4567'
+              ELSE text END AS t
+  FROM documents
+), pii AS (
+  SELECT round(avg(CASE WHEN
+           regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+           OR regexp_matches(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
+           OR regexp_matches(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')
+           THEN 1.0 ELSE 0.0 END), 6) AS m
+  FROM d
+), dt AS (
+  SELECT round(CAST(count(DISTINCT substr(md5(lower(regexp_replace(trim(t), '\s+', ' ', 'g'))), 1, 16)) AS DOUBLE)
+               / count(*), 6) AS m
+  FROM d
+)
+SELECT 'pii_frac_below' AS "check", 'text' AS "column",
+       m AS metric, CAST(1.1 AS DOUBLE) AS threshold, m < 1.1 AS passed
+FROM pii
+UNION ALL
+SELECT 'pii_frac_below', 'text', m, CAST(0.0 AS DOUBLE), m < 0.0 FROM pii
+UNION ALL
+SELECT 'distinct_text_frac_above', 'text', m, CAST(0.0 AS DOUBLE), m > 0.0 FROM dt
+UNION ALL
+SELECT 'distinct_text_frac_above', 'text', m, CAST(1.1 AS DOUBLE), m > 1.1 FROM dt
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7406,6 +7474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 window update: the four newest gates (PII redaction audit, perplexity-band pruning, cross-source dup matrix, dataset card) enter at positions 1-4; four suite-guard entries whose underlying machinery is value-checked by their in-window core queries (ap/classifier/mixture/snapshot guards) moved to the top of the tail to keep the window at 50 oracle-checkable entries. tools/check_oracle.py verifies the full 173-query set locally."""
     return {
         # --- NEW round 5 ---
+        "suite_card_guards": q_suite_card_guards,
         "pii_redact_report_documents": q_pii_redact_report_documents,
         "ppl_band_documents": q_ppl_band_documents,
         "dup_source_matrix_documents": q_dup_source_matrix_documents,
@@ -7423,7 +7492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_documents": q_split_leakage_documents,
         "split_assign_clustered_documents": q_split_assign_clustered_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
-        "suite_leakage_guard": q_suite_leakage_guard,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
@@ -7461,6 +7529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_classifier_guards": q_suite_classifier_guards,
         "suite_mixture_guard": q_suite_mixture_guard,
         "suite_snapshot_guard": q_suite_snapshot_guard,
+        "suite_leakage_guard": q_suite_leakage_guard,
         "ri_bloom_screen_lineitem": q_ri_bloom_screen_lineitem,
         "suite_profile_guards": q_suite_profile_guards,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
@@ -7592,6 +7661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "suite_card_guards": SQL_SUITE_CARD_GUARDS,
         "pii_redact_report_documents": SQL_PII_REDACT_REPORT_DOCUMENTS,
         "ppl_band_documents": SQL_PPL_BAND_DOCUMENTS,
         "dup_source_matrix_documents": SQL_DUP_SOURCE_MATRIX_DOCUMENTS,

@@ -73,6 +73,9 @@ BENCH_QUERY_NAMES = [
     "mixture_epochs",
     "corpus_shuffle",
     "auc_quality",
+    "ppl_band_tokens",
+    "corpus_card",
+    "dup_source_matrix",
 ]
 
 
@@ -365,6 +368,47 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
 
     timed("auc_quality", auc_quality_bench)
 
+    # round-5 final session: perplexity-band pruning over the SAME 1M-row
+    # token table on the 100 TB strategy (percentile_approx thresholds
+    # broadcast back — no sort, no per-group fact shuffle; the exact
+    # percent_rank twin is the oracle gate, not the bench row), plus the
+    # dataset card and the cross-source duplicate matrix over documents
+    from vldt_spark.functions.corpus import corpus_card
+    from vldt_spark.functions.dedup import dup_source_matrix
+    from vldt_spark.functions.lm import ppl_band_filter
+
+    def ppl_band_bench():
+        return (
+            ppl_band_filter(
+                toks, VOCAB, lo=0.1, hi=0.9, by="source", exact=False
+            )
+            .agg(F.count(F.lit(1)), F.avg("ppl"))
+            .collect()
+        )
+
+    timed("ppl_band_tokens", ppl_band_bench)
+
+    def corpus_card_bench():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return corpus_card(docs).collect()
+
+    timed("corpus_card", corpus_card_bench)
+
+    def dup_source_matrix_bench():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        dup = docs.select(
+            "source",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("dup "), (F.col("doc_id") % 7).cast("string")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return dup_source_matrix(dup).collect()
+
+    timed("dup_source_matrix", dup_source_matrix_bench)
+
     missing = set(BENCH_QUERY_NAMES) ^ set(timings)
     assert not missing, f"bench rows drifted from BENCH_QUERY_NAMES: {missing}"
     return timings, rep_arrays
@@ -453,7 +497,17 @@ def compact_line(
         "cpus": cpus,
     }
     line = json.dumps(compact)
-    if len(line) > 1500:  # hard guard: never outgrow the driver's tail window
+    # Tiered degradation: never outgrow the driver's ~2000-char stdout tail.
+    # Each tier drops information that also lives in BENCH_DETAIL.json (and
+    # on stderr), so the stdout line stays parseable with the queries map
+    # for as long as possible.
+    if len(line) > 1450:  # tier 1: reps are in detail + stderr
+        compact.pop("flagship_reps", None)
+        line = json.dumps(compact)
+    if len(line) > 1450:  # tier 2: integer-second per-query values
+        compact["queries"] = {k: int(round(v)) for k, v in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1500:  # last resort: totals only
         compact.pop("queries", None)
         line = json.dumps(compact)
     return line

@@ -185,3 +185,5 @@ def test_readme_curation_snippet_executes(ns):
     card = {r["metric"]: r["value"] for r in ns.card.collect()}
     assert card["n_docs"] == float(n_docs)
     assert card["distinct_text_frac"] == 1.0
+    gate = ns.card_gate.collect()
+    assert gate and all(r["passed"] for r in gate)

@@ -396,10 +396,11 @@ def test_bench_compact_line_fits_driver_tail():
         flagship_reps=[9999.999] * 5,
         cpus=32,
     )
-    # 34 queries at worst-case widths is ~1.42 KB; the driver tail keeps
-    # ~2000 chars and the line is bench's ONLY stdout, so ≤1450 leaves
-    # ≥550 chars of margin (compact_line's 1500 hard guard still drops
-    # the queries map if the set ever outgrows even that).
+    # 38 queries at worst-case widths overflows the 1450 budget raw;
+    # compact_line's tiered degradation (drop reps -> integer seconds ->
+    # drop map) must bring the line back under it while KEEPING the
+    # queries map. The driver tail keeps ~2000 chars and the line is
+    # bench's ONLY stdout, so ≤1450 leaves ≥550 chars of margin.
     assert len(line) < 1450, len(line)
     import json
 

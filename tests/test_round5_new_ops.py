@@ -249,3 +249,73 @@ def test_corpus_card_approx_mode_runs(spark, docs):
     # HLL estimates land within its documented rsd of the exact values
     assert abs(got["n_sources"] - 20) <= 2
     assert got["n_docs"] == float(docs.count())
+
+
+# -- suite guards: pii_frac_below / distinct_text_frac_above -------------------
+
+
+def test_suite_pii_frac_guard_arms(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co"), (2, "clean"), (3, "clean"), (4, "clean")],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["threshold"]: r
+        for r in Suite(
+            [
+                expect.pii_frac_below("text", 0.5),   # 0.25 < 0.5 -> pass
+                expect.pii_frac_below("text", 0.25),  # 0.25 !< 0.25 -> fail
+            ]
+        )
+        .run(df)
+        .collect()
+    }
+    assert rep[0.5]["passed"] and rep[0.5]["metric"] == 0.25
+    assert not rep[0.25]["passed"]
+
+
+def test_suite_pii_frac_guard_empty_fails_loud(spark):
+    import math
+
+    from vldt_spark.checks.suite import Suite, expect
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = Suite([expect.pii_frac_below("text", 0.5)]).run(empty).collect()[0]
+    assert not row["passed"] and math.isnan(row["metric"])
+
+
+def test_suite_distinct_text_frac_guard_arms(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    # ' X ' and 'x' share a fingerprint -> 3 distinct / 4 rows = 0.75
+    df = spark.createDataFrame(
+        [(1, " X "), (2, "x"), (3, "y"), (4, "z")],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["threshold"]: r
+        for r in Suite(
+            [
+                expect.distinct_text_frac_above("text", 0.5),   # pass
+                expect.distinct_text_frac_above("text", 0.75),  # !> -> fail
+            ]
+        )
+        .run(df)
+        .collect()
+    }
+    assert rep[0.5]["passed"] and rep[0.5]["metric"] == 0.75
+    assert not rep[0.75]["passed"]
+
+
+def test_suite_distinct_text_frac_approx_mode(spark, docs):
+    from vldt_spark.checks.suite import Suite, expect
+
+    row = (
+        Suite([expect.distinct_text_frac_above("text", 0.9, approx=True)])
+        .run(docs)
+        .collect()[0]
+    )
+    # raw corpus has no exact dups; HLL stays within its rsd of 1.0
+    assert row["passed"] and row["metric"] > 0.9

@@ -597,6 +597,34 @@ class expect:
         )
 
     @staticmethod
+    def pii_frac_below(text_col: str, threshold: float) -> Expectation:
+        """Corpus-safety guard: the fraction of documents matching ANY
+        `pii_flags` screen pattern (email / IP / phone) must stay BELOW
+        the threshold — the declarative acceptance check run before a
+        corpus ships, and the gate that decides whether a `pii_redact`
+        pass is required at all. One conditional scalar aggregate over
+        row-local regex screens (map-side combined, zero exchange of
+        the fact table); empty corpus fails loud (NaN metric)."""
+        return Expectation("pii_frac_below", text_col, {"threshold": threshold})
+
+    @staticmethod
+    def distinct_text_frac_above(
+        text_col: str, threshold: float, *, approx: bool = False
+    ) -> Expectation:
+        """Exact-duplication health guard: distinct normalized-text
+        fingerprints / total rows must stay ABOVE the threshold (1.0 =
+        fully deduplicated corpus). The declarative arm of the
+        `exact_duplicates` family and the `corpus_card`
+        distinct_text_frac metric; ``approx=True`` swaps the exact
+        count_distinct for HLL at 10^12 rows. Empty corpus fails loud
+        (NaN metric)."""
+        return Expectation(
+            "distinct_text_frac_above",
+            text_col,
+            {"threshold": threshold, "approx": approx},
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -1163,6 +1191,45 @@ class Suite:
                 metric, passed = float("nan"), False
             else:
                 metric = float(row["average_precision"])
+                passed = metric > thr
+        elif e.kind == "pii_frac_below":
+            from vldt_spark.functions.text import pii_flags
+
+            thr = float(p["threshold"])
+            flags = pii_flags(F.col(e.column))
+            any_pii = (
+                flags.getField("has_email")
+                | flags.getField("has_ip")
+                | flags.getField("has_phone")
+            )
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(any_pii.cast("long")).alias("bad"),
+            ).first()
+            if row is None or not row["n"]:
+                # empty corpus: no PII population to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["bad"]) / float(row["n"])
+                passed = metric < thr
+        elif e.kind == "distinct_text_frac_above":
+            from vldt_spark.functions.text import fingerprint
+
+            thr = float(p["threshold"])
+            fp = fingerprint(F.col(e.column))
+            cd = (
+                F.approx_count_distinct(fp)
+                if p["approx"]
+                else F.count_distinct(fp)
+            )
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"), cd.alias("d")
+            ).first()
+            if row is None or not row["n"]:
+                # empty corpus: no text population to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["d"]) / float(row["n"])
                 passed = metric > thr
         elif e.kind == "centroid_cosine_above":
             from vldt_spark.checks.drift import embedding_drift

@@ -292,10 +292,16 @@ def ppl_band_filter(
     from pyspark.sql import Window
 
     keep_cols = [c for c in df.columns]
+    # a token table may already carry n_tok (the input_hint shape); the
+    # scored count is aliased so the join never creates an ambiguous ref,
+    # and the output keeps exactly one n_tok column either way
     scored = unigram_logprob(
         df, vocab_size, id_col=id_col, tokens_col=tokens_col
-    ).select(id_col, "n_tok", "ppl")
+    ).select(id_col, F.col("n_tok").alias("__score_ntok"), "ppl")
     base = df.join(scored, id_col).where(F.col("ppl").isNotNull())
+    ntok_cols = (
+        [] if "n_tok" in df.columns else [F.col("__score_ntok").alias("n_tok")]
+    )
     if exact:
         part = [by] if by else []
         w = Window.partitionBy(*part).orderBy(F.col("ppl"), F.col(id_col))
@@ -304,7 +310,7 @@ def ppl_band_filter(
         )
         return ranked.where(
             (F.col("pct_rank") >= lo) & (F.col("pct_rank") <= hi)
-        ).select(*keep_cols, "n_tok", "ppl", "pct_rank")
+        ).select(*keep_cols, *ntok_cols, "ppl", "pct_rank")
     grp = base.groupBy(*( [by] if by else [] )).agg(
         F.percentile_approx("ppl", [lo, hi], 10000).alias("__thr")
     )
@@ -315,4 +321,7 @@ def ppl_band_filter(
     )
     return joined.where(
         (F.col("ppl") >= F.col("__thr")[0]) & (F.col("ppl") <= F.col("__thr")[1])
-    ).select(*keep_cols, "n_tok", "ppl", F.lit(None).cast("double").alias("pct_rank"))
+    ).select(
+        *keep_cols, *ntok_cols, "ppl",
+        F.lit(None).cast("double").alias("pct_rank"),
+    )
