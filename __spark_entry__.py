@@ -7443,6 +7443,92 @@ SELECT 'distinct_text_frac_above', 'text', m, CAST(1.1 AS DOUBLE), m > 1.1 FROM 
 """
 
 
+
+
+def q_streaming_pii_windows(spark, sf_dir):
+    """Continuous PII-rate monitor: per-day-window screen counts + match
+    rate over an ingest stream with deterministic PII injections
+    (streaming/pii_stream.stream_pii_windows) — the streaming twin of
+    pii_report and the watch-dog for expect.pii_frac_below. No UDF:
+    codegen rlike screens + conditional long sums, state = |open
+    windows| rows of five longs; NULL-text rows advance the watermark
+    without counting. Sentinel-batch watermark technique."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.streaming.pii_stream import stream_pii_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    t = (
+        F.when(m == 3, F.concat("text", F.lit(" contact: a@b.co")))
+        .when(m == 7, F.concat("text", F.lit(" from 10.0.0.1")))
+        .when(m == 11, F.concat("text", F.lit(" call 555-123-4567")))
+        .otherwise(F.col("text"))
+    )
+    rows = docs.select(
+        F.expr(
+            "timestamp'2024-01-01 01:00:00'"
+            " + make_dt_interval(CAST(doc_id % 30 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+        t.alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="vldt_stream_pii_")
+    rows.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    rows.limit(1).select(
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+        F.lit(None).cast("string").alias("text"),
+    ).coalesce(1).write.parquet(os.path.join(root, "b=2"))
+
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_pii_windows(stream, "ts", "text", window="1 day", watermark="1 hour")
+    name = f"vldt_pii_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "n_docs", "n_email", "n_ip", "n_phone", "n_any", "pii_frac",
+    )
+
+
+SQL_STREAMING_PII_WINDOWS = r"""
+WITH d AS (
+  SELECT CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)
+           + (doc_id % 30) * 86400 AS window_epoch,
+         CASE WHEN doc_id % 40 = 3 THEN text || ' contact: a@b.co'
+              WHEN doc_id % 40 = 7 THEN text || ' from 10.0.0.1'
+              WHEN doc_id % 40 = 11 THEN text || ' call 555-123-4567'
+              ELSE text END AS t
+  FROM documents
+), f AS (
+  SELECT window_epoch,
+         CASE WHEN regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END AS e,
+         CASE WHEN regexp_matches(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') THEN 1 ELSE 0 END AS i,
+         CASE WHEN regexp_matches(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b') THEN 1 ELSE 0 END AS ph
+  FROM d
+)
+SELECT window_epoch,
+       count(*) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS n_email,
+       CAST(sum(i) AS BIGINT) AS n_ip,
+       CAST(sum(ph) AS BIGINT) AS n_phone,
+       CAST(sum(CASE WHEN e + i + ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+       round(CAST(sum(CASE WHEN e + i + ph > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS pii_frac
+FROM f GROUP BY window_epoch
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7474,6 +7560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 window update: the four newest gates (PII redaction audit, perplexity-band pruning, cross-source dup matrix, dataset card) enter at positions 1-4; four suite-guard entries whose underlying machinery is value-checked by their in-window core queries (ap/classifier/mixture/snapshot guards) moved to the top of the tail to keep the window at 50 oracle-checkable entries. tools/check_oracle.py verifies the full 173-query set locally."""
     return {
         # --- NEW round 5 ---
+        "streaming_pii_windows": q_streaming_pii_windows,
         "suite_card_guards": q_suite_card_guards,
         "pii_redact_report_documents": q_pii_redact_report_documents,
         "ppl_band_documents": q_ppl_band_documents,
@@ -7501,7 +7588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_report_documents": q_packing_report_documents,
         "embedding_contamination": q_embedding_contamination,
         "fertility_by_lang_documents": q_fertility_by_lang_documents,
-        "suite_quality_guards": q_suite_quality_guards,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
@@ -7530,6 +7616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_mixture_guard": q_suite_mixture_guard,
         "suite_snapshot_guard": q_suite_snapshot_guard,
         "suite_leakage_guard": q_suite_leakage_guard,
+        "suite_quality_guards": q_suite_quality_guards,
         "ri_bloom_screen_lineitem": q_ri_bloom_screen_lineitem,
         "suite_profile_guards": q_suite_profile_guards,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
@@ -7661,6 +7748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_pii_windows": SQL_STREAMING_PII_WINDOWS,
         "suite_card_guards": SQL_SUITE_CARD_GUARDS,
         "pii_redact_report_documents": SQL_PII_REDACT_REPORT_DOCUMENTS,
         "ppl_band_documents": SQL_PPL_BAND_DOCUMENTS,
