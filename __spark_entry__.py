@@ -3535,7 +3535,16 @@ def q_minhash_portable_pairs(spark, sf_dir):
     )
 
 
-def _sql_minhash_portable_pairs() -> str:
+def _sql_minhash_portable_pairs(
+    shingles_cte: str | None = None, threshold: float = 0.3
+) -> str:
+    """Generated SQL twin of the banded 16-hash / 4-band LSH pipeline.
+    ``shingles_cte`` swaps the shingle universe (default: word 3-grams of
+    text; the token gate passes token 7-grams) — the signature/band/pair
+    math is identical either way, which is exactly the reuse the Spark
+    side gets from the canonical token rendering."""
+    if shingles_cte is None:
+        shingles_cte = _PORTABLE_SHINGLES_CTE
     h = lambda expr, salt: (
         f"CAST(('0x' || substr(md5({expr} || '#{salt}'), 1, 15)) AS BIGINT)"
     )
@@ -3549,7 +3558,7 @@ def _sql_minhash_portable_pairs() -> str:
     eq = " + ".join(f"(CASE WHEN a.s{i:02d} = b.s{i:02d} THEN 1 ELSE 0 END)" for i in range(16))
     band_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(4))
     return f"""
-{_PORTABLE_SHINGLES_CTE.rstrip()},
+{shingles_cte.rstrip()},
 sigs AS (
   SELECT doc_id,
     {sig_cols}
@@ -3564,7 +3573,7 @@ sigs AS (
   FROM banded a JOIN banded b
     ON a.doc_id < b.doc_id AND ({band_match})
 )
-SELECT id_a, id_b, jaccard_est FROM pairs WHERE jaccard_est >= 0.3
+SELECT id_a, id_b, jaccard_est FROM pairs WHERE jaccard_est >= {threshold}
 """
 
 
@@ -3757,6 +3766,142 @@ SELECT d.doc_id,
             THEN round(CAST(per.n_duplicated AS DOUBLE) / per.n_shingles, 6)
             ELSE CAST(0.0 AS DOUBLE) END AS dup_fraction
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# -- token-native dedup gates (north-rule payload: tokens array<int32>) ----
+# The token family reuses the text machinery on the canonical injective
+# rendering (ids joined by spaces — vldt_spark/functions/dedup.py,
+# tokens_canonical_text), so the SQL twins only swap the words CTE:
+# decimal renderings of the char-token ids instead of whitespace words.
+
+_TOKEN_WORDS_CTE_BODY = """tk AS (
+  SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS toks FROM documents
+), words AS (
+  SELECT doc_id, [CAST(x AS VARCHAR) FOR x IN toks] AS ws FROM tk
+)"""
+
+_TOKEN_SHINGLES_CTE = (
+    "WITH "
+    + _TOKEN_WORDS_CTE_BODY
+    + """, sh AS (
+  SELECT doc_id,
+         list_filter(
+           list_distinct([array_to_string(ws[i:i+6], ' ')
+                          FOR i IN range(1, greatest(len(ws) - 6, 1) + 1)]),
+           s -> len(s) > 0) AS shingles
+  FROM words
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+)
+"""
+)
+
+
+def q_token_minhash_pairs_documents(spark, sf_dir):
+    """Near-duplicate SEQUENCE pairs via banded MinHash-LSH over token
+    7-gram shingles — the text LSH pipeline running unchanged on the
+    canonical token rendering (dedup.py: token_minhash_pairs). Portable
+    md5 hash path so the FULL pipeline (shingle hash → signature → band
+    hash → bucket join → Jaccard estimate) is value-checked."""
+    from vldt_spark.functions.dedup import token_minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _char_tokens(docs).select("doc_id", "tokens")
+    return token_minhash_pairs(
+        toks, num_hashes=16, bands=4, shingle_k=7, threshold=0.5, hash_fn="md5"
+    )
+
+
+def q_token_dup_ngram_documents(spark, sf_dir):
+    """Lee-et-al. train-train overlap IN TOKEN SPACE (the space the paper
+    measures) at k=7, through the Bloom-screened 100 TB shape — the
+    doc-shingle relation never rides a shuffle; the oracle is the exact
+    SQL (screen verified FP-free at gate scale, one-sided by design)."""
+    from vldt_spark.functions.dedup import token_duplicated_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _char_tokens(docs).select("doc_id", "tokens")
+    out = token_duplicated_ngram_fraction(toks, shingle_k=7, screened=True)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_duplicated",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+
+
+SQL_TOKEN_DUP_NGRAM_DOCUMENTS = (
+    _TOKEN_SHINGLES_CTE
+    + """, cnt AS (
+  SELECT shingle, count(*) AS n_docs FROM ex GROUP BY shingle
+), per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(*) FILTER (WHERE n_docs >= 2) AS BIGINT) AS n_duplicated
+  FROM ex JOIN cnt USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(per.n_duplicated, 0) AS BIGINT) AS n_duplicated,
+       CASE WHEN COALESCE(per.n_shingles, 0) > 0
+            THEN round(CAST(per.n_duplicated AS DOUBLE) / per.n_shingles, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_fraction
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+)
+
+
+def q_token_exact_dups_documents(spark, sf_dir):
+    """Exact sequence-level dedup groups over a deterministic dirty
+    fixture (docs with doc_id % 7 == 0 share one planted sequence,
+    doc_id % 11 == 3 another — the gate's standard dirty-fixture law):
+    (fp, n_docs, capped min-id doc_ids). n_docs is exact; the id buffer
+    is rank-limited to the 5 smallest BEFORE any collect_list, and that
+    cap is part of what the oracle value-checks."""
+    from vldt_spark.functions.dedup import token_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(F.lit(7), F.lit(77), F.lit(777)),
+        )
+        .when(
+            F.col("doc_id") % 11 == 3,
+            F.array(F.lit(11), F.lit(1111)),
+        )
+        .otherwise(
+            F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+        )
+    )
+    fixture = docs.select("doc_id", toks.alias("tokens"))
+    out = token_exact_duplicates(fixture, max_ids=5)
+    return out.select(
+        "fp",
+        "n_docs",
+        F.array_join(
+            F.transform("doc_ids", lambda i: i.cast("string")), ","
+        ).alias("doc_ids"),
+    )
+
+
+SQL_TOKEN_EXACT_DUPS_DOCUMENTS = """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '7 77 777'
+              WHEN doc_id % 11 = 3 THEN '11 1111'
+              ELSE array_to_string(
+                     [CAST(ascii(c) AS VARCHAR) FOR c IN string_split(text, '')],
+                     ' ')
+         END AS ttext
+  FROM documents
+)
+SELECT substr(md5(ttext), 1, 16) AS fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(doc_id))[1:5], ',') AS doc_ids
+FROM tk GROUP BY ttext HAVING count(*) > 1
 """
 
 
@@ -7560,6 +7705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 window update: the newest gates (streaming PII monitor, card acceptance guards, PII redaction audit, perplexity-band pruning, cross-source dup matrix, dataset card) enter at positions 1-6; six suite-guard entries (ap/classifier/mixture/snapshot/leakage/quality) whose underlying machinery is value-checked by their in-window core queries moved to the top of the tail to keep the window at 50 oracle-checkable entries. tools/check_oracle.py verifies the full 175-query set locally."""
     return {
         # --- NEW round 5 ---
+        "token_exact_dups_documents": q_token_exact_dups_documents,
+        "token_minhash_pairs_documents": q_token_minhash_pairs_documents,
+        "token_dup_ngram_documents": q_token_dup_ngram_documents,
         "streaming_pii_windows": q_streaming_pii_windows,
         "suite_card_guards": q_suite_card_guards,
         "pii_redact_report_documents": q_pii_redact_report_documents,
@@ -7656,12 +7804,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "errors_json_dirty": q_errors_json_dirty,
         "union_resolution_documents": q_union_resolution_documents,
         "defaults_fill_events": q_defaults_fill_events,
+        # ---- driver window ends here (position 50: defaults_fill_events) ----
+        # tail: round-3/4-witnessed green, code untouched this round;
+        # rows-only entries live here by design.  dedup_exact_documents /
+        # dedup_exact_groups moved here for the token twins: the in-window
+        # token_exact_dups gate exercises the identical exact_duplicates /
+        # fingerprint machinery.
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
         "zscore_outliers_lineitem": q_zscore_outliers_lineitem,
-        # ---- driver window ends here (position 50: zscore_outliers) ----
-        # tail: round-3/4-witnessed green, code untouched this round;
-        # rows-only entries live here by design
         "psi_by_event_type": q_psi_by_event_type,
         "validate_lineitem_violations": q_validate_lineitem_violations,
         "alias_resolution_lineitem": q_alias_resolution_lineitem,
@@ -7748,6 +7899,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_exact_dups_documents": SQL_TOKEN_EXACT_DUPS_DOCUMENTS,
+        "token_minhash_pairs_documents": _sql_minhash_portable_pairs(
+            _TOKEN_SHINGLES_CTE, threshold=0.5
+        ),
+        "token_dup_ngram_documents": SQL_TOKEN_DUP_NGRAM_DOCUMENTS,
         "streaming_pii_windows": SQL_STREAMING_PII_WINDOWS,
         "suite_card_guards": SQL_SUITE_CARD_GUARDS,
         "pii_redact_report_documents": SQL_PII_REDACT_REPORT_DOCUMENTS,

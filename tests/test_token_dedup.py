@@ -1,0 +1,127 @@
+"""Token-native dedup family: exact-dup, MinHash-LSH, and duplicated-
+n-gram fraction keyed on token ids (the north-rule payload), all riding
+the canonical injective rendering (vldt_spark/functions/dedup.py,
+token-native section)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    # 1/2 exact duplicates; 3 a near-dup of 1 (one token changed);
+    # 4 unrelated; 5 empty; 6/7 short (< shingle_k) identical pair;
+    # 8 shares half its 3-grams with 4 (duplicated-fraction probe).
+    rows = [
+        (1, [5, 6, 7, 8, 9, 10, 11, 12]),
+        (2, [5, 6, 7, 8, 9, 10, 11, 12]),
+        (3, [5, 6, 7, 8, 9, 10, 11, 99]),
+        (4, [100, 101, 102, 103, 104, 105]),
+        (5, []),
+        (6, [42, 43]),
+        (7, [42, 43]),
+        (8, [100, 101, 102, 900, 901, 902]),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+
+def test_canonical_text_injective(spark):
+    from vldt_spark.functions.dedup import tokens_canonical_text
+
+    df = spark.createDataFrame(
+        [([1, 23],), ([12, 3],), ([123],), ([],)], "tokens array<int>"
+    )
+    out = [r[0] for r in df.select(tokens_canonical_text(F.col("tokens"))).collect()]
+    assert out == ["1 23", "12 3", "123", ""]
+    assert len(set(out)) == 4  # no collisions
+
+
+def test_token_exact_duplicates_and_dedup(seqs):
+    from vldt_spark.functions.dedup import token_dedup_exact, token_exact_duplicates
+
+    groups = {
+        tuple(r["doc_ids"]): r["n_docs"]
+        for r in token_exact_duplicates(seqs).collect()
+    }
+    assert groups == {(1, 2): 2, (6, 7): 2}
+
+    kept = sorted(r["doc_id"] for r in token_dedup_exact(seqs).collect())
+    assert kept == [1, 3, 4, 5, 6, 8]  # min-id survivors; 2 and 7 dropped
+
+    # bounded id buffer: cap honored
+    capped = token_exact_duplicates(seqs, max_ids=1).collect()
+    assert all(len(r["doc_ids"]) == 1 for r in capped)
+
+
+def test_token_minhash_pairs_finds_near_dups(seqs):
+    from vldt_spark.functions.dedup import token_minhash_pairs
+
+    pairs = token_minhash_pairs(
+        seqs, num_hashes=32, bands=8, shingle_k=3, threshold=0.3
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup -> jaccard 1.0
+    assert (1, 3) in got or (2, 3) in got  # near dup shares 5/11 shingles
+    assert (6, 7) in got  # short-sequence clamped gram still matches
+    assert not any({a, b} & {4, 8} and {a, b} & {1, 2, 3} for a, b in got)
+
+    # exact-dup pair estimates 1.0 on both hash paths
+    md5_pairs = token_minhash_pairs(
+        seqs, num_hashes=32, bands=8, shingle_k=3, threshold=0.3, hash_fn="md5"
+    )
+    est = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in md5_pairs.collect()}
+    assert est[(1, 2)] == 1.0
+
+
+def test_token_dup_ngram_fraction_exact_vs_screened(seqs):
+    from vldt_spark.functions.dedup import token_duplicated_ngram_fraction
+
+    exact = {
+        r["doc_id"]: (r["n_shingles"], r["n_duplicated"])
+        for r in token_duplicated_ngram_fraction(
+            seqs, shingle_k=3, screened=False
+        ).collect()
+    }
+    screened = {
+        r["doc_id"]: (r["n_shingles"], r["n_duplicated"])
+        for r in token_duplicated_ngram_fraction(
+            seqs, shingle_k=3, screened=True
+        ).collect()
+    }
+    # all 8 inputs come back from both forms; screened == exact here
+    # (auto-sized bitmap's FP rate is ~0 at this scale)
+    assert len(exact) == len(screened) == 8
+    assert screened == exact
+    # 1/2 fully duplicated; 5 empty -> 0 shingles; 8 shares exactly one
+    # 3-gram ("100 101 102") with 4
+    assert exact[1] == (6, 6) and exact[2] == (6, 6)
+    assert exact[5] == (0, 0)
+    assert exact[8] == (4, 1)
+    assert exact[4] == (4, 1)
+
+
+def test_token_minhash_matches_text_minhash_on_rendering(seqs):
+    """The token pipeline IS the text pipeline on the canonical rendering —
+    pin the equivalence so a text-side change can't silently fork them."""
+    from vldt_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        token_minhash_pairs,
+        tokens_canonical_text,
+    )
+
+    as_text = seqs.select(
+        "doc_id", tokens_canonical_text(F.col("tokens")).alias("text")
+    )
+    a = {
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in token_minhash_pairs(
+            seqs, num_hashes=16, bands=4, shingle_k=3, threshold=0.2
+        ).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in minhash_lsh_pairs(
+            as_text, num_hashes=16, bands=4, shingle_k=3, threshold=0.2
+        ).collect()
+    }
+    assert a == b

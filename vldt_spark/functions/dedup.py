@@ -1319,3 +1319,122 @@ def dup_source_matrix(
             F.sum("n_pairs").alias("n_doc_pairs"),
         )
     )
+
+
+# -- token-native dedup ----------------------------------------------------
+# The north-rule input is PRE-TOKENIZED sequences (doc_id, tokens:
+# array<int32>, n_tok, source) — at that layer dedup keys on token ids,
+# not on raw text. Every operator below works directly on the token
+# array via one canonical projection, so the battle-tested text
+# machinery (fingerprint groupBy, banded MinHash-LSH, the Lee-et-al.
+# duplicated-n-gram fraction with its Bloom-screened 100 TB shape) is
+# reused verbatim instead of forked: a token k-gram IS a word k-gram of
+# the canonical rendering, bit-for-bit.
+
+
+def tokens_canonical_text(tokens: Column) -> Column:
+    """Canonical, INJECTIVE text rendering of a token-id array: decimal
+    ids joined by single spaces ("17 4 880 ...").
+
+    Injectivity is what makes the reuse sound: no decimal rendering
+    contains a space, so the joined string splits back into exactly the
+    original ids — [1, 23] → "1 23" and [12, 3] → "12 3" never collide.
+    The text normalizations downstream (lower, trim, whitespace
+    collapse) are all identity on this form, so ``word_shingles`` over
+    the canonical text enumerates exactly the token k-grams, and
+    ``fingerprint`` keys exact dedup on the exact id sequence. An empty
+    (or null-element-free) array renders as "" — empty sequences dedup
+    against each other, the same semantics the text tier gives empty
+    documents."""
+    return F.array_join(tokens.cast("array<string>"), " ")
+
+
+def token_exact_duplicates(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_ids: int = 20,
+) -> DataFrame:
+    """(fp, n_docs, doc_ids) for every token SEQUENCE (exact id-level
+    match, order-sensitive) shared by >= 2 documents — ``exact_duplicates``
+    keyed on the canonical token rendering. Same bounded-buffer guarantees:
+    ``n_docs`` exact, ``doc_ids`` rank-limited to the ``max_ids`` smallest
+    BEFORE any collect_list, so a pathological hot sequence (the empty
+    sequence repeated 10^9 times) never materializes an unbounded array."""
+    base = df.select(
+        F.col(id_col), tokens_canonical_text(F.col(tokens_col)).alias("__ttext")
+    )
+    return exact_duplicates(
+        base, text_col="__ttext", id_col=id_col, max_ids=max_ids
+    )
+
+
+def token_dedup_exact(
+    df: DataFrame, *, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per exact token sequence; all other
+    columns ride through untouched. Survivor ids come from one partial-agg
+    shuffle on the 16-char fingerprint; full rows never shuffle (semi-join)."""
+    keyed = df.withColumn("__ttext", tokens_canonical_text(F.col(tokens_col)))
+    return dedup_exact(keyed, text_col="__ttext", id_col=id_col).drop("__ttext")
+
+
+def token_minhash_pairs(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate sequence pairs via banded MinHash-LSH over token
+    k-gram shingles — (id_a, id_b, jaccard_est). The full text pipeline
+    (explode-based signature build with per-position min partials, banded
+    exchange carrying (id, band, bh) triples only, signatures re-attached
+    post-dedup) runs unchanged on the canonical rendering; the shingle
+    universe is token id k-grams instead of word k-grams. Sequences
+    shorter than ``shingle_k`` contribute their single clamped gram (the
+    whole sequence), matching the text tier's short-document behavior.
+    ``hash_fn="md5"`` is the oracle-portable path."""
+    base = df.select(
+        F.col(id_col), tokens_canonical_text(F.col(tokens_col)).alias("__ttext")
+    )
+    return minhash_lsh_pairs(
+        base,
+        text_col="__ttext",
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    )
+
+
+def token_duplicated_ngram_fraction(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    screened: bool = True,
+) -> DataFrame:
+    """Lee et al. 2022 train-train overlap IN TOKEN SPACE (the space the
+    paper actually measures): the fraction of each sequence's distinct
+    token k-grams that appear in >= 1 other sequence. Returns
+    (``id_col``, n_shingles, n_duplicated, dup_fraction).
+
+    ``screened=True`` (default — the 100 TB shape) routes through the
+    duplicated-shingle Bloom screen: the doc-shingle relation never rides
+    a shuffle and error is one-sided (overcount-only, ~1e-17/probe at
+    gate scale). ``screened=False`` is the exact join-back form, kept as
+    the oracle baseline."""
+    base = df.select(
+        F.col(id_col), tokens_canonical_text(F.col(tokens_col)).alias("__ttext")
+    )
+    fn = duplicated_ngram_fraction_screened if screened else duplicated_ngram_fraction
+    return fn(base, text_col="__ttext", id_col=id_col, shingle_k=shingle_k)
