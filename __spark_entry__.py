@@ -3877,7 +3877,7 @@ def q_token_exact_dups_documents(spark, sf_dir):
         )
     )
     fixture = docs.select("doc_id", toks.alias("tokens"))
-    out = token_exact_duplicates(fixture, max_ids=5)
+    out = token_exact_duplicates(fixture, max_ids=5, hash_fn="md5")
     return out.select(
         "fp",
         "n_docs",
@@ -7702,7 +7702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (simhash_near_pairs, minhash_dedup_pairs) — deliberately OUT of the
     window so CORRECTNESS_r05 can read 50/50 green with zero err rows;
     their md5-portable twins value-check the identical pipelines.
-    Round-5 window update: the newest gates (streaming PII monitor, card acceptance guards, PII redaction audit, perplexity-band pruning, cross-source dup matrix, dataset card) enter at positions 1-6; six suite-guard entries (ap/classifier/mixture/snapshot/leakage/quality) whose underlying machinery is value-checked by their in-window core queries moved to the top of the tail to keep the window at 50 oracle-checkable entries. tools/check_oracle.py verifies the full 175-query set locally."""
+    Round-5 window update: the newest gates (streaming PII monitor, card acceptance guards, PII redaction audit, perplexity-band pruning, cross-source dup matrix, dataset card) enter at positions 1-6; six suite-guard entries (ap/classifier/mixture/snapshot/leakage/quality) whose underlying machinery is value-checked by their in-window core queries moved to the top of the tail to keep the window at 50 oracle-checkable entries. The token-native dedup gates (exact dups on the planted dirty
+    fixture, MinHash-LSH pairs, Lee-et-al. overlap in token space) enter
+    the window front; dedup_exact_documents/groups move to the tail since
+    the in-window token twin exercises the identical machinery.
+    tools/check_oracle.py verifies the full 178-query set locally."""
     return {
         # --- NEW round 5 ---
         "token_exact_dups_documents": q_token_exact_dups_documents,

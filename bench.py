@@ -66,6 +66,7 @@ BENCH_QUERY_NAMES = [
     "ivf_pq_topk",
     "sequence_stats_tokens",
     "unigram_logprob_tokens",
+    "token_dedup_exact",
     "asof_clicks_events",
     "incremental_dedup",
     "pack_nextfit",
@@ -306,6 +307,17 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         )
 
     timed("unigram_logprob_tokens", unigram_bench)
+
+    # round-5: exact sequence dedup of the SAME 1M-row token table on the
+    # array-native 128-bit key (two salted xxhash64 passes over the raw
+    # token array — zero string rendering; survivors semi-joined back, so
+    # full rows never shuffle)
+    from vldt_spark.functions.dedup import token_dedup_exact
+
+    def token_dedup_bench():
+        return token_dedup_exact(toks).count()
+
+    timed("token_dedup_exact", token_dedup_bench)
 
     timed(
         "asof_clicks_events",

@@ -32,6 +32,7 @@ def ns(spark):
     mod.df = token_sequences(spark, 2000, seed=42, clean=True)
     mod.sources_df = sources_dim(spark)
     mod.ref_df = token_sequences(spark, 2000, seed=43, clean=True)
+    mod.seqs = mod.df
     mod.docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -79,8 +80,19 @@ def test_readme_overlap_snippet_executes(ns):
     assert any(r["n_spans"] > 0 for r in cl)
 
 
-def test_readme_web_token_snippet_executes(ns):
+def test_readme_token_dedup_snippet_executes(ns):
     exec(compile(_python_blocks()[4], README, "exec"), ns.__dict__)
+    n = ns.seqs.count()
+    # clean fixture has unique sequences -> all survive; columns intact
+    assert ns.survivors.count() == n
+    assert set(ns.seqs.columns) <= set(ns.survivors.columns)
+    ov = ns.overlap_t.collect()
+    assert len(ov) == n
+    assert all(0 <= r["n_duplicated"] <= r["n_shingles"] for r in ov)
+
+
+def test_readme_web_token_snippet_executes(ns):
+    exec(compile(_python_blocks()[5], README, "exec"), ns.__dict__)
     n_docs = ns.docs.count()
     prov = ns.prov.collect()
     assert prov and sum(r["n_docs"] for r in prov) == n_docs
@@ -95,7 +107,7 @@ def test_readme_web_token_snippet_executes(ns):
 
 
 def test_readme_sequence_gates_snippet_executes(ns):
-    exec(compile(_python_blocks()[5], README, "exec"), ns.__dict__)
+    exec(compile(_python_blocks()[6], README, "exec"), ns.__dict__)
     n_docs = ns.docs.count()
     audit = ns.audit.collect()
     assert len(audit) == n_docs
@@ -109,7 +121,7 @@ def test_readme_sequence_gates_snippet_executes(ns):
 
 
 def test_readme_sketch_snippet_executes(ns):
-    exec(compile(_python_blocks()[6], README, "exec"), ns.__dict__)
+    exec(compile(_python_blocks()[7], README, "exec"), ns.__dict__)
     qs = ns.q.collect()
     assert qs and all(r["q"] is not None for r in qs)
     # every doc's source IS in the dim -> the screen reports nothing
@@ -133,7 +145,7 @@ def test_readme_pipeline_snippet_executes(ns):
 
 
 def test_readme_lm_asof_skew_snippet_executes(ns):
-    exec(compile(_python_blocks()[7], README, "exec"), ns.__dict__)
+    exec(compile(_python_blocks()[8], README, "exec"), ns.__dict__)
     n_docs = ns.docs.count()
     sc = ns.scored.collect()
     assert len(sc) == n_docs
@@ -147,7 +159,7 @@ def test_readme_lm_asof_skew_snippet_executes(ns):
 
 
 def test_readme_governance_snippet_executes(ns):
-    exec(compile(_python_blocks()[8], README, "exec"), ns.__dict__)
+    exec(compile(_python_blocks()[9], README, "exec"), ns.__dict__)
     # every pair id appears in the corpus -> matrix counts sum to |pairs|
     n_pairs = ns.pairs.count()
     rep = ns.leak.collect()
@@ -170,7 +182,7 @@ def test_readme_governance_snippet_executes(ns):
 
 
 def test_readme_curation_snippet_executes(ns):
-    exec(compile(_python_blocks()[12], README, "exec"), ns.__dict__)
+    exec(compile(_python_blocks()[13], README, "exec"), ns.__dict__)
     n_docs = ns.docs.count()
     # the raw corpus carries no PII -> redaction is the identity
     assert ns.clean.count() == n_docs

@@ -39,18 +39,38 @@ def test_canonical_text_injective(spark):
 def test_token_exact_duplicates_and_dedup(seqs):
     from vldt_spark.functions.dedup import token_dedup_exact, token_exact_duplicates
 
-    groups = {
-        tuple(r["doc_ids"]): r["n_docs"]
-        for r in token_exact_duplicates(seqs).collect()
-    }
-    assert groups == {(1, 2): 2, (6, 7): 2}
+    # both hash paths find identical groups: the array-native 128-bit
+    # xxhash64 key (scale path) and the md5 canonical fingerprint
+    # (oracle-portable path)
+    for hash_fn in ("xxhash64", "md5"):
+        groups = {
+            tuple(r["doc_ids"]): r["n_docs"]
+            for r in token_exact_duplicates(seqs, hash_fn=hash_fn).collect()
+        }
+        assert groups == {(1, 2): 2, (6, 7): 2}, hash_fn
 
-    kept = sorted(r["doc_id"] for r in token_dedup_exact(seqs).collect())
-    assert kept == [1, 3, 4, 5, 6, 8]  # min-id survivors; 2 and 7 dropped
+        kept = sorted(
+            r["doc_id"] for r in token_dedup_exact(seqs, hash_fn=hash_fn).collect()
+        )
+        # min-id survivors; 2 and 7 dropped
+        assert kept == [1, 3, 4, 5, 6, 8], hash_fn
 
     # bounded id buffer: cap honored
     capped = token_exact_duplicates(seqs, max_ids=1).collect()
     assert all(len(r["doc_ids"]) == 1 for r in capped)
+
+
+def test_token_sequence_key_order_and_width_sensitive(spark):
+    """The array-native key must distinguish order and element boundaries
+    (the failure mode a naive concat-then-hash key has)."""
+    from vldt_spark.functions.dedup import token_sequence_key
+
+    df = spark.createDataFrame(
+        [([1, 23],), ([12, 3],), ([23, 1],), ([1, 23],)], "tokens array<int>"
+    )
+    keys = [r[0] for r in df.select(token_sequence_key(F.col("tokens"))).collect()]
+    assert keys[0] == keys[3]
+    assert len({keys[0], keys[1], keys[2]}) == 3
 
 
 def test_token_minhash_pairs_finds_near_dups(seqs):
