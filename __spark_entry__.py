@@ -5824,6 +5824,57 @@ FROM documents WHERE doc_id < 50
 """
 
 
+def q_streaming_dup_sequences(spark, sf_dir):
+    """Cross-micro-batch duplicate-SEQUENCE monitor
+    (streaming/stateful.streaming_duplicate_sequences): batch 1 ingests
+    the DEDUPED corpus (token_dedup_exact survivors — all sequences
+    distinct, so the fixture is batch-order invariant even at sf0.1
+    where the raw corpus carries 8 intra-dup texts); batch 2 re-crawls
+    the doc_id % 9 == 4 slice under FRESH ids (+1000000). Only the
+    sequence-keyed state can flag those — an id-keyed monitor sees new
+    ids. md5-portable key path so the exact emission set (key, 2, 1) is
+    value-checked."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.functions.dedup import token_dedup_exact
+    from vldt_spark.streaming.stateful import run_sequence_dup_monitor
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_dedup_exact(_char_tokens(docs).select("doc_id", "tokens"))
+    root = tempfile.mkdtemp(prefix="vldt_stream_seqdup_")
+    toks.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    (
+        toks.where(F.col("doc_id") % 9 == 4)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .coalesce(1)
+        .write.parquet(os.path.join(root, "b=2"))
+    )
+    out = run_sequence_dup_monitor(
+        spark,
+        os.path.join(root, "b=*"),
+        hash_fn="md5",
+        query_name=f"vldt_seqdup_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select("key", "n_seen", "n_new")
+
+
+SQL_STREAMING_DUP_SEQUENCES = """
+WITH tk AS (
+  SELECT doc_id,
+         array_to_string(
+           [CAST(ascii(c) AS VARCHAR) FOR c IN string_split(text, '')],
+           ' ') AS ttext
+  FROM documents
+), surv AS (
+  SELECT min(doc_id) AS doc_id, ttext FROM tk GROUP BY ttext
+)
+SELECT substr(md5(ttext), 1, 16) AS key,
+       CAST(2 AS BIGINT) AS n_seen, CAST(1 AS BIGINT) AS n_new
+FROM surv WHERE doc_id % 9 = 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # web provenance (URL parse / normalize / registrable domain / blocklist)
 # ---------------------------------------------------------------------------
@@ -7544,13 +7595,21 @@ def q_suite_card_guards(spark, sf_dir):
         F.col("doc_id") % 5 == 0,
         F.concat(F.lit("dup "), (F.col("doc_id") % 7).cast("string")),
     ).otherwise(t)
-    staged = docs.select(dup.alias("text"))
+    staged = docs.select(
+        dup.alias("text"),
+        F.transform(F.split(dup, ""), lambda c: F.ascii(c)).alias("tokens"),
+    )
     suite = Suite(
         [
             expect.pii_frac_below("text", 1.1),
             expect.pii_frac_below("text", 0.0),
             expect.distinct_text_frac_above("text", 0.0),
             expect.distinct_text_frac_above("text", 1.1),
+            # token twin over the char-token sequences of the SAME staged
+            # corpus — distinct RAW sequences, so the metric differs from
+            # the normalized-text one wherever normalization merges texts
+            expect.distinct_seq_frac_above("tokens", 0.0),
+            expect.distinct_seq_frac_above("tokens", 1.1),
         ]
     )
     return suite.run(staged)
@@ -7575,6 +7634,11 @@ WITH d AS (
   SELECT round(CAST(count(DISTINCT substr(md5(lower(regexp_replace(trim(t), '\s+', ' ', 'g'))), 1, 16)) AS DOUBLE)
                / count(*), 6) AS m
   FROM d
+), ds AS (
+  -- distinct RAW char-token sequences == distinct raw texts (the ascii
+  -- rendering is injective), independent of the Spark side's hash choice
+  SELECT round(CAST(count(DISTINCT t) AS DOUBLE) / count(*), 6) AS m
+  FROM d
 )
 SELECT 'pii_frac_below' AS "check", 'text' AS "column",
        m AS metric, CAST(1.1 AS DOUBLE) AS threshold, m < 1.1 AS passed
@@ -7585,6 +7649,10 @@ UNION ALL
 SELECT 'distinct_text_frac_above', 'text', m, CAST(0.0 AS DOUBLE), m > 0.0 FROM dt
 UNION ALL
 SELECT 'distinct_text_frac_above', 'text', m, CAST(1.1 AS DOUBLE), m > 1.1 FROM dt
+UNION ALL
+SELECT 'distinct_seq_frac_above', 'tokens', m, CAST(0.0 AS DOUBLE), m > 0.0 FROM ds
+UNION ALL
+SELECT 'distinct_seq_frac_above', 'tokens', m, CAST(1.1 AS DOUBLE), m > 1.1 FROM ds
 """
 
 
@@ -7712,6 +7780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_exact_dups_documents": q_token_exact_dups_documents,
         "token_minhash_pairs_documents": q_token_minhash_pairs_documents,
         "token_dup_ngram_documents": q_token_dup_ngram_documents,
+        "streaming_dup_sequences": q_streaming_dup_sequences,
         "streaming_pii_windows": q_streaming_pii_windows,
         "suite_card_guards": q_suite_card_guards,
         "pii_redact_report_documents": q_pii_redact_report_documents,
@@ -7741,7 +7810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ppl_windows": q_streaming_ppl_windows,
         "asof_clicks_events": q_asof_clicks_events,
         "skew_report_documents": q_skew_report_documents,
-        "suite_skew_guard": q_suite_skew_guard,
         "suite_ppl_guard": q_suite_ppl_guard,
         "lm_cross_entropy_documents": q_lm_cross_entropy_documents,
         "sequence_stats_documents": q_sequence_stats_documents,
@@ -7767,6 +7835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_threshold_quality_documents": q_best_threshold_quality_documents,
         "gopher_report_documents": q_gopher_report_documents,
         "packing_report_documents": q_packing_report_documents,
+        "suite_skew_guard": q_suite_skew_guard,
         "suite_ap_guard": q_suite_ap_guard,
         "suite_classifier_guards": q_suite_classifier_guards,
         "suite_mixture_guard": q_suite_mixture_guard,
@@ -7911,6 +7980,7 @@ def oracle_sql() -> dict[str, str]:
             _TOKEN_SHINGLES_CTE, threshold=0.5
         ),
         "token_dup_ngram_documents": SQL_TOKEN_DUP_NGRAM_DOCUMENTS,
+        "streaming_dup_sequences": SQL_STREAMING_DUP_SEQUENCES,
         "streaming_pii_windows": SQL_STREAMING_PII_WINDOWS,
         "suite_card_guards": SQL_SUITE_CARD_GUARDS,
         "pii_redact_report_documents": SQL_PII_REDACT_REPORT_DOCUMENTS,

@@ -145,3 +145,80 @@ def test_token_minhash_matches_text_minhash_on_rendering(seqs):
         ).collect()
     }
     assert a == b
+
+
+def test_suite_distinct_seq_frac_guard_arms(spark):
+    """Declarative token-dup health guard: pass/fail/empty/approx arms of
+    expect.distinct_seq_frac_above (the token twin of
+    distinct_text_frac_above, keyed on token_sequence_key)."""
+    import math
+
+    from vldt_spark.checks.suite import Suite, expect
+
+    # rows 1/2 share one exact sequence -> 3 distinct / 4 rows = 0.75
+    df = spark.createDataFrame(
+        [(1, [5, 6]), (2, [5, 6]), (3, [7]), (4, [8, 9, 10])],
+        "doc_id long, tokens array<int>",
+    )
+    rep = {
+        r["threshold"]: r
+        for r in Suite(
+            [
+                expect.distinct_seq_frac_above("tokens", 0.5),   # pass
+                expect.distinct_seq_frac_above("tokens", 0.75),  # !> -> fail
+            ]
+        )
+        .run(df)
+        .collect()
+    }
+    assert rep[0.5]["passed"] and rep[0.5]["metric"] == 0.75
+    assert not rep[0.75]["passed"]
+
+    empty = df.where("doc_id < 0")
+    row = Suite([expect.distinct_seq_frac_above("tokens", 0.5)]).run(empty).collect()[0]
+    assert not row["passed"] and math.isnan(row["metric"])
+
+    # approx (HLL) mode stays within rsd on a no-dup frame
+    row = (
+        Suite([expect.distinct_seq_frac_above("tokens", 0.5, approx=True)])
+        .run(df.where("doc_id != 2"))
+        .collect()[0]
+    )
+    assert row["passed"] and row["metric"] > 0.9
+
+
+def test_streaming_duplicate_sequences_cross_batch(spark, tmp_path):
+    """A sequence re-crawled under a FRESH doc_id in a later micro-batch
+    is flagged by the sequence-keyed monitor (an id-keyed monitor would
+    see only new ids). Both hash paths emit the same event set."""
+    import os
+
+    from vldt_spark.streaming.stateful import run_sequence_dup_monitor
+
+    rows1 = [(1, [5, 6, 7]), (2, [8, 9]), (3, [10])]
+    rows2 = [(100, [5, 6, 7]), (101, [11, 12])]  # 100 re-crawls 1's sequence
+    for i, (name, rows) in enumerate([("b=1", rows1), ("b=2", rows2)]):
+        spark.createDataFrame(
+            rows, "doc_id long, tokens array<int>"
+        ).coalesce(1).write.parquet(str(tmp_path / "seq_src" / name))
+    src = str(tmp_path / "seq_src") + "/b=*"
+
+    for hash_fn in ("xxhash64", "md5"):
+        out = run_sequence_dup_monitor(
+            spark, src, hash_fn=hash_fn, query_name=f"t_seqdups_{hash_fn}"
+        )
+        got = [(r["n_seen"], r["n_new"]) for r in out.collect()]
+        assert got == [(2, 1)], hash_fn  # exactly the re-crawled sequence
+
+    # the md5 path's key is the canonical-rendering fingerprint (the
+    # oracle-portable form)
+    from vldt_spark.functions.dedup import tokens_canonical_text
+    from vldt_spark.functions.text import fingerprint
+
+    expected_key = (
+        spark.createDataFrame([([5, 6, 7],)], "tokens array<int>")
+        .select(fingerprint(tokens_canonical_text(F.col("tokens"))))
+        .first()[0]
+    )
+    md5_out = spark.table("t_seqdups_md5").collect()
+    assert md5_out[0]["key"] == expected_key

@@ -625,6 +625,26 @@ class expect:
         )
 
     @staticmethod
+    def distinct_seq_frac_above(
+        tokens_col: str, threshold: float, *, approx: bool = False
+    ) -> Expectation:
+        """Token twin of ``distinct_text_frac_above``: distinct exact
+        token SEQUENCES / total rows must stay ABOVE the threshold —
+        the declarative arm of the ``token_exact_duplicates`` family.
+        Keyed on the array-native 128-bit ``token_sequence_key`` (two
+        salted xxhash64 passes, zero string rendering); the metric is a
+        ratio of distinct counts, hash-agnostic at any collision-free
+        scale, so the SQL oracle replays it off the raw sequences even
+        though xxhash64 itself is not portable. ``approx=True`` swaps
+        the exact count_distinct for HLL at 10^12 rows. Empty corpus
+        fails loud (NaN metric)."""
+        return Expectation(
+            "distinct_seq_frac_above",
+            tokens_col,
+            {"threshold": threshold, "approx": approx},
+        )
+
+    @staticmethod
     def centroid_cosine_above(
         column: str, ref_df: DataFrame, threshold: float
     ) -> Expectation:
@@ -1227,6 +1247,25 @@ class Suite:
             ).first()
             if row is None or not row["n"]:
                 # empty corpus: no text population to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["d"]) / float(row["n"])
+                passed = metric > thr
+        elif e.kind == "distinct_seq_frac_above":
+            from vldt_spark.functions.dedup import token_sequence_key
+
+            thr = float(p["threshold"])
+            key = token_sequence_key(F.col(e.column))
+            cd = (
+                F.approx_count_distinct(key)
+                if p["approx"]
+                else F.count_distinct(key)
+            )
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"), cd.alias("d")
+            ).first()
+            if row is None or not row["n"]:
+                # empty corpus: no sequence population to guard
                 metric, passed = float("nan"), False
             else:
                 metric = float(row["d"]) / float(row["n"])

@@ -130,3 +130,70 @@ def run_duplicate_monitor(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def streaming_duplicate_sequences(
+    stream_df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    hash_fn: str = "xxhash64",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Duplicate-SEQUENCE violation events over a pre-tokenized stream —
+    ``streaming_duplicate_keys`` keyed on the exact token sequence
+    instead of an id column, so a sequence re-crawled under a fresh
+    doc_id in a later micro-batch is still flagged. Emits
+    (key, n_seen, n_new) exactly as the id monitor does.
+
+    ``hash_fn="xxhash64"`` (default) keys on the array-native 128-bit
+    ``token_sequence_key`` — the state key is ~40 chars instead of the
+    raw sequence, and no canonical string is ever rendered.
+    ``hash_fn="md5"`` keys on the canonical-rendering fingerprint, the
+    DuckDB-portable form the oracle gate replays. State size is one
+    count per distinct sequence either way; the same TTL knob bounds it
+    for unbounded corpora."""
+    from vldt_spark.functions.dedup import token_sequence_key, tokens_canonical_text
+    from vldt_spark.functions.text import fingerprint
+
+    if hash_fn == "md5":
+        key = fingerprint(tokens_canonical_text(F.col(tokens_col)))
+    else:
+        key = token_sequence_key(F.col(tokens_col))
+    keyed = stream_df.withColumn("__seq_key", key)
+    return streaming_duplicate_keys(
+        keyed, "__seq_key", state_ttl_ms=state_ttl_ms
+    )
+
+
+def run_sequence_dup_monitor(
+    spark,
+    source_dir: str,
+    *,
+    tokens_col: str = "tokens",
+    hash_fn: str = "xxhash64",
+    schema=None,
+    max_files_per_trigger: int = 1,
+    query_name: str = "vldt_stream_seq_dups",
+) -> DataFrame:
+    """``run_duplicate_monitor`` for the sequence-keyed variant: drive a
+    parquet-directory stream of pre-tokenized rows through
+    ``streaming_duplicate_sequences`` to completion (memory sink) and
+    return the emitted duplicate-sequence events."""
+    schema = schema or spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    dups = streaming_duplicate_sequences(
+        stream, tokens_col=tokens_col, hash_fn=hash_fn
+    )
+    q = (
+        dups.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
