@@ -89,6 +89,9 @@ def test_readme_token_dedup_snippet_executes(ns):
     ov = ns.overlap_t.collect()
     assert len(ov) == n
     assert all(0 <= r["n_duplicated"] <= r["n_shingles"] for r in ov)
+    health = ns.seq_health.collect()[0]
+    assert health["check"] == "distinct_seq_frac_above"
+    assert health["passed"] and health["metric"] == 1.0
 
 
 def test_readme_web_token_snippet_executes(ns):
