@@ -3713,6 +3713,75 @@ LEFT JOIN spans ON spans.doc_id = wd.doc_id
 """
 
 
+def q_token_exact_substr_documents(spark, sf_dir):
+    """ExactSubstr span removal IN TOKEN SPACE (the setting Lee et al.
+    actually use — repeated >= k TOKEN spans excised from the id arrays;
+    dedup.py: token_exact_substr_dedup) at k=7 over char-token
+    sequences. tokens_clean is emitted as the space-joined id rendering
+    so the oracle compares strings; the pytest suite pins the exact
+    split-back to ids."""
+    from vldt_spark.functions.dedup import token_exact_substr_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _char_tokens(docs).select("doc_id", "tokens")
+    out = token_exact_substr_dedup(toks, k=7)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("tokens_clean").cast("array<string>"), " ").alias(
+            "tokens_clean"
+        ),
+        "n_tok",
+        "n_removed_tokens",
+        "n_spans",
+    )
+
+
+SQL_TOKEN_EXACT_SUBSTR_DOCUMENTS = """
+WITH wd AS (
+  SELECT doc_id,
+         [CAST(ascii(c) AS VARCHAR) FOR c IN string_split(text, '')] AS ws
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+         [array_to_string(ws[i:i+6], ' ')
+          FOR i IN range(1, greatest(len(ws) - 6, 0) + 1)] AS grams
+  FROM wd
+), grams AS (
+  SELECT doc_id, generate_subscripts(grams, 1) AS pos, unnest(grams) AS gram
+  FROM g0
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), dp AS (
+  SELECT doc_id, pos FROM grams JOIN dup USING (gram)
+), cov AS (
+  SELECT DISTINCT doc_id, pos + o AS j
+  FROM dp CROSS JOIN range(0, 7) AS t(o)
+), spans AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+  FROM cov c LEFT JOIN cov p ON p.doc_id = c.doc_id AND p.j = c.j - 1
+  WHERE p.j IS NULL GROUP BY c.doc_id
+), removed AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id
+), wx AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS j FROM wd
+), kept AS (
+  SELECT wx.doc_id, string_agg(wx.w, ' ' ORDER BY wx.j) AS tokens_clean
+  FROM wx LEFT JOIN cov ON cov.doc_id = wx.doc_id AND cov.j = wx.j
+  WHERE cov.j IS NULL
+  GROUP BY wx.doc_id
+)
+SELECT wd.doc_id,
+       coalesce(kept.tokens_clean, '') AS tokens_clean,
+       CAST(len(wd.ws) AS BIGINT) AS n_tok,
+       CAST(coalesce(removed.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       CAST(coalesce(spans.n_spans, 0) AS BIGINT) AS n_spans
+FROM wd
+LEFT JOIN kept ON kept.doc_id = wd.doc_id
+LEFT JOIN removed ON removed.doc_id = wd.doc_id
+LEFT JOIN spans ON spans.doc_id = wd.doc_id
+"""
+
+
 def q_dup_ngram_screened_documents(spark, sf_dir):
     """The 100 TB shape of the train-train-overlap metric: duplicated
     shingles (count >= 2) fold into a broadcast Bloom bitmap and each doc
@@ -7836,6 +7905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_report_documents": q_gopher_report_documents,
         "packing_report_documents": q_packing_report_documents,
         "suite_skew_guard": q_suite_skew_guard,
+        "token_exact_substr_documents": q_token_exact_substr_documents,
         "suite_ap_guard": q_suite_ap_guard,
         "suite_classifier_guards": q_suite_classifier_guards,
         "suite_mixture_guard": q_suite_mixture_guard,
@@ -7981,6 +8051,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_dup_ngram_documents": SQL_TOKEN_DUP_NGRAM_DOCUMENTS,
         "streaming_dup_sequences": SQL_STREAMING_DUP_SEQUENCES,
+        "token_exact_substr_documents": SQL_TOKEN_EXACT_SUBSTR_DOCUMENTS,
         "streaming_pii_windows": SQL_STREAMING_PII_WINDOWS,
         "suite_card_guards": SQL_SUITE_CARD_GUARDS,
         "pii_redact_report_documents": SQL_PII_REDACT_REPORT_DOCUMENTS,

@@ -222,3 +222,73 @@ def test_streaming_duplicate_sequences_cross_batch(spark, tmp_path):
     )
     md5_out = spark.table("t_seqdups_md5").collect()
     assert md5_out[0]["key"] == expected_key
+
+
+def test_token_exact_substr_dedup_excises_spans(spark):
+    """Repeated >=k-token spans are cut from the id arrays; the cleaned
+    rendering splits back to exact ids (injectivity), clean rows pass
+    through untouched."""
+    from vldt_spark.functions.dedup import token_exact_substr_dedup
+
+    # rows 1/2 share the 4-token span [7, 8, 9, 10] embedded in different
+    # contexts; row 3 is clean; row 4 is empty
+    rows = [
+        (1, [1, 2, 7, 8, 9, 10, 3]),
+        (2, [7, 8, 9, 10, 99]),
+        (3, [5, 5, 6]),
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {
+        r["doc_id"]: (
+            list(r["tokens_clean"]),
+            r["n_tok"],
+            r["n_removed_tokens"],
+            r["n_spans"],
+        )
+        for r in token_exact_substr_dedup(df, k=4).collect()
+    }
+    assert out[1] == ([1, 2, 3], 7, 4, 1)
+    assert out[2] == ([99], 5, 4, 1)
+    assert out[3] == ([5, 5, 6], 3, 0, 0)
+    assert out[4] == ([], 0, 0, 0)
+
+    # keep_first leaves the corpus-wide first occurrence intact
+    kept = {
+        r["doc_id"]: list(r["tokens_clean"])
+        for r in token_exact_substr_dedup(df, k=4, keep_first=True).collect()
+    }
+    assert kept[1] == [1, 2, 7, 8, 9, 10, 3]
+    assert kept[2] == [99]
+
+
+def test_token_decontamination(spark):
+    """Sequences sharing token k-grams with a tokenized benchmark are
+    flagged and dropped, all original columns preserved."""
+    from vldt_spark.functions.dedup import (
+        token_contamination_report,
+        token_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [10, 11, 12, 13], "web"),   # contains bench 3-gram 11,12,13
+            (2, [20, 21, 22], "wiki"),      # clean
+            (3, [11, 12, 13], "web"),       # IS a bench sequence
+        ],
+        "doc_id long, tokens array<int>, source string",
+    )
+    bench = spark.createDataFrame(
+        [([11, 12, 13],), ([40, 41, 42],)], "tokens array<int>"
+    )
+    rep = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["frac"])
+        for r in token_contamination_report(
+            corpus, bench, shingle_k=3
+        ).collect()
+    }
+    assert rep == {1: (2, 1, 0.5), 3: (1, 1, 1.0)}
+
+    clean = token_decontaminate(corpus, bench, shingle_k=3)
+    assert set(clean.columns) == {"doc_id", "tokens", "source"}
+    assert [r["doc_id"] for r in clean.collect()] == [2]

@@ -1497,3 +1497,102 @@ def token_duplicated_ngram_fraction(
     )
     fn = duplicated_ngram_fraction_screened if screened else duplicated_ngram_fraction
     return fn(base, text_col="__ttext", id_col=id_col, shingle_k=shingle_k)
+
+
+def token_exact_substr_dedup(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+    keep_first: bool = False,
+) -> DataFrame:
+    """ExactSubstr span removal IN TOKEN SPACE — Lee et al. 2022's actual
+    setting (the paper excises repeated spans of ≥ k TOKENS): every id
+    span of ≥ ``k`` tokens occurring more than once corpus-wide is cut
+    from the sequence. ``exact_substr_dedup`` runs unchanged on the
+    canonical rendering (a word span of the rendering IS a token span,
+    and the excision cuts whole rendered words, so splitting the cleaned
+    rendering back to ids is exact — injectivity again). Returns
+    (``id_col``, tokens_clean, n_tok, n_removed_tokens, n_spans); every
+    input row appears, clean sequences report 0 removed."""
+    base = df.select(
+        F.col(id_col), tokens_canonical_text(F.col(tokens_col)).alias("__ttext")
+    )
+    out = exact_substr_dedup(
+        base, text_col="__ttext", id_col=id_col, k=k, keep_first=keep_first
+    )
+    toks_clean = F.transform(
+        F.filter(
+            F.split(F.col("text_clean"), " "), lambda w: F.length(w) > 0
+        ),
+        lambda w: w.cast("int"),
+    )
+    return out.select(
+        F.col(id_col),
+        toks_clean.alias("tokens_clean"),
+        F.col("n_words").alias("n_tok"),
+        F.col("n_removed_words").alias("n_removed_tokens"),
+        F.col("n_spans"),
+    )
+
+
+def token_contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    bench_tokens_col: str | None = None,
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    shingle_impl: str = "expr",
+) -> DataFrame:
+    """Train/test contamination screen over PRE-TOKENIZED sequences (the
+    GPT-3 appendix measures 13-GRAM TOKEN overlap): flag sequences
+    sharing token ``shingle_k``-grams with a tokenized benchmark set.
+    Same scale shape as the text form — benchmark distinct+broadcast,
+    one corpus scan, (doc, n_grams, n_hits) triples as the only
+    shuffle."""
+    bt = bench_tokens_col or tokens_col
+    base = df.select(
+        F.col(id_col), tokens_canonical_text(F.col(tokens_col)).alias("__ttext")
+    )
+    bench = benchmark.select(
+        tokens_canonical_text(F.col(bt)).alias("__ttext")
+    )
+    return contamination_report(
+        base,
+        bench,
+        id_col=id_col,
+        text_col="__ttext",
+        shingle_k=shingle_k,
+        shingle_impl=shingle_impl,
+    )
+
+
+def token_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    bench_tokens_col: str | None = None,
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    max_frac: float = 0.0,
+    shingle_impl: str = "expr",
+) -> DataFrame:
+    """Drop contaminated sequences, ALL original columns preserved:
+    anti-join of ``df`` against the token contamination report's flagged
+    ids (frac > ``max_frac``; default removes any overlap — the
+    conservative eval-hygiene setting). Flagged-id set is
+    report-cardinality, so the anti-join broadcasts."""
+    flagged = token_contamination_report(
+        df,
+        benchmark,
+        tokens_col=tokens_col,
+        bench_tokens_col=bench_tokens_col,
+        id_col=id_col,
+        shingle_k=shingle_k,
+        shingle_impl=shingle_impl,
+    ).where(F.col("frac") > max_frac)
+    return df.join(flagged.select(id_col), id_col, "left_anti")
