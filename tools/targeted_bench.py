@@ -58,6 +58,7 @@ def build_thunks(spark, names: list[str]):
         "corpus_shuffle": lambda: _corpus_shuffle_thunk(docs(), F),
         "sequence_stats_tokens": lambda: _sequence_stats_thunk(_toks(spark), F),
         "unigram_logprob_tokens": lambda: _unigram_thunk(_toks(spark), F),
+        "token_dedup_exact": lambda: _token_dedup_thunk(_toks(spark)),
     }
     thunks = {}
     for name in names:
@@ -76,6 +77,12 @@ def _toks(spark):
     )
     path = bench.ensure_token_table(spark, bench.TOKEN_ROWS)
     return spark.read.parquet(path).coalesce(scan_slots)
+
+
+def _token_dedup_thunk(toks):
+    from vldt_spark.functions.dedup import token_dedup_exact
+
+    return token_dedup_exact(toks).count()
 
 
 def _sequence_stats_thunk(toks, F):
