@@ -292,3 +292,73 @@ def test_token_decontamination(spark):
     clean = token_decontaminate(corpus, bench, shingle_k=3)
     assert set(clean.columns) == {"doc_id", "tokens", "source"}
     assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_seqs_strat = st.lists(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=10),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_seqs_strat)
+def test_token_dedup_exact_property_vs_python_oracle(spark, arrays):
+    """Randomized parity: survivors of token_dedup_exact == the plain-
+    Python min-id-per-distinct-sequence oracle, on BOTH hash paths.
+    Small id domain (0..50) + short arrays force frequent collisions of
+    whole sequences, the interesting regime."""
+    from vldt_spark.functions.dedup import token_dedup_exact
+
+    rows = [(i, a) for i, a in enumerate(arrays)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+    first = {}
+    for i, a in rows:
+        first.setdefault(tuple(a), i)
+    expected = sorted(first.values())
+
+    for hash_fn in ("xxhash64", "md5"):
+        kept = sorted(
+            r["doc_id"] for r in token_dedup_exact(df, hash_fn=hash_fn).collect()
+        )
+        assert kept == expected, hash_fn
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_seqs_strat)
+def test_token_dup_ngram_property_screened_geq_exact(spark, arrays):
+    """One-sided screen invariant under randomized sequences: the Bloom-
+    screened duplicated count never UNDERcounts the exact one, and both
+    agree on n_shingles."""
+    from vldt_spark.functions.dedup import token_duplicated_ngram_fraction
+
+    rows = [(i, a) for i, a in enumerate(arrays)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    exact = {
+        r["doc_id"]: (r["n_shingles"], r["n_duplicated"])
+        for r in token_duplicated_ngram_fraction(
+            df, shingle_k=3, screened=False
+        ).collect()
+    }
+    screened = {
+        r["doc_id"]: (r["n_shingles"], r["n_duplicated"])
+        for r in token_duplicated_ngram_fraction(
+            df, shingle_k=3, screened=True
+        ).collect()
+    }
+    assert set(exact) == set(screened)
+    for d in exact:
+        assert screened[d][0] == exact[d][0]
+        assert screened[d][1] >= exact[d][1]
