@@ -362,3 +362,17 @@ def test_token_dup_ngram_property_screened_geq_exact(spark, arrays):
     for d in exact:
         assert screened[d][0] == exact[d][0]
         assert screened[d][1] >= exact[d][1]
+
+
+def test_token_near_dedup_composition(seqs):
+    """Near-dup DROP in token space is the existing payload-agnostic
+    composition — token_minhash_pairs feeds dedup_near — no wrapper
+    needed; pin it so the pieces keep composing."""
+    from vldt_spark.functions.dedup import dedup_near, token_minhash_pairs
+
+    pairs = token_minhash_pairs(
+        seqs, num_hashes=32, bands=8, shingle_k=3, threshold=0.3
+    )
+    kept = sorted(r["doc_id"] for r in dedup_near(seqs, pairs).collect())
+    # cluster {1,2,3} keeps 1; cluster {6,7} keeps 6; 4/5/8 untouched
+    assert kept == [1, 4, 5, 6, 8]
