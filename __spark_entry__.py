@@ -3782,6 +3782,50 @@ LEFT JOIN spans ON spans.doc_id = wd.doc_id
 """
 
 
+def q_token_unigram_drift_documents(spark, sf_dir):
+    """Corpus-shift check in token-id space (checks/drift.py:
+    token_unigram_drift): PSI + JS + KL between the unigram token
+    distributions of the even-doc_id and odd-doc_id halves of the
+    corpus — each side a per-partition bincount fold (|vocab| partials,
+    token arrays never shuffle), the metric join a |vocab|-row
+    tiny-input with the drift family's standard eps smoothing."""
+    from vldt_spark.checks.drift import token_unigram_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _char_tokens(docs).select("doc_id", "tokens")
+    return token_unigram_drift(
+        toks.where(F.col("doc_id") % 2 == 0),
+        toks.where(F.col("doc_id") % 2 == 1),
+        256,
+    )
+
+
+SQL_TOKEN_UNIGRAM_DRIFT_DOCUMENTS = """
+WITH tk AS (
+  SELECT doc_id, unnest([ascii(c) FOR c IN string_split(text, '')]) AS t
+  FROM documents
+), b AS (
+  SELECT CASE WHEN t BETWEEN 0 AND 255 THEN t ELSE -1 END AS bin,
+         doc_id % 2 = 0 AS is_ref
+  FROM tk
+), rc AS (
+  SELECT bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+  FROM b GROUP BY bin
+), t2 AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM rc),
+pq AS (
+  SELECT CAST(nr AS DOUBLE) / tr + 1e-9 AS p,
+         CAST(nc AS DOUBLE) / tc + 1e-9 AS q
+  FROM rc, t2
+)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) / 2), 6) AS js,
+       round(sum(p * ln(p / q)), 6) AS kl
+FROM pq
+"""
+
+
 def q_dup_ngram_screened_documents(spark, sf_dir):
     """The 100 TB shape of the train-train-overlap metric: duplicated
     shingles (count >= 2) fold into a broadcast Bloom bitmap and each doc
@@ -7851,8 +7895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 = contamination_report; the streaming duplicate-SEQUENCE monitor
     joined the window front and the token ExactSubstr gate lives in the
     tail (its text twin is in-window, the split-back pytest-pinned).
-    tools/check_oracle.py verifies the full 180-query set locally:
-    178 pass / 0 fail / 2 rows-only."""
+    tools/check_oracle.py verifies the full 181-query set locally:
+    179 pass / 0 fail / 2 rows-only."""
     return {
         # --- NEW round 5 ---
         "token_exact_dups_documents": q_token_exact_dups_documents,
@@ -7915,6 +7959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_report_documents": q_packing_report_documents,
         "suite_skew_guard": q_suite_skew_guard,
         "token_exact_substr_documents": q_token_exact_substr_documents,
+        "token_unigram_drift_documents": q_token_unigram_drift_documents,
         "suite_ap_guard": q_suite_ap_guard,
         "suite_classifier_guards": q_suite_classifier_guards,
         "suite_mixture_guard": q_suite_mixture_guard,
@@ -8061,6 +8106,7 @@ def oracle_sql() -> dict[str, str]:
         "token_dup_ngram_documents": SQL_TOKEN_DUP_NGRAM_DOCUMENTS,
         "streaming_dup_sequences": SQL_STREAMING_DUP_SEQUENCES,
         "token_exact_substr_documents": SQL_TOKEN_EXACT_SUBSTR_DOCUMENTS,
+        "token_unigram_drift_documents": SQL_TOKEN_UNIGRAM_DRIFT_DOCUMENTS,
         "streaming_pii_windows": SQL_STREAMING_PII_WINDOWS,
         "suite_card_guards": SQL_SUITE_CARD_GUARDS,
         "pii_redact_report_documents": SQL_PII_REDACT_REPORT_DOCUMENTS,

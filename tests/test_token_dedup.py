@@ -376,3 +376,46 @@ def test_token_near_dedup_composition(seqs):
     kept = sorted(r["doc_id"] for r in dedup_near(seqs, pairs).collect())
     # cluster {1,2,3} keeps 1; cluster {6,7} keeps 6; 4/5/8 untouched
     assert kept == [1, 4, 5, 6, 8]
+
+
+def test_token_unigram_drift_closed_form(spark):
+    """PSI/JS/KL over token-id unigram distributions vs a plain-Python
+    reference with the drift family's eps smoothing; identical corpora
+    drift ~0; OOV ids fold into the -1 bin with mass conserved."""
+    import math
+
+    from vldt_spark.checks.drift import token_unigram_drift
+
+    ref_rows = [(1, [0, 0, 1, 2]), (2, [1, 99])]  # 99 OOV at vocab 10
+    cur_rows = [(3, [0, 1, 1, 1]), (4, [2, 2])]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, tokens array<int>")
+    cur = spark.createDataFrame(cur_rows, "doc_id long, tokens array<int>")
+
+    def probs(rows, vocab=10, eps=1e-9):
+        cnt = {}
+        for _, toks in rows:
+            for t in toks:
+                b = t if 0 <= t < vocab else -1
+                cnt[b] = cnt.get(b, 0) + 1
+        tot = sum(cnt.values())
+        return cnt, tot, eps
+
+    rc, rt, eps = probs(ref_rows)
+    cc, ct, _ = probs(cur_rows)
+    bins = set(rc) | set(cc)
+    psi = js = kl = 0.0
+    for b in bins:
+        p = rc.get(b, 0) / rt + eps
+        q = cc.get(b, 0) / ct + eps
+        m = (p + q) / 2
+        psi += (p - q) * math.log(p / q)
+        js += (p * math.log(p / m) + q * math.log(q / m)) / 2
+        kl += p * math.log(p / q)
+
+    row = token_unigram_drift(ref, cur, 10).collect()[0]
+    assert row["psi"] == round(psi, 6)
+    assert row["js"] == round(js, 6)
+    assert row["kl"] == round(kl, 6)
+
+    same = token_unigram_drift(ref, ref, 10).collect()[0]
+    assert abs(same["psi"]) < 1e-5 and abs(same["js"]) < 1e-5

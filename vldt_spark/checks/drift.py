@@ -622,3 +622,44 @@ def drift_by_window(
         )
         .orderBy("window_start")
     )
+
+
+def token_unigram_drift(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    vocab_size: int,
+    *,
+    tokens_col: str = "tokens",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Tokenizer/corpus-shift check over PRE-TOKENIZED sequences: PSI +
+    JS + KL between the two corpora's exact unigram TOKEN-ID
+    distributions — the id-level companion of ``kl_token_length`` (which
+    drifts lengths) and ``source_frequency`` drift (which drifts
+    provenance). A retrained tokenizer, a new scrape, or a filtering
+    change all move this before they move anything else.
+
+    Scale shape: each side's histogram is the per-partition numpy
+    bincount fold (``token_histogram`` — token arrays never ride a
+    shuffle; the exchange is |vocab| partial rows per partition), and the
+    metric join is the standard tiny-input (bin, n) full-outer +
+    eps-smoothed probabilities (``_paired_probs``), identical smoothing
+    and rounding to the rest of the drift family. OOV ids fold into the
+    token = -1 bin on both sides so mass is conserved. Returns one row
+    (psi, js, kl) rounded to 6."""
+    from vldt_spark.functions.tokens import token_histogram
+
+    h_ref = token_histogram(df_ref, vocab_size, tokens_col).select(
+        F.col("token").alias("bin"), F.col("cnt").alias("n")
+    )
+    h_cur = token_histogram(df_cur, vocab_size, tokens_col).select(
+        F.col("token").alias("bin"), F.col("cnt").alias("n")
+    )
+    pq = _paired_probs(h_ref, h_cur, eps=eps)
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / F.lit(2.0)
+    return pq.agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        F.round(F.sum((p * F.log(p / m) + q * F.log(q / m)) / 2), 6).alias("js"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+    )
