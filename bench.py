@@ -77,6 +77,8 @@ BENCH_QUERY_NAMES = [
     "ppl_band_tokens",
     "corpus_card",
     "dup_source_matrix",
+    "c4_clean",
+    "token_affix",
 ]
 
 
@@ -421,6 +423,28 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
 
     timed("dup_source_matrix", dup_source_matrix_bench)
 
+    def c4_clean_bench():
+        # scan-bound codegen filter: split + HOF line predicates + doc
+        # screens in one projection, zero exchange
+        from vldt_spark.functions.text import c4_clean
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return c4_clean(docs).agg(F.count(F.lit(1))).collect()
+
+    timed("c4_clean", c4_clean_bench)
+
+    def token_affix_bench():
+        # slice-key groupBy (partial-aggregated 48-byte keys) + bounded
+        # ranking window over the >=2-doc survivors
+        from vldt_spark.functions.tokens import token_affix_report
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        toks = docs.select(
+            "doc_id",
+            F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)).alias("tokens"),
+        )
+        return token_affix_report(toks, k=12, side="prefix", top=20).collect()
+
+    timed("token_affix", token_affix_bench)
+
     missing = set(BENCH_QUERY_NAMES) ^ set(timings)
     assert not missing, f"bench rows drifted from BENCH_QUERY_NAMES: {missing}"
     return timings, rep_arrays
@@ -518,6 +542,9 @@ def compact_line(
         line = json.dumps(compact)
     if len(line) > 1450:  # tier 2: integer-second per-query values
         compact["queries"] = {k: int(round(v)) for k, v in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1450:  # tier 3: median throughput is in detail + stderr
+        compact.pop("validated_seqs_per_sec_median", None)
         line = json.dumps(compact)
     if len(line) > 1500:  # last resort: totals only
         compact.pop("queries", None)

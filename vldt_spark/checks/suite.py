@@ -397,6 +397,23 @@ class expect:
         )
 
     @staticmethod
+    def c4_pass_frac_above(
+        text_col: str, threshold: float, **rule_thresholds
+    ) -> Expectation:
+        """Corpus-quality guard on the C4 cleaning bundle (Raffel et al.
+        2020 §2.2): the fraction of documents passing the document rules
+        (no lorem ipsum, no curly brace, ≥3 surviving sentences, ≥1 kept
+        line — ``c4_report.pass_frac``) must stay ABOVE the threshold.
+        Keyword args tune ``min_words`` / ``min_sentences`` (see
+        ``functions.text.c4_rules``).  One codegen projection + one
+        scalar aggregate — the corpus never shuffles."""
+        return Expectation(
+            "c4_pass_frac_above",
+            text_col,
+            {"threshold": threshold, "rules": dict(rule_thresholds)},
+        )
+
+    @staticmethod
     def fertility_between(text_col: str, lo: float, hi: float) -> Expectation:
         """Tokenizer-fertility guard: corpus-wide pretokenization units
         per whitespace word (``functions.tokens.fertility_report``'s
@@ -1072,6 +1089,23 @@ class Suite:
                 F.count(F.lit(1)).alias("n"),
                 F.sum(
                     F.when(g.getField("passes"), F.lit(1)).otherwise(F.lit(0))
+                ).alias("ok"),
+            ).first()
+            if row is None or not row["n"]:
+                # empty corpus: no pass fraction to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["ok"]) / float(row["n"])
+                passed = metric > thr
+        elif e.kind == "c4_pass_frac_above":
+            from vldt_spark.functions.text import c4_rules
+
+            thr = float(p["threshold"])
+            c = c4_rules(F.col(e.column), **p["rules"])
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(c.getField("passes"), F.lit(1)).otherwise(F.lit(0))
                 ).alias("ok"),
             ).first()
             if row is None or not row["n"]:

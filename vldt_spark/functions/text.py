@@ -509,6 +509,137 @@ def gopher_report(
     return flagged.agg(*aggs)
 
 
+def c4_rules(
+    text: Column,
+    *,
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> Column:
+    """The published C4 cleaning heuristics (Raffel et al. 2020, §2.2)
+    as a struct of named fields — the line-level web-text companion to
+    `gopher_rules`' document-level statistics:
+
+    line rules (a line is KEPT iff all three hold):
+    - ends in a terminal punctuation mark (``. ! ?`` or a closing
+      double quote) after trimming;
+    - has at least ``min_words`` whitespace words;
+    - does not contain the word "javascript" (case-insensitive) — the
+      boilerplate "enable javascript" banner screen;
+
+    document rules (fields of the returned struct):
+    - ``lorem_ok`` — no "lorem ipsum" placeholder text anywhere;
+    - ``brace_ok`` — no ``{`` (C4's code-page screen);
+    - ``sentences_ok`` — the KEPT text still holds ≥ ``min_sentences``
+      sentences (terminal-punctuation count);
+    - ``n_lines`` / ``n_kept_lines`` / ``kept_frac`` — line-filter
+      accounting (kept_frac half-up 6dp);
+    - ``passes`` — all document rules AND at least one kept line.
+
+    Like the Gopher bundle every rule is a pure Catalyst expression
+    (split + HOF filter + regexp counts) evaluating inside one
+    whole-stage-codegen projection — zero Python, zero exchange.  C4's
+    remaining rule, three-sentence-span dedup across pages, is corpus-
+    level dedup, not a row-local rule — `paragraph_dedup` /
+    `exact_substr_dedup` are this engine's implementations of it.
+    """
+    lines = F.split(text, "\n")
+
+    def _kept_pred(l: Column) -> Column:
+        words = F.filter(F.split(F.trim(l), r"\s+"), lambda w: F.length(w) > 0)
+        return (
+            F.trim(l).rlike(r'[.!?"]$')
+            & (F.size(words) >= min_words)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _kept_pred)
+    kept_text = F.array_join(kept, "\n")
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    n_sentences = F.regexp_count(kept_text, F.lit(r"[.!?]"))
+    lorem_ok = ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+    brace_ok = ~F.contains(text, F.lit("{"))
+    sentences_ok = n_sentences >= min_sentences
+    passes = lorem_ok & brace_ok & sentences_ok & (n_kept >= 1)
+    return F.struct(
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.round(n_kept / F.greatest(n_lines, F.lit(1)), 6).alias("kept_frac"),
+        n_sentences.alias("n_sentences"),
+        lorem_ok.alias("lorem_ok"),
+        brace_ok.alias("brace_ok"),
+        sentences_ok.alias("sentences_ok"),
+        passes.alias("passes"),
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Apply the C4 heuristics: drop failing documents and replace
+    ``text_col`` with the kept lines (newline-rejoined), preserving all
+    other columns.  Row-local projection + filter — the predicate sits
+    directly over the scan, so Parquet row-group pruning and codegen
+    both apply; nothing shuffles."""
+    r = c4_rules(F.col(text_col), min_words=min_words, min_sentences=min_sentences)
+    lines = F.split(F.col(text_col), "\n")
+
+    def _kept_pred(l: Column) -> Column:
+        words = F.filter(F.split(F.trim(l), r"\s+"), lambda w: F.length(w) > 0)
+        return (
+            F.trim(l).rlike(r'[.!?"]$')
+            & (F.size(words) >= min_words)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    kept_text = F.array_join(F.filter(lines, _kept_pred), "\n")
+    return (
+        docs.withColumn("__c4", r)
+        .where(F.col("__c4.passes"))
+        .withColumn(text_col, kept_text)
+        .drop("__c4")
+    )
+
+
+def c4_report(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    by: str | None = None,
+    **thresholds,
+) -> DataFrame:
+    """Corpus C4-rule report, optionally per group: document counts,
+    failure fraction of each document rule, overall pass fraction, and
+    the mean kept-line fraction.  One scalar-partial hash aggregate —
+    the exchange is |groups| rows; the fact table never shuffles."""
+    r = c4_rules(F.col(text_col), **thresholds)
+    cols = [r.alias("c")] + ([F.col(by)] if by else [])
+    flagged = docs.select(*cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.avg(F.when(F.col("c.lorem_ok"), F.lit(0.0)).otherwise(1.0)), 6
+        ).alias("lorem_fail_frac"),
+        F.round(
+            F.avg(F.when(F.col("c.brace_ok"), F.lit(0.0)).otherwise(1.0)), 6
+        ).alias("brace_fail_frac"),
+        F.round(
+            F.avg(F.when(F.col("c.sentences_ok"), F.lit(0.0)).otherwise(1.0)), 6
+        ).alias("sentences_fail_frac"),
+        F.round(
+            F.avg(F.when(F.col("c.passes"), F.lit(1.0)).otherwise(0.0)), 6
+        ).alias("pass_frac"),
+        F.round(F.avg(F.col("c.kept_frac")), 6).alias("mean_kept_frac"),
+    ]
+    if by:
+        return flagged.groupBy(by).agg(*aggs)
+    return flagged.agg(*aggs)
+
+
 # -- PII redaction -----------------------------------------------------------
 
 #: the same Java-regex/RE2-portable screen patterns ``pii_flags`` uses,

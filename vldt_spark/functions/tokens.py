@@ -570,6 +570,141 @@ def degenerate_flag(
     return flag(col)
 
 
+def token_affix_report(
+    df: DataFrame,
+    *,
+    k: int = 16,
+    side: str = "prefix",
+    min_docs: int = 2,
+    top: int = 25,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Boilerplate-affix audit over pre-tokenized sequences: which exact
+    first-``k`` (``side="prefix"``) or last-``k`` (``side="suffix"``)
+    token-id slices are shared by ``min_docs``+ sequences.  Shared
+    affixes mark templated headers/footers — licence banners, prompt
+    scaffolds, chat-format preambles — that exact whole-sequence dedup
+    misses (the bodies differ) and that inflate n-gram duplication
+    metrics without being actionable.  The report names the template so
+    a cleaning pass can strip it.
+
+    Returns ``(rank, affix array<int>, n_docs, exemplar_id, doc_share)``
+    ranked by (n_docs DESC, exemplar_id ASC) and cut to ``top`` rows;
+    ``doc_share`` is n_docs over the sequences long enough to have the
+    affix (size ≥ k), half-up-rounded to 6dp.
+
+    Scale shape: one scan; the groupBy key is the k-int slice itself, so
+    with partial aggregation the exchange carries
+    distinct-affixes-per-partition rows of ~4k bytes each — for the
+    useful k range (8-64) that is at or below the width of carrying a
+    hash + exemplar and needs no join-back to render the template.  The
+    ranking window runs over the ≥min_docs survivors only (duplicated
+    affixes, a vanishing fraction of a web corpus), and the one-row
+    eligible-total joins back via broadcast.  For k ≫ 64 group on
+    ``xxhash64(cast(slice as string))`` and re-attach one exemplar slice
+    by joining the top rows back on exemplar_id (two scans, 8-byte
+    keys); not the default because it forks the oracle-checkable shape.
+    """
+    if side not in ("prefix", "suffix"):
+        raise ValueError("side must be 'prefix' or 'suffix'")
+    toks = F.col(tokens_col)
+    sl = (
+        F.slice(toks, 1, k)
+        if side == "prefix"
+        else F.slice(toks, -k, k)
+    )
+    eligible = df.where(F.size(toks) >= k).select(
+        sl.alias("affix"), F.col(id_col).alias("__id")
+    )
+    grouped = eligible.groupBy("affix").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("__id").alias("exemplar_id"),
+    )
+    total = eligible.agg(F.count(F.lit(1)).alias("__total"))
+    from pyspark.sql import Window
+
+    ranked = (
+        grouped.where(F.col("n_docs") >= min_docs)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("n_docs").desc(), F.col("exemplar_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= top)
+    )
+    # the global window sorts only the ≥min_docs survivors (bounded);
+    # the 1-row total is a broadcast-nested-loop attach.
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "affix",
+        "n_docs",
+        "exemplar_id",
+        F.round(
+            F.col("n_docs") / F.greatest(F.col("__total"), F.lit(1)), 6
+        ).alias("doc_share"),
+    )
+
+
+def strip_affix(
+    df: DataFrame,
+    *,
+    k: int = 16,
+    side: str = "prefix",
+    min_docs: int = 2,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Cleaning companion to `token_affix_report`: remove the first-``k``
+    (or last-``k``) tokens from every sequence whose affix is shared by
+    ``min_docs``+ sequences — the report names the boilerplate template,
+    this op strips it.  Adds ``affix_stripped`` (boolean); when the
+    input carries an ``n_tok`` column it is recomputed for stripped
+    rows.
+
+    Scale shape: two passes over the fact.  Pass 1 derives the
+    boilerplate set with the same partial-aggregated slice groupBy as
+    the report (exchange = distinct-affixes-per-partition, ~4k-byte
+    keys); the ≥min_docs survivors — a vanishing fraction of a web
+    corpus — are then BROADCAST, so pass 2 is a map-side hash probe and
+    the fact table itself never shuffles."""
+    if side not in ("prefix", "suffix"):
+        raise ValueError("side must be 'prefix' or 'suffix'")
+    toks = F.col(tokens_col)
+    sl = F.slice(toks, 1, k) if side == "prefix" else F.slice(toks, -k, k)
+    boiler = (
+        df.where(F.size(toks) >= k)
+        .groupBy(sl.alias("__affix"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_docs)
+        .select("__affix")
+    )
+    probed = df.withColumn(
+        "__sl", F.when(F.size(toks) >= k, sl)
+    ).join(
+        F.broadcast(boiler), F.col("__sl") == F.col("__affix"), "left"
+    )
+    hit = F.col("__affix").isNotNull()
+    stripped = (
+        F.slice(toks, k + 1, F.size(toks) - k)
+        if side == "prefix"
+        else F.slice(toks, 1, F.size(toks) - k)
+    )
+    out = probed.withColumn(
+        tokens_col, F.when(hit, stripped).otherwise(toks)
+    ).withColumn("affix_stripped", hit).drop("__sl", "__affix")
+    if "n_tok" in df.columns:
+        out = out.withColumn(
+            "n_tok",
+            F.when(
+                F.col("affix_stripped"), F.size(F.col(tokens_col))
+            ).otherwise(F.col("n_tok")),
+        )
+    return out
+
+
 _PRETOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
