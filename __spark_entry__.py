@@ -7929,6 +7929,85 @@ FROM d GROUP BY window_epoch
 """
 
 
+def q_control_bands_events(spark, sf_dir):
+    """Control-band monitoring over a metric time series (round-5
+    session 2): Shewhart + truncated-EWMA bands per point from its own
+    PRECEDING history (checks/controlband.py) over the per-day mean
+    event value per event_type — the alarming-over-time family the
+    static drift checks and single-window streaming guards don't cover.
+    The series table is |types|×|days| rows (bounded by construction;
+    the corpus-sized work is the upstream aggregation), one exchange on
+    the series key, w explicit lag terms inside codegen.  The oracle
+    replays the identical window arithmetic on the identical rounded
+    base series."""
+    from vldt_spark.checks.controlband import metric_control_report
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(
+            "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+    rep = metric_control_report(
+        series, ts_col="day", value_col="value", by="event_type",
+        window=5, k=2.0, alpha=0.4,
+    )
+    return rep.select(
+        "event_type",
+        F.unix_timestamp("day").alias("day_epoch"),
+        "value", "n_trailing", "trailing_mean", "trailing_std",
+        "z", "shewhart_alarm", "ewma_prev", "ewma_alarm",
+    )
+
+
+SQL_CONTROL_BANDS_EVENTS = """
+WITH s AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, value,
+         count(value) OVER tw AS n_trailing,
+         avg(value) OVER tw AS m,
+         stddev_samp(value) OVER tw AS sd,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3,
+         lag(value, 4) OVER w AS l4,
+         lag(value, 5) OVER w AS l5
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+         tw AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+), e AS (
+  SELECT *,
+         coalesce(l1 * 0.4, 0) + coalesce(l2 * 0.24, 0)
+           + coalesce(l3 * 0.144, 0) + coalesce(l4 * 0.0864, 0)
+           + coalesce(l5 * 0.05184, 0) AS num,
+         (CASE WHEN l1 IS NOT NULL THEN 0.4 ELSE 0 END)
+           + (CASE WHEN l2 IS NOT NULL THEN 0.24 ELSE 0 END)
+           + (CASE WHEN l3 IS NOT NULL THEN 0.144 ELSE 0 END)
+           + (CASE WHEN l4 IS NOT NULL THEN 0.0864 ELSE 0 END)
+           + (CASE WHEN l5 IS NOT NULL THEN 0.05184 ELSE 0 END) AS den,
+         (n_trailing >= 3 AND sd IS NOT NULL AND sd > 0) AS ok
+  FROM r
+)
+SELECT event_type,
+       CAST(epoch(day) AS BIGINT) AS day_epoch,
+       value,
+       n_trailing,
+       round(m, 6) AS trailing_mean,
+       round(sd, 6) AS trailing_std,
+       CASE WHEN ok THEN round((value - m) / sd, 6) END AS z,
+       CASE WHEN ok THEN abs(value - m) > 2.0 * sd END AS shewhart_alarm,
+       CASE WHEN den > 0 THEN round(num / den, 6) END AS ewma_prev,
+       CASE WHEN ok AND den > 0 THEN abs(value - num / den) > 2.0 * sd END
+         AS ewma_alarm
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 def q_token_affix_documents(spark, sf_dir):
@@ -8209,15 +8288,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1-3; three classifier-eval derived twins (threshold sweep, per-slice
     AUC, confusion report) move to the top of the tail — their shared
     machinery stays value-checked in-window via the AUC / calibration /
-    Brier primaries; their strip_affix / suite_c4_guard / brier
+    Brier primaries; their strip_affix / suite_c4_guard / brier / pr_auc
     companions join the tail.  tools/check_oracle.py verifies the full
-    187-query set locally: 185 pass / 0 fail / 2 rows-only."""
+    188-query set locally: 186 pass / 0 fail / 2 rows-only."""
     return {
         # --- NEW round 5, session 2 ---
         "token_affix_documents": q_token_affix_documents,
         "c4_rules_dirty_documents": q_c4_rules_dirty_documents,
         "c4_report_documents": q_c4_report_documents,
         "streaming_c4_windows": q_streaming_c4_windows,
+        "control_bands_events": q_control_bands_events,
         # --- NEW round 5 ---
         "token_exact_dups_documents": q_token_exact_dups_documents,
         "token_minhash_pairs_documents": q_token_minhash_pairs_documents,
@@ -8229,7 +8309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_band_documents": q_ppl_band_documents,
         "dup_source_matrix_documents": q_dup_source_matrix_documents,
         "corpus_card_documents": q_corpus_card_documents,
-        "pr_auc_quality_documents": q_pr_auc_quality_documents,
         "auc_quality_documents": q_auc_quality_documents,
         "calibration_quality_documents": q_calibration_quality_documents,
         "streaming_confusion_windows": q_streaming_confusion_windows,
@@ -8283,6 +8362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_affix_documents": q_strip_affix_documents,
         "suite_c4_guard": q_suite_c4_guard,
         "brier_quality_documents": q_brier_quality_documents,
+        "pr_auc_quality_documents": q_pr_auc_quality_documents,
         "gopher_report_documents": q_gopher_report_documents,
         "packing_report_documents": q_packing_report_documents,
         "suite_skew_guard": q_suite_skew_guard,
@@ -8433,6 +8513,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_affix_documents": SQL_STRIP_AFFIX_DOCUMENTS,
         "suite_c4_guard": SQL_SUITE_C4_GUARD,
         "streaming_c4_windows": SQL_STREAMING_C4_WINDOWS,
+        "control_bands_events": SQL_CONTROL_BANDS_EVENTS,
         "token_exact_dups_documents": SQL_TOKEN_EXACT_DUPS_DOCUMENTS,
         "token_minhash_pairs_documents": _sql_minhash_portable_pairs(
             _TOKEN_SHINGLES_CTE, threshold=0.5

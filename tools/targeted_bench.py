@@ -59,6 +59,7 @@ def build_thunks(spark, names: list[str]):
         "sequence_stats_tokens": lambda: _sequence_stats_thunk(_toks(spark), F),
         "unigram_logprob_tokens": lambda: _unigram_thunk(_toks(spark), F),
         "token_dedup_exact": lambda: _token_dedup_thunk(_toks(spark)),
+        "ppl_band_tokens": lambda: _ppl_band_thunk(_toks(spark), F),
     }
     thunks = {}
     for name in names:
@@ -83,6 +84,16 @@ def _token_dedup_thunk(toks):
     from vldt_spark.functions.dedup import token_dedup_exact
 
     return token_dedup_exact(toks).count()
+
+
+def _ppl_band_thunk(toks, F):
+    from vldt_spark.functions.lm import ppl_band_filter
+    from vldt_spark.sources.token_table import VOCAB
+    return (
+        ppl_band_filter(toks, VOCAB, lo=0.1, hi=0.9, by="source", exact=False)
+        .agg(F.count(F.lit(1)), F.avg("ppl"))
+        .collect()
+    )
 
 
 def _sequence_stats_thunk(toks, F):

@@ -18,6 +18,7 @@ from vldt_spark.checks.referential import (
 )
 from vldt_spark.checks.tdigest import merge_digests, tdigest_quantiles
 from vldt_spark.checks.cms import cms_heavy_hitters
+from vldt_spark.checks.controlband import control_alarms, metric_control_report
 from vldt_spark.checks.schema_drift import schema_diff, schema_drift_report
 from vldt_spark.checks.snapshot import snapshot_diff, snapshot_summary
 from vldt_spark.checks.drift import (
@@ -72,6 +73,8 @@ __all__ = [
     "tdigest_quantiles",
     "merge_digests",
     "cms_heavy_hitters",
+    "metric_control_report",
+    "control_alarms",
     "schema_diff",
     "schema_drift_report",
     "snapshot_diff",
