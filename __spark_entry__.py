@@ -8008,6 +8008,71 @@ FROM e
 """
 
 
+def q_suggest_constraints_lineitem(spark, sf_dir):
+    """Constraint suggestion (round-5 session 2): profile lineitem and
+    propose the declarative guards that pin its current shape — the
+    Deequ-style profile → suite loop (checks/suggest.py).  One
+    hash-aggregate scan computes every statistic; the exact isin set is
+    collected only behind an approx-cardinality gate.  The oracle
+    replays the aggregate arithmetic and both the not_null /
+    null_rate_below arms closed-form."""
+    from vldt_spark.checks.suggest import suggest_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    return suggest_constraints(
+        li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
+
+
+SQL_SUGGEST_CONSTRAINTS_LINEITEM = """
+WITH a AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS no_,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nq,
+         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS ns,
+         CAST(min(l_orderkey) AS DOUBLE) AS omin,
+         CAST(max(l_orderkey) AS DOUBLE) AS omax,
+         CAST(min(l_quantity) AS DOUBLE) AS qmin,
+         CAST(max(l_quantity) AS DOUBLE) AS qmax,
+         CAST(min(len(l_returnflag)) AS DOUBLE) AS lmin,
+         CAST(max(len(l_returnflag)) AS DOUBLE) AS lmax
+  FROM lineitem
+), vs AS (
+  SELECT list_sort(list(DISTINCT l_returnflag)) AS v,
+         count(DISTINCT l_returnflag) AS card
+  FROM lineitem WHERE l_returnflag IS NOT NULL
+), nullrow AS (
+  SELECT col, nn FROM (
+    SELECT 'l_orderkey' AS col, no_ AS nn FROM a
+    UNION ALL SELECT 'l_quantity', nq FROM a
+    UNION ALL SELECT 'l_returnflag', nr FROM a
+    UNION ALL SELECT 'l_shipdate', ns FROM a
+  )
+)
+SELECT col AS "column",
+       CASE WHEN nn = 0 THEN 'not_null' ELSE 'null_rate_below' END AS kind,
+       CAST(NULL AS DOUBLE) AS lo,
+       CASE WHEN nn = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor(least(1.0, nn * 1.2 / n) * 1e6 + 0.5) / 1e6
+       END AS hi,
+       CAST(NULL AS VARCHAR[]) AS "values",
+       CASE WHEN nn = 0 THEN 1.0
+            ELSE floor((1.0 - CAST(nn AS DOUBLE) / n) * 1e6 + 0.5) / 1e6
+       END AS support
+FROM nullrow, a
+UNION ALL
+SELECT 'l_orderkey', 'range', omin, omax, NULL, 1.0 FROM a
+UNION ALL
+SELECT 'l_quantity', 'range', qmin, qmax, NULL, 1.0 FROM a
+UNION ALL
+SELECT 'l_returnflag', 'isin', NULL, NULL, v, 1.0 FROM vs
+WHERE card BETWEEN 1 AND 10
+UNION ALL
+SELECT 'l_returnflag', 'length_between', lmin, lmax, NULL, 1.0 FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 def q_token_affix_documents(spark, sf_dir):
@@ -8289,8 +8354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     AUC, confusion report) move to the top of the tail — their shared
     machinery stays value-checked in-window via the AUC / calibration /
     Brier primaries; their strip_affix / suite_c4_guard / brier / pr_auc
-    companions join the tail.  tools/check_oracle.py verifies the full
-    188-query set locally: 186 pass / 0 fail / 2 rows-only."""
+    companions join the tail (fd_source_lang too — its conflict-fixture
+    twin stays in-window on the same fd_report machinery).
+    tools/check_oracle.py verifies the full 189-query set locally:
+    187 pass / 0 fail / 2 rows-only."""
     return {
         # --- NEW round 5, session 2 ---
         "token_affix_documents": q_token_affix_documents,
@@ -8298,6 +8365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_report_documents": q_c4_report_documents,
         "streaming_c4_windows": q_streaming_c4_windows,
         "control_bands_events": q_control_bands_events,
+        "suggest_constraints_lineitem": q_suggest_constraints_lineitem,
         # --- NEW round 5 ---
         "token_exact_dups_documents": q_token_exact_dups_documents,
         "token_minhash_pairs_documents": q_token_minhash_pairs_documents,
@@ -8332,7 +8400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_stats_documents": q_sequence_stats_documents,
         "zipf_report_documents": q_zipf_report_documents,
         "suite_sequence_guards": q_suite_sequence_guards,
-        "fd_source_lang_documents": q_fd_source_lang_documents,
         "fd_conflicts_dirty_documents": q_fd_conflicts_dirty_documents,
         "mad_outliers_lineitem": q_mad_outliers_lineitem,
         "streaming_degenerate_share": q_streaming_degenerate_share,
@@ -8363,6 +8430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_c4_guard": q_suite_c4_guard,
         "brier_quality_documents": q_brier_quality_documents,
         "pr_auc_quality_documents": q_pr_auc_quality_documents,
+        "fd_source_lang_documents": q_fd_source_lang_documents,
         "gopher_report_documents": q_gopher_report_documents,
         "packing_report_documents": q_packing_report_documents,
         "suite_skew_guard": q_suite_skew_guard,
@@ -8514,6 +8582,7 @@ def oracle_sql() -> dict[str, str]:
         "suite_c4_guard": SQL_SUITE_C4_GUARD,
         "streaming_c4_windows": SQL_STREAMING_C4_WINDOWS,
         "control_bands_events": SQL_CONTROL_BANDS_EVENTS,
+        "suggest_constraints_lineitem": SQL_SUGGEST_CONSTRAINTS_LINEITEM,
         "token_exact_dups_documents": SQL_TOKEN_EXACT_DUPS_DOCUMENTS,
         "token_minhash_pairs_documents": _sql_minhash_portable_pairs(
             _TOKEN_SHINGLES_CTE, threshold=0.5

@@ -19,6 +19,7 @@ from vldt_spark.checks.referential import (
 from vldt_spark.checks.tdigest import merge_digests, tdigest_quantiles
 from vldt_spark.checks.cms import cms_heavy_hitters
 from vldt_spark.checks.controlband import control_alarms, metric_control_report
+from vldt_spark.checks.suggest import suggest_constraints, suite_from_suggestions
 from vldt_spark.checks.schema_drift import schema_diff, schema_drift_report
 from vldt_spark.checks.snapshot import snapshot_diff, snapshot_summary
 from vldt_spark.checks.drift import (
@@ -75,6 +76,8 @@ __all__ = [
     "cms_heavy_hitters",
     "metric_control_report",
     "control_alarms",
+    "suggest_constraints",
+    "suite_from_suggestions",
     "schema_diff",
     "schema_drift_report",
     "snapshot_diff",
