@@ -133,7 +133,30 @@ def main():
         return
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    runs_path = os.path.join(REPO, "BENCH", "scaling_runs_r5.jsonl")
+    with open(runs_path, "a") as f:
+        f.write(json.dumps(result) + "\n")
+
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(md_path):
+        # BASELINE.md accumulates hand-written cross-round analysis —
+        # APPEND a reading section; never rewrite the file
+        with open(md_path, "a") as f:
+            f.write(f"""
+
+## Scaling reading (appended by tools/scaling_bench.py)
+
+| parallelism | wall sec (best) | reps | validated seqs/sec |
+|---|---|---|---|
+| local[{n_lo}] | {lo['wall_sec_best']} | {lo['wall_sec_reps']} | {lo['seqs_per_sec']:,} |
+| local[{n_hi}] | {hi['wall_sec_best']} | {hi['wall_sec_reps']} | {hi['seqs_per_sec']:,} |
+
+**Scaling efficiency ({n_lo}→{n_hi} cores = N→4N executors proxy): {eff}**
+(north-rule bar: ≥ 0.8 → {"MET" if eff >= 0.8 else "NOT MET"})
+""")
+        return
+
+    with open(md_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
 
 Job: the full flagship validation pass — schema/type/range/regex/cross-field
