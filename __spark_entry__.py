@@ -8073,6 +8073,170 @@ SELECT 'l_returnflag', 'length_between', lmin, lmax, NULL, 1.0 FROM a
 """
 
 
+def q_partition_health_documents(spark, sf_dir):
+    """Table-layout health audit (round-5 session 2): per logical
+    partition (source, lang) — row share, skew factor vs the mean, and
+    hot/small flags (checks/layout.py) — the Iceberg-partition health
+    question answered before pointing a 1000-executor job at a table.
+    One map-side-combined hash aggregate + a 1-row totals broadcast;
+    the fact relation is scanned once and never reshuffled.  The oracle
+    replays the share/skew arithmetic closed-form."""
+    from vldt_spark.checks.layout import partition_health_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return partition_health_report(
+        docs, ["source", "lang"], hot_factor=1.5, small_frac=0.5
+    )
+
+
+SQL_PARTITION_HEALTH_DOCUMENTS = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS tot, avg(n) AS m FROM c
+)
+SELECT source, lang, n AS n_rows,
+       round(CAST(n AS DOUBLE) / tot, 6) AS row_share,
+       round(CAST(n AS DOUBLE) / m, 6) AS skew_factor,
+       CAST(n AS DOUBLE) / m > 1.5 AS is_hot,
+       CAST(n AS DOUBLE) / m < 0.5 AS is_small
+FROM c, t
+"""
+
+
+def q_streaming_control_bands(spark, sf_dir):
+    """Streaming control-band monitor (round-5 session 2): the
+    continuous twin of control_bands_events — per-point Shewhart/EWMA
+    verdicts over the same per-day event-value series, state = a
+    w-value ring per series carried across micro-batches
+    (streaming/controlband_stream.py).  Batch-parity is pytest-pinned;
+    here the full series arrives as one file-batch (event-time-sorted
+    inside the handler), so the oracle replays the identical window
+    arithmetic closed-form."""
+    import tempfile
+    import uuid
+
+    from vldt_spark.streaming.controlband_stream import stream_control_bands
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(
+            "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+    root = tempfile.mkdtemp(prefix="vldt_cb_gate_")
+    series.coalesce(1).write.parquet(os.path.join(root, "b=1"))
+    stream = (
+        spark.readStream.schema(series.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "b=*"))
+    )
+    out = stream_control_bands(
+        stream, series_col="event_type", ts_col="day", value_col="value",
+        window=5, k=2.0, alpha=0.4,
+    )
+    name = f"vldt_cb_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "series",
+        F.unix_timestamp("ts").alias("day_epoch"),
+        "value", "n_trailing", "trailing_mean", "trailing_std",
+        "z", "shewhart_alarm", "ewma_prev", "ewma_alarm",
+    )
+
+
+SQL_STREAMING_CONTROL_BANDS = """
+WITH s AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, value,
+         count(value) OVER tw AS n_trailing,
+         avg(value) OVER tw AS m,
+         stddev_samp(value) OVER tw AS sd,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3,
+         lag(value, 4) OVER w AS l4,
+         lag(value, 5) OVER w AS l5
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+         tw AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+), e AS (
+  SELECT *,
+         coalesce(l1 * 0.4, 0) + coalesce(l2 * 0.24, 0)
+           + coalesce(l3 * 0.144, 0) + coalesce(l4 * 0.0864, 0)
+           + coalesce(l5 * 0.05184, 0) AS num,
+         (CASE WHEN l1 IS NOT NULL THEN 0.4 ELSE 0 END)
+           + (CASE WHEN l2 IS NOT NULL THEN 0.24 ELSE 0 END)
+           + (CASE WHEN l3 IS NOT NULL THEN 0.144 ELSE 0 END)
+           + (CASE WHEN l4 IS NOT NULL THEN 0.0864 ELSE 0 END)
+           + (CASE WHEN l5 IS NOT NULL THEN 0.05184 ELSE 0 END) AS den,
+         (n_trailing >= 3 AND sd IS NOT NULL AND sd > 0) AS ok
+  FROM r
+)
+SELECT event_type AS series,
+       CAST(epoch(day) AS BIGINT) AS day_epoch,
+       value,
+       CAST(n_trailing AS INTEGER) AS n_trailing,
+       round(m, 6) AS trailing_mean,
+       round(sd, 6) AS trailing_std,
+       CASE WHEN ok THEN round((value - m) / sd, 6) END AS z,
+       CASE WHEN ok THEN abs(value - m) > 2.0 * sd END AS shewhart_alarm,
+       CASE WHEN den > 0 THEN round(num / den, 6) END AS ewma_prev,
+       CASE WHEN ok AND den > 0 THEN abs(value - num / den) > 2.0 * sd END
+         AS ewma_alarm
+FROM e
+"""
+
+
+def q_suite_partition_guard(spark, sf_dir):
+    """Partition-skew layout guard as a declarative suite expectation
+    (round-5 session 2), pass + fail arms over the (source, lang)
+    logical partitioning of documents; the oracle recomputes
+    max_skew_factor closed-form."""
+    from vldt_spark.checks.suite import Suite, expect
+
+    docs = _t(spark, sf_dir, "documents")
+    return Suite(
+        [
+            expect.partition_skew_below(["source", "lang"], 1000.0),
+            expect.partition_skew_below(["source", "lang"], 0.5),
+        ]
+    ).run(docs)
+
+
+SQL_SUITE_PARTITION_GUARD = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT avg(n) AS mean_n FROM c
+), s AS (
+  SELECT round(CAST(n AS DOUBLE) / mean_n, 6) AS sk FROM c, t
+), m AS (
+  SELECT round(max(sk), 6) AS mx FROM s
+)
+SELECT 'partition_skew_below' AS "check", 'source,lang' AS "column",
+       mx AS metric, CAST(1000.0 AS DOUBLE) AS threshold,
+       mx < 1000.0 AS passed
+FROM m
+UNION ALL
+SELECT 'partition_skew_below', 'source,lang', mx, CAST(0.5 AS DOUBLE),
+       mx < 0.5
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 def q_token_affix_documents(spark, sf_dir):
@@ -8356,8 +8520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Brier primaries; their strip_affix / suite_c4_guard / brier / pr_auc
     companions join the tail (fd_source_lang too — its conflict-fixture
     twin stays in-window on the same fd_report machinery).
-    tools/check_oracle.py verifies the full 189-query set locally:
-    187 pass / 0 fail / 2 rows-only."""
+    tools/check_oracle.py verifies the full 192-query set locally:
+    190 pass / 0 fail / 2 rows-only."""
     return {
         # --- NEW round 5, session 2 ---
         "token_affix_documents": q_token_affix_documents,
@@ -8365,7 +8529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_report_documents": q_c4_report_documents,
         "streaming_c4_windows": q_streaming_c4_windows,
         "control_bands_events": q_control_bands_events,
+        "streaming_control_bands": q_streaming_control_bands,
         "suggest_constraints_lineitem": q_suggest_constraints_lineitem,
+        "partition_health_documents": q_partition_health_documents,
         # --- NEW round 5 ---
         "token_exact_dups_documents": q_token_exact_dups_documents,
         "token_minhash_pairs_documents": q_token_minhash_pairs_documents,
@@ -8376,7 +8542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_report_documents": q_pii_redact_report_documents,
         "ppl_band_documents": q_ppl_band_documents,
         "dup_source_matrix_documents": q_dup_source_matrix_documents,
-        "corpus_card_documents": q_corpus_card_documents,
         "auc_quality_documents": q_auc_quality_documents,
         "calibration_quality_documents": q_calibration_quality_documents,
         "streaming_confusion_windows": q_streaming_confusion_windows,
@@ -8386,7 +8551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "corpus_shuffle_documents": q_corpus_shuffle_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
-        "incremental_near_dups_documents": q_incremental_near_dups_documents,
         "gopher_rules_documents": q_gopher_rules_documents,
         "pack_nextfit_documents": q_pack_nextfit_documents,
         "embedding_contamination": q_embedding_contamination,
@@ -8431,6 +8595,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_quality_documents": q_brier_quality_documents,
         "pr_auc_quality_documents": q_pr_auc_quality_documents,
         "fd_source_lang_documents": q_fd_source_lang_documents,
+        # corpus_card aggregates pii/dup machinery whose primary gates
+        # (suite_card_guards, dup_source_matrix, pii_redact_report) all
+        # stay in-window
+        "corpus_card_documents": q_corpus_card_documents,
+        # near-dup incremental twin: exact-mode primary stays in-window,
+        # banded-key machinery also witnessed by token_minhash_pairs
+        "incremental_near_dups_documents": q_incremental_near_dups_documents,
+        "suite_partition_guard": q_suite_partition_guard,
         "gopher_report_documents": q_gopher_report_documents,
         "packing_report_documents": q_packing_report_documents,
         "suite_skew_guard": q_suite_skew_guard,
@@ -8583,6 +8755,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_c4_windows": SQL_STREAMING_C4_WINDOWS,
         "control_bands_events": SQL_CONTROL_BANDS_EVENTS,
         "suggest_constraints_lineitem": SQL_SUGGEST_CONSTRAINTS_LINEITEM,
+        "partition_health_documents": SQL_PARTITION_HEALTH_DOCUMENTS,
+        "streaming_control_bands": SQL_STREAMING_CONTROL_BANDS,
+        "suite_partition_guard": SQL_SUITE_PARTITION_GUARD,
         "token_exact_dups_documents": SQL_TOKEN_EXACT_DUPS_DOCUMENTS,
         "token_minhash_pairs_documents": _sql_minhash_portable_pairs(
             _TOKEN_SHINGLES_CTE, threshold=0.5

@@ -53,6 +53,28 @@ def test_multi_column_partition_key(spark):
     }
 
 
+def test_suite_partition_skew_guard_arms(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = _skewed(spark)
+    rows = Suite(
+        [
+            expect.partition_skew_below("p", 2.5),   # max skew 2.0 < 2.5
+            expect.partition_skew_below("p", 1.5),   # 2.0 >= 1.5 fails
+        ]
+    ).run(df).collect()
+    got = [(r["threshold"], r["passed"], r["metric"]) for r in rows]
+    assert (2.5, True, 2.0) in got and (1.5, False, 2.0) in got
+
+
+def test_suite_partition_skew_guard_empty(spark):
+    from vldt_spark.checks.suite import Suite, expect
+
+    df = spark.createDataFrame([], "p string, v int")
+    rows = Suite([expect.partition_skew_below("p", 2.0)]).run(df).collect()
+    assert len(rows) == 1 and not rows[0]["passed"]
+
+
 def test_file_layout_report_counts_and_key_ranges(spark):
     src = spark.range(100).selectExpr("id", "id AS k")
     root = os.path.join(tempfile.mkdtemp(prefix="vldt_layout_"), "t")

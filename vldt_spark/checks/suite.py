@@ -310,6 +310,22 @@ class expect:
         return Expectation("skew_factor_below", column, {"factor": factor})
 
     @staticmethod
+    def partition_skew_below(
+        part_cols: str | list[str], factor: float
+    ) -> Expectation:
+        """Layout guard on a (possibly multi-column) logical partition
+        key: the hottest partition must carry LESS THAN ``factor`` × the
+        mean partition row count (`partition_health_summary`'s
+        max_skew_factor, checks/layout.py) — the declarative form of
+        "can a 1000-executor job read this table without one partition
+        serializing it".  One map-side-combined aggregate."""
+        cols = [part_cols] if isinstance(part_cols, str) else list(part_cols)
+        return Expectation(
+            "partition_skew_below", ",".join(cols),
+            {"columns": cols, "factor": factor},
+        )
+
+    @staticmethod
     def dup_ngram_fraction_below(
         text_col: str,
         threshold: float,
@@ -1009,6 +1025,17 @@ class Suite:
                 metric = float(row["hot_n"]) * float(row["n_keys"]) / float(
                     row["n_rows"]
                 )
+                passed = metric < thr
+        elif e.kind == "partition_skew_below":
+            from vldt_spark.checks.layout import partition_health_summary
+
+            thr = float(p["factor"])
+            row = partition_health_summary(df, p["columns"]).first()
+            if row is None or not row["n_partitions"]:
+                # empty table: no partition layout to guard
+                metric, passed = float("nan"), False
+            else:
+                metric = float(row["max_skew_factor"])
                 passed = metric < thr
         elif e.kind == "dup_ngram_fraction_below":
             from vldt_spark.functions.dedup import duplicated_ngram_fraction

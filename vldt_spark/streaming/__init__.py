@@ -9,6 +9,8 @@ from vldt_spark.streaming.stateful import (
 )
 from vldt_spark.streaming.drift_stream import stream_psi, run_drift_monitor
 from vldt_spark.streaming.seq_stream import stream_degenerate_share
+from vldt_spark.streaming.c4_stream import stream_c4_windows
+from vldt_spark.streaming.controlband_stream import stream_control_bands
 
 __all__ = [
     "validated_stream",
@@ -19,4 +21,6 @@ __all__ = [
     "stream_psi",
     "run_drift_monitor",
     "stream_degenerate_share",
+    "stream_c4_windows",
+    "stream_control_bands",
 ]
