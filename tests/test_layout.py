@@ -75,6 +75,32 @@ def test_suite_partition_skew_guard_empty(spark):
     assert len(rows) == 1 and not rows[0]["passed"]
 
 
+def test_layout_audit_job_exit_codes(spark, tmp_path):
+    """The pre-flight CI job: reports land either way; exit 1 when a
+    layout gate trips, exit 0 when the layout is within bounds."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.layout_audit import main as audit_main
+
+    out = str(tmp_path / "audit")
+    rc = audit_main(
+        ["--synthetic", "3000", "--part-cols", "source",
+         "--output", out, "--max-skew", "1000.0"]
+    )
+    summary = json.load(open(out + "/summary.json"))
+    assert rc == 0 and summary["n_partitions"] >= 1
+    assert spark.read.parquet(out + "/partitions").count() == summary["n_partitions"]
+
+    out2 = str(tmp_path / "audit2")
+    rc2 = audit_main(
+        ["--synthetic", "3000", "--part-cols", "source",
+         "--output", out2, "--max-skew", "1.0"]
+    )
+    assert rc2 == 1  # max skew is always >= 1.0
+
+
 def test_file_layout_report_counts_and_key_ranges(spark):
     src = spark.range(100).selectExpr("id", "id AS k")
     root = os.path.join(tempfile.mkdtemp(prefix="vldt_layout_"), "t")
