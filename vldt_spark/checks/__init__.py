@@ -20,6 +20,11 @@ from vldt_spark.checks.tdigest import merge_digests, tdigest_quantiles
 from vldt_spark.checks.cms import cms_heavy_hitters
 from vldt_spark.checks.controlband import control_alarms, metric_control_report
 from vldt_spark.checks.suggest import suggest_constraints, suite_from_suggestions
+from vldt_spark.checks.layout import (
+    file_layout_report,
+    partition_health_report,
+    partition_health_summary,
+)
 from vldt_spark.checks.schema_drift import schema_diff, schema_drift_report
 from vldt_spark.checks.snapshot import snapshot_diff, snapshot_summary
 from vldt_spark.checks.drift import (
@@ -78,6 +83,9 @@ __all__ = [
     "control_alarms",
     "suggest_constraints",
     "suite_from_suggestions",
+    "partition_health_report",
+    "partition_health_summary",
+    "file_layout_report",
     "schema_diff",
     "schema_drift_report",
     "snapshot_diff",
